@@ -31,16 +31,19 @@ trait QueryModule {
   * casts are exact and overflow-free at any tested scale factor.
   */
 object OracleNum {
-  /** Exact sum of a double column: cast to decimal, sum, back to double. */
+  /** Exact sum of a double column: cast to decimal, sum, back to double.
+    * DECIMAL(18,4) keeps decimal multiply within both engines' exact
+    * 38-digit range: (18,4)x(19,4) -> (38,8) in Spark, (37,8) in DuckDB.
+    */
   def dsum(c: Column): Column =
-    sum(c.cast(DecimalType(20, 4))).cast("double")
+    sum(c.cast(DecimalType(18, 4))).cast("double")
 
   /** Exact sum with higher scale, for products of decimals. */
   def dsum8(c: Column): Column =
-    sum(c.cast(DecimalType(28, 8))).cast("double")
+    sum(c.cast(DecimalType(38, 8))).cast("double")
 
   /** Decimal-cast copy of a double column (exact for <=4-decimal data). */
-  def dec(c: Column): Column = c.cast(DecimalType(20, 4))
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
   /** Deterministic mean: exact decimal sum / count, in double. */
   def dmean(c: Column): Column = dsum(c) / count(c)

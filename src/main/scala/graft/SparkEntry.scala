@@ -6,7 +6,15 @@ import graft.ops._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
   private val modules: Seq[QueryModule] = Seq(
-    AggQueries
+    AggQueries,
+    SelectQueries,
+    JoinQueries,
+    WindowQueries,
+    NaQueries,
+    SetQueries,
+    ReshapeQueries,
+    TimeQueries,
+    StringQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

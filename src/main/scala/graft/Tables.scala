@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated TPC-H-ish testdata (TESTDATA.md).
   *
@@ -15,6 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Loads a table. `events.ts` is written as parquet TIMESTAMP(NANOS),
+    * which Spark 4 refuses to read natively; sessions set
+    * `spark.sql.legacy.parquet.nanosAsLong=true` and the long nanos are
+    * converted here to a microsecond TimestampType column (the testdata
+    * carries no sub-microsecond components, so this is lossless and
+    * matches what DuckDB reads).
+    */
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
 }

@@ -1,16 +1,26 @@
 package graft.ops
 
 import graft.{OracleNum, QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import OracleNum._
 
 /** GroupBy/aggregation surface (SURVEY.md §2.4).
   *
-  * Reference: pandas `core/groupby/` + `_libs/groupby.pyx` kernels —
-  * single-node, single-pass over factorized group codes. Here every
-  * aggregate is a Catalyst HashAggregate with map-side partial
-  * aggregation followed by a shuffle on the group keys, which is the
-  * scale-out replacement for the reference's code-based kernels.
+  * Reference: pandas `core/groupby/` (groupby.py:198, generic.py) +
+  * `_libs/groupby.pyx` kernels — single-node, single-pass over
+  * factorized group codes. Here every aggregate is a Catalyst
+  * HashAggregate: map-side partial aggregation, shuffle on the group
+  * keys, final merge — the scale-out replacement for the reference's
+  * code-based kernels. Nothing below collects to the driver; every
+  * query is a single declarative plan AQE can re-partition at 100 TB.
+  *
+  * Determinism policy for the DuckDB oracle: see OracleNum. Formulas
+  * for var/std/skew/kurt/corr are written from exact decimal moment
+  * sums with the *same* arithmetic on both sides (pandas' kernels are
+  * at _libs/groupby.pyx:964 group_var, :1069 group_skew, :1139
+  * group_kurt — bias-corrected sample statistics, which is what the
+  * explicit formulas reproduce).
   */
 object AggQueries extends QueryModule {
 
@@ -25,25 +35,543 @@ object AggQueries extends QueryModule {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          dsum8(dec($"l_extendedprice") * (lit(1).cast("decimal(20,4)") - dec($"l_discount"))).as("sum_disc_price"),
+          dsum8(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount"))).as("sum_disc_price"),
           dmean($"l_quantity").as("avg_qty"),
           dmean($"l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // groupby min/max/count/count_distinct (groupby.pyx:2257/:2229; nunique generic.py:890)
+    "agg_minmax_nunique" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"),
+          count($"l_partkey").as("n"),
+          countDistinct($"l_partkey").as("nunique_part"),
+          countDistinct($"l_suppkey", $"l_partkey").as("nunique_sp"))
+    },
+
+    // groupby median/quantile, exact with linear interpolation
+    // (group_median_float64 groupby.pyx:196, group_quantile :1424)
+    "agg_median_quantile" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25_qty"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75_qty"),
+          round(expr("percentile(l_discount, 0.9)"), 6).as("q90_disc"))
+    },
+
+    // var/std/sem from exact decimal moments (group_var groupby.pyx:964;
+    // sem = std/sqrt(n), ops.py:165)
+    "agg_var_std" -> { (s, d) =>
+      import s.implicits._
+      val m = Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count($"l_quantity").cast("double").as("n"),
+          dsum($"l_quantity").as("s1"),
+          dsum8(dec($"l_quantity") * dec($"l_quantity")).as("s2"))
+      m.select($"l_returnflag",
+        round(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1), 6).as("var_qty"),
+        round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 6).as("std_qty"),
+        round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)) / sqrt($"n"), 6).as("sem_qty"))
+    },
+
+    // bias-corrected sample skew G1 / excess kurtosis G2, pandas semantics
+    // (group_skew groupby.pyx:1069, group_kurt :1139)
+    "agg_skew_kurt" -> { (s, d) =>
+      import s.implicits._
+      // DECIMAL(7,2) keeps the 4th power inside DuckDB's exact range
+      val q = $"l_quantity".cast("decimal(7,2)")
+      val m = Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count($"l_quantity").cast("double").as("n"),
+          dsum($"l_quantity").as("s1"),
+          dsum8(q * q).as("s2"),
+          dsum8(q * q * q).as("s3"),
+          dsum8(q * q * q * q).as("s4"))
+      val mean = $"s1" / $"n"
+      val m2 = $"s2" / $"n" - mean * mean
+      val m3 = $"s3" / $"n" - lit(3) * mean * ($"s2" / $"n") + lit(2) * mean * mean * mean
+      val m4 = $"s4" / $"n" - lit(4) * mean * ($"s3" / $"n") + lit(6) * mean * mean * ($"s2" / $"n") - lit(3) * mean * mean * mean * mean
+      val g1 = m3 / pow(m2, 1.5)
+      val skew = sqrt($"n" * ($"n" - 1)) / ($"n" - 2) * g1
+      val g2 = m4 / (m2 * m2) - lit(3)
+      val kurt = (($"n" - 1) / (($"n" - 2) * ($"n" - 3))) * (($"n" + 1) * g2 + lit(6))
+      m.select($"l_returnflag", round(skew, 6).as("skew_qty"), round(kurt, 6).as("kurt_qty"))
+    },
+
+    // first/last in row order (group_nth groupby.pyx:1778, group_last :1713):
+    // min_by/max_by keyed on the globally-unique event ts
+    "agg_first_last" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          min_by($"value", $"ts").as("first_value"),
+          max_by($"value", $"ts").as("last_value"),
+          min_by($"user_id", $"ts").as("first_user"),
+          max_by($"user_id", $"ts").as("last_user"))
+    },
+
+    // nth row per group (nth selector groupby/groupby.py:4297):
+    // row_number over in-group order, filter == 3. lineitem's logical key
+    // has duplicate rows, so the order adds every output column as a
+    // tiebreak — fully-identical rows then permute freely without
+    // changing the result set
+    "agg_nth" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"l_quantity")
+      Tables(s, d, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 3)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+    },
+
+    // any/all -> Kleene bool_or/bool_and (group_any_all groupby.pyx:613)
+    "agg_any_all" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          expr("bool_or(o_totalprice > 400000)").as("any_big"),
+          expr("bool_and(o_totalprice > 1000)").as("all_over_1k"),
+          expr("bool_or(o_orderstatus = 'F')").as("any_f"))
+    },
+
+    // idxmin/idxmax (group_idxmin_idxmax groupby.pyx:2108) ->
+    // deterministic arg-min/max with explicit tiebreak on the unique key
+    "agg_idxminmax" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+      val byMax = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
+      val byMin = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+      Tables(s, d, "lineitem")
+        .withColumn("rmax", row_number().over(byMax))
+        .withColumn("rmin", row_number().over(byMin))
+        .filter($"rmax" === 1 || $"rmin" === 1)
+        .groupBy($"l_returnflag")
+        .agg(
+          max(when($"rmax" === 1, $"l_orderkey")).as("idxmax_order"),
+          max(when($"rmin" === 1, $"l_orderkey")).as("idxmin_order"))
+    },
+
+    // value_counts with normalize (algorithms.py:994, groupby generic.py:1017)
+    "agg_value_counts" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .groupBy($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("proportion",
+          $"cnt".cast("double") / sum($"cnt").over(Window.partitionBy()).cast("double"))
+    },
+
+    // mode: most frequent value, smallest-value tiebreak (algorithms.py:1149)
+    "agg_mode" -> { (s, d) =>
+      import s.implicits._
+      val counts = Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag", $"l_quantity")
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"cnt".desc, $"l_quantity".asc)
+      counts.withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt")
+    },
+
+    // ohlc over event time (groupby.pyx:1354): first/last via min_by/max_by
+    // on the globally-unique ts
+    "agg_ohlc" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .groupBy($"event_type")
+        .agg(
+          min_by($"value", $"ts").as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max_by($"value", $"ts").as("close"))
+    },
+
+    // count(col) vs size=count(*) with nulls (groupby.py:1894/:2672)
+    "agg_count_size" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .withColumn("disc_nullable", when($"l_discount" > 0, $"l_discount"))
+        .groupBy($"l_returnflag")
+        .agg(
+          count($"disc_nullable").as("count_nonnull"),
+          count(lit(1)).as("size"),
+          dsum($"disc_nullable").as("sum_nonnull"))
+    },
+
+    // corr/cov from exact moments (nancorr _libs/algos.pyx:355;
+    // frame.py:15791 corr, :15912 cov) — sample covariance/correlation
+    "agg_corr_cov" -> { (s, d) =>
+      import s.implicits._
+      val m = Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          dsum($"l_quantity").as("sx"),
+          dsum($"l_discount").as("sy"),
+          dsum8(dec($"l_quantity") * dec($"l_quantity")).as("sxx"),
+          dsum8(dec($"l_discount") * dec($"l_discount")).as("syy"),
+          dsum8(dec($"l_quantity") * dec($"l_discount")).as("sxy"))
+      val cov = ($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)
+      val corr = ($"n" * $"sxy" - $"sx" * $"sy") /
+        (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))
+      m.select($"l_returnflag", round(cov, 6).as("cov_qd"), round(corr, 6).as("corr_qd"))
+    },
+
+    // cumulative transforms: cumsum/cummax/cumcount over in-group row order
+    // (groupby.pyx:368 cumsum, :2402 cummax; order = __order__ discipline)
+    "agg_cumsum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 1000)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          sum(dec($"l_quantity")).over(w).cast("double").as("cum_qty"),
+          max($"l_quantity").over(w).as("cummax_qty"),
+          (count(lit(1)).over(w) - 1).as("cumcount"))
+    },
+
+    // rank family inside groups (group_rank groupby.pyx:1910): rank=min,
+    // dense, first=row_number, pandas pct = rank/group_size
+    "agg_rank_group" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+      val grp = Window.partitionBy($"l_returnflag")
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 1000)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          rank().over(ord).as("rank_min"),
+          dense_rank().over(ord).as("rank_dense"),
+          (rank().over(ord).cast("double") / count(lit(1)).over(grp)).as("rank_pct"))
+    },
+
+    // shift/diff/pct_change from lag over in-group order
+    // (groupby.pyx:489 shift; frame.py:14113 diff)
+    "agg_shift_diff" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id", $"value",
+          lag($"value", 1).over(w).as("prev_value"),
+          ($"value" - lag($"value", 1).over(w)).as("diff_value"),
+          (($"value" - lag($"value", 1).over(w)) / lag($"value", 1).over(w)).as("pct_change"),
+          lead($"value", 1).over(w).as("next_value"))
+    },
+
+    // transform: broadcast group aggregate back to rows
+    // (generic.py:622 transform; window with unbounded frame)
+    "agg_transform" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_returnflag")
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 1000)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          (sum(dec($"l_quantity")).over(w).cast("double") / count(lit(1)).over(w)).as("group_mean"),
+          ($"l_quantity" - sum(dec($"l_quantity")).over(w).cast("double") / count(lit(1)).over(w)).as("demeaned"))
+    },
+
+    // groupby.filter(group predicate) (generic.py:817): keep rows of
+    // customers having >= 15 orders
+    "agg_group_filter" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+      Tables(s, d, "orders")
+        .withColumn("n_orders", count(lit(1)).over(w))
+        .filter($"n_orders" >= 15)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"n_orders")
+    },
+
+    // describe: composed agg (core/methods/describe.py)
+    "agg_describe" -> { (s, d) =>
+      import s.implicits._
+      val p = $"o_totalprice".cast("decimal(12,2)")
+      val m = Tables(s, d, "orders")
+        .agg(
+          count($"o_totalprice").cast("double").as("n"),
+          dsum($"o_totalprice").as("s1"),
+          dsum8(p * p).as("s2"),
+          min($"o_totalprice").as("min_v"),
+          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
+          max($"o_totalprice").as("max_v"))
+      m.select($"n", round($"s1" / $"n", 6).as("mean_v"),
+        round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 6).as("std_v"),
+        $"min_v", $"p25", $"p50", $"p75", $"max_v")
+    },
+
+    // named multi-agg across columns (generic.py:324 named agg)
+    "agg_named_multi" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .join(Tables(s, d, "customer").select($"c_custkey", $"c_mktsegment"),
+          $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("total_rev"),
+          dmean($"o_totalprice").as("avg_rev"),
+          countDistinct($"o_custkey").as("n_customers"),
+          max($"o_orderdate").as("last_order"))
+    },
+
+    // groupby.apply (groupby.py:1250) -> flatMapGroups: top-2 orders per
+    // customer by price, arbitrary per-group logic through a sorted iterator
+    "agg_apply_topn" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (key, it) =>
+          it.toSeq
+            .sortBy(r => (-r._3, r._2))
+            .take(2)
+        }
+        .toDF("o_custkey", "o_orderkey", "o_totalprice")
+    },
+
+    // product aggregate (groupby.pyx:892): tiny per-order groups keep fp
+    // reassociation error << the 1e-6 rounding grain
+    "agg_prod" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(round(product(lit(1) + $"l_discount"), 6).as("prod_disc"),
+          count(lit(1)).as("n_lines"))
     }
   )
 
   def oracle: Map[String, String] = Map(
     "q1_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sum_qty,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(20,4)) * (CAST(1 AS DECIMAL(20,4)) - CAST(l_discount AS DECIMAL(20,4))) AS DECIMAL(28,8))) AS DOUBLE) AS sum_disc_price,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-         CAST(SUM(CAST(l_discount AS DECIMAL(20,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
+         CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
          COUNT(*) AS count_order
          FROM lineitem
          WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-         GROUP BY l_returnflag, l_linestatus"""
+         GROUP BY l_returnflag, l_linestatus""",
+
+    "agg_minmax_nunique" ->
+      """SELECT l_returnflag,
+         MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+         MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+         COUNT(l_partkey) AS n,
+         COUNT(DISTINCT l_partkey) AS nunique_part,
+         COUNT(DISTINCT (l_suppkey, l_partkey)) AS nunique_sp
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_median_quantile" ->
+      """SELECT l_returnflag,
+         ROUND(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+         ROUND(quantile_cont(l_quantity, 0.25), 6) AS q25_qty,
+         ROUND(quantile_cont(l_quantity, 0.75), 6) AS q75_qty,
+         ROUND(quantile_cont(l_discount, 0.9), 6) AS q90_disc
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_var_std" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS s2
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           ROUND((s2 - s1 * s1 / n) / (n - 1), 6) AS var_qty,
+           ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_qty,
+           ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)) / SQRT(n), 6) AS sem_qty
+         FROM m""",
+
+    "agg_skew_kurt" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(COUNT(l_quantity) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s4
+           FROM lineitem GROUP BY l_returnflag),
+         f AS (
+           SELECT l_returnflag, n,
+             s1 / n AS mean,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n) * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+           FROM m)
+         SELECT l_returnflag,
+           ROUND(SQRT(n * (n - 1)) / (n - 2) * (m3 / POW(m2, 1.5)), 6) AS skew_qty,
+           ROUND(((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) * (m4 / (m2 * m2) - 3) + 6), 6) AS kurt_qty
+         FROM f""",
+
+    "agg_first_last" ->
+      """SELECT event_type,
+         arg_min("value", ts) AS first_value,
+         arg_max("value", ts) AS last_value,
+         arg_min(user_id, ts) AS first_user,
+         arg_max(user_id, ts) AS last_user
+         FROM events GROUP BY event_type""",
+
+    "agg_nth" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity) AS rn
+           FROM lineitem) t WHERE rn = 3""",
+
+    "agg_any_all" ->
+      """SELECT o_orderpriority,
+         bool_or(o_totalprice > 400000) AS any_big,
+         bool_and(o_totalprice > 1000) AS all_over_1k,
+         bool_or(o_orderstatus = 'F') AS any_f
+         FROM orders GROUP BY o_orderpriority""",
+
+    "agg_idxminmax" ->
+      """WITH r AS (
+           SELECT l_returnflag, l_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC) AS rmax,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC) AS rmin
+           FROM lineitem)
+         SELECT l_returnflag,
+           MAX(CASE WHEN rmax = 1 THEN l_orderkey END) AS idxmax_order,
+           MAX(CASE WHEN rmin = 1 THEN l_orderkey END) AS idxmin_order
+         FROM r WHERE rmax = 1 OR rmin = 1 GROUP BY l_returnflag""",
+
+    "agg_value_counts" ->
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
+         CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS proportion
+         FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+
+    "agg_mode" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (
+           SELECT l_returnflag, l_quantity, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
+           FROM lineitem GROUP BY l_returnflag, l_quantity) t
+         WHERE rn = 1""",
+
+    "agg_ohlc" ->
+      """SELECT event_type,
+         arg_min("value", ts) AS open, MAX("value") AS high,
+         MIN("value") AS low, arg_max("value", ts) AS close
+         FROM events GROUP BY event_type""",
+
+    "agg_count_size" ->
+      """SELECT l_returnflag,
+         COUNT(CASE WHEN l_discount > 0 THEN l_discount END) AS count_nonnull,
+         COUNT(*) AS size,
+         CAST(SUM(CAST(CASE WHEN l_discount > 0 THEN l_discount END AS DECIMAL(18,4))) AS DOUBLE) AS sum_nonnull
+         FROM lineitem GROUP BY l_returnflag""",
+
+    "agg_corr_cov" ->
+      """WITH m AS (
+           SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+           FROM lineitem GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qd,
+           ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qd
+         FROM m""",
+
+    "agg_cumsum" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) AS cum_qty,
+         MAX(l_quantity) OVER w AS cummax_qty,
+         COUNT(*) OVER w - 1 AS cumcount
+         FROM lineitem WHERE l_orderkey < 1000
+         WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "agg_rank_group" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rank_min,
+         DENSE_RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rank_dense,
+         CAST(RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY l_returnflag) AS rank_pct
+         FROM lineitem WHERE l_orderkey < 1000""",
+
+    "agg_shift_diff" ->
+      """SELECT user_id, event_id, "value",
+         LAG("value", 1) OVER w AS prev_value,
+         "value" - LAG("value", 1) OVER w AS diff_value,
+         ("value" - LAG("value", 1) OVER w) / LAG("value", 1) OVER w AS pct_change,
+         LEAD("value", 1) OVER w AS next_value
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+
+    "agg_transform" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS group_mean,
+         l_quantity - CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT(*) OVER w AS demeaned
+         FROM lineitem WHERE l_orderkey < 1000
+         WINDOW w AS (PARTITION BY l_returnflag)""",
+
+    "agg_group_filter" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, n_orders FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             COUNT(*) OVER (PARTITION BY o_custkey) AS n_orders
+           FROM orders) t WHERE n_orders >= 15""",
+
+    "agg_describe" ->
+      """WITH m AS (
+           SELECT CAST(COUNT(o_totalprice) AS DOUBLE) AS n,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * CAST(o_totalprice AS DECIMAL(12,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+             MIN(o_totalprice) AS min_v,
+             ROUND(quantile_cont(o_totalprice, 0.25), 6) AS p25,
+             ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             ROUND(quantile_cont(o_totalprice, 0.75), 6) AS p75,
+             MAX(o_totalprice) AS max_v
+           FROM orders)
+         SELECT n, ROUND(s1 / n, 6) AS mean_v,
+           ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) AS std_v,
+           min_v, p25, p50, p75, max_v
+         FROM m""",
+
+    "agg_named_multi" ->
+      """SELECT c_mktsegment,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_rev,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(o_totalprice) AS avg_rev,
+         COUNT(DISTINCT o_custkey) AS n_customers,
+         MAX(o_orderdate) AS last_order
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "agg_apply_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn <= 2""",
+
+    "agg_prod" ->
+      """SELECT l_orderkey,
+         ROUND(product(1 + l_discount), 6) AS prod_disc,
+         COUNT(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey"""
   )
 }

@@ -1,0 +1,292 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import graft.OracleNum._
+import graft.operators.AsofJoin
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY.md §2.3).
+  *
+  * Reference: pandas `core/reshape/merge.py` (3.4k LoC of hash-join
+  * orchestration over khash factorizers + `_libs/join.pyx` kernels).
+  * All of that machinery collapses into Catalyst join strategies: AQE
+  * picks broadcast-hash vs sort-merge vs shuffled-hash at runtime, so
+  * no query below chooses an algorithm — only `broadcast()` hints on
+  * genuinely tiny dimensions (nation/region/supplier), which at 100 TB
+  * is exactly the hint a planner cannot infer when stats are missing.
+  * Semi/anti joins are exposed natively (pandas only gets them via
+  * `isin`/indicator filtering — Spark is richer here, SURVEY §2.3).
+  */
+object JoinQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // merge how='inner' on one key (merge.py:149), fact-to-fact: AQE
+    // picks SMJ/shuffled-hash; aggregated result keeps output bounded
+    "join_inner" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .join(Tables(s, d, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum($"l_extendedprice").as("sum_price"))
+    },
+
+    // merge how='left' (join.pyx:112 left_outer_join): unmatched left
+    // rows survive with NULLs
+    "join_left" -> { (s, d) =>
+      import s.implicits._
+      val big = Tables(s, d, "lineitem")
+        .filter($"l_quantity" >= 49)
+        .select($"l_orderkey").distinct()
+      Tables(s, d, "orders")
+        .join(big, $"o_orderkey" === big("l_orderkey"), "left")
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          count($"l_orderkey").as("n_with_big_line"))
+    },
+
+    // merge how='right': every customer kept, orders optional
+    "join_right" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .join(Tables(s, d, "customer"), $"o_custkey" === $"c_custkey", "right")
+        .groupBy($"c_mktsegment")
+        .agg(count($"o_orderkey").as("n_orders"),
+          countDistinct($"c_custkey").as("n_customers"))
+    },
+
+    // merge how='outer' + indicator='both/left_only/right_only'
+    // (merge.py:149 indicator param; join.pyx:211 full_outer_join)
+    "join_outer_indicator" -> { (s, d) =>
+      import s.implicits._
+      val c = Tables(s, d, "customer").select($"c_custkey")
+      val o = Tables(s, d, "orders").filter($"o_totalprice" > 350000)
+        .select($"o_custkey").distinct()
+      c.join(o, $"c_custkey" === $"o_custkey", "full")
+        .withColumn("_merge",
+          when($"o_custkey".isNull, "left_only")
+            .when($"c_custkey".isNull, "right_only")
+            .otherwise("both"))
+        .groupBy($"_merge")
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // semi join (pandas isin-on-keys; Spark native left_semi)
+    "join_semi" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables(s, d, "orders").filter($"o_totalprice" > 400000)
+      Tables(s, d, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+
+    // anti join (pandas indicator + filter; Spark native left_anti)
+    "join_anti" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables(s, d, "orders").filter($"o_totalprice" > 450000)
+      Tables(s, d, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
+    // cross join (_cross_merge merge.py:405) — tiny dims only
+    "join_cross" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "region").crossJoin(Tables(s, d, "nation"))
+        .select($"r_name", $"n_name", $"r_regionkey", $"n_regionkey")
+    },
+
+    // multi-key m:n self-join (merge.py:3140 _get_join_keys key fusing):
+    // line pairs within an order; Spark fuses the key into the shuffle
+    "join_multikey_self" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_extendedprice")
+      val a = li.as("a")
+      val b = li.as("b")
+      a.join(b, $"a.l_orderkey" === $"b.l_orderkey" &&
+          $"a.l_linenumber" < $"b.l_linenumber")
+        .groupBy($"a.l_returnflag".as("flag_a"), $"b.l_returnflag".as("flag_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+
+    // star join through broadcast dims: lineitem |><| supplier |><| nation
+    // |><| region — dims broadcast, no shuffle of the fact side for them
+    "join_star_broadcast" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .join(broadcast(Tables(s, d, "supplier")), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables(s, d, "nation")), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables(s, d, "region")), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(dsum($"l_extendedprice").as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // interval/range join (IntervalIndex.get_indexer, intervaltree.pxi):
+    // point-in-band theta join against a broadcast band table
+    "join_range_bands" -> { (s, d) =>
+      import s.implicits._
+      val bands = s.createDataFrame(Seq(
+        ("p00", 900.0, 925.0), ("p25", 925.0, 950.0),
+        ("p50", 950.0, 975.0), ("p75", 975.0, 1000.0)))
+        .toDF("band", "lo", "hi")
+      Tables(s, d, "part")
+        .join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+    },
+
+    // merge_asof backward, by=user (merge.py:644 _AsOfMerge;
+    // join.pyx:725 asof_join_backward_on_X_by_Y): latest purchase value
+    // at/before each click
+    "join_asof_backward" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      AsofJoin.backward(clicks, purchases,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"))
+        .withColumnRenamed("value", "asof_val")
+    },
+
+    // merge_asof with tolerance= (merge.py:644): matches older than
+    // 1 day are nulled
+    "join_asof_tolerance" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      AsofJoin.backward(clicks, purchases,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), toleranceMicros = Some(86400000000L))
+        .withColumnRenamed("value", "asof_val")
+    },
+
+    // merge_ordered + group-wise ffill (merge.py:500 _OrderedMerge):
+    // full outer on (user, ts), forward-fill each side within user
+    "join_merge_ordered" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"ts", $"value".as("click_val"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value".as("purch_val"))
+      val merged = clicks.join(purchases, Seq("user_id", "ts"), "full")
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      merged.select($"user_id", $"ts",
+        last($"click_val", ignoreNulls = true).over(w).as("click_ff"),
+        last($"purch_val", ignoreNulls = true).over(w).as("purch_ff"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_inner" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    "join_left" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+         COUNT(l_orderkey) AS n_with_big_line
+         FROM orders LEFT JOIN (
+           SELECT DISTINCT l_orderkey FROM lineitem WHERE l_quantity >= 49) b
+         ON o_orderkey = b.l_orderkey
+         GROUP BY o_orderstatus""",
+
+    "join_right" ->
+      """SELECT c_mktsegment, COUNT(o_orderkey) AS n_orders,
+         COUNT(DISTINCT c_custkey) AS n_customers
+         FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment""",
+
+    "join_outer_indicator" ->
+      """SELECT CASE WHEN o.o_custkey IS NULL THEN 'left_only'
+                     WHEN c.c_custkey IS NULL THEN 'right_only'
+                     ELSE 'both' END AS _merge, COUNT(*) AS n
+         FROM (SELECT c_custkey FROM customer) c
+         FULL JOIN (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 350000) o
+         ON c.c_custkey = o.o_custkey
+         GROUP BY 1""",
+
+    "join_semi" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey NOT IN (
+           SELECT o_custkey FROM orders WHERE o_totalprice > 450000)""",
+
+    "join_cross" ->
+      """SELECT r_name, n_name, r_regionkey, n_regionkey
+         FROM region CROSS JOIN nation""",
+
+    "join_multikey_self" ->
+      """SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+         COUNT(*) AS n_pairs
+         FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+         GROUP BY 1, 2""",
+
+    "join_star_broadcast" ->
+      """SELECT r_name, n_name,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+         COUNT(*) AS n_lines
+         FROM lineitem
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name""",
+
+    "join_range_bands" ->
+      """SELECT band, COUNT(*) AS n_parts,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM part
+         JOIN (VALUES ('p00', 900.0, 925.0), ('p25', 925.0, 950.0),
+                      ('p50', 950.0, 975.0), ('p75', 975.0, 1000.0))
+              AS bands(band, lo, hi)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band""",
+
+    "join_asof_backward" ->
+      """SELECT a.user_id, a.event_id, a.ts, b."value" AS asof_val
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id AND a.ts >= b.ts""",
+
+    "join_asof_tolerance" ->
+      """WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT a.user_id, a.event_id, a.ts, b."value" AS v, b.ts AS bts,
+             ROW_NUMBER() OVER (PARTITION BY a.user_id, a.event_id ORDER BY b.ts DESC) AS rn
+           FROM a LEFT JOIN b
+             ON a.user_id = b.user_id AND b.ts <= a.ts
+              AND b.ts >= a.ts - INTERVAL 1 DAY)
+         SELECT user_id, event_id, ts, v AS asof_val
+         FROM j WHERE rn = 1""",
+
+    "join_merge_ordered" ->
+      """WITH c AS (SELECT user_id, ts, "value" AS click_val FROM events WHERE event_type = 'click'),
+         p AS (SELECT user_id, ts, "value" AS purch_val FROM events WHERE event_type = 'purchase'),
+         m AS (
+           SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                  COALESCE(c.ts, p.ts) AS ts, c.click_val, p.purch_val
+           FROM c FULL JOIN p ON c.user_id = p.user_id AND c.ts = p.ts)
+         SELECT user_id, ts,
+           last_value(click_val IGNORE NULLS) OVER w AS click_ff,
+           last_value(purch_val IGNORE NULLS) OVER w AS purch_ff
+         FROM m
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+  )
+}

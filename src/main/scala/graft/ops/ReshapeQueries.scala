@@ -1,0 +1,188 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import graft.OracleNum._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Reshape surface (SURVEY.md §2.7).
+  *
+  * Reference: pandas `reshape/pivot.py` (pivot/pivot_table/crosstab,
+  * margins `:429`), `reshape/melt.py`, `reshape/reshape.py`
+  * (stack/unstack), `reshape/encoding.py` (get_dummies),
+  * `reshape/tile.py` (cut/qcut), `frame.py:13764` explode.
+  *
+  * pivot = groupBy().pivot().agg() (one shuffle; pivot values are
+  * either declared or discovered with a cheap distinct pass);
+  * margins = Spark `rollup`, which pandas lacks natively; melt =
+  * `unpivot`; explode = `explode()` generator.
+  */
+object ReshapeQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // pivot wide: status columns, revenue cells (pivot.py:747; declared
+    // pivot values avoid the discovery pass — at scale always declare)
+    "rs_pivot" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum($"o_totalprice"))
+    },
+
+    // pivot_table(margins=True) (pivot.py:59, _add_margins :429):
+    // Spark rollup + label the grouping-null rows 'All'
+    "rs_pivot_margins" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .rollup($"o_orderpriority", $"o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("rev"))
+        .select(
+          coalesce($"o_orderpriority", lit("All")).as("priority"),
+          coalesce($"o_orderstatus", lit("All")).as("status"),
+          $"n", $"rev")
+    },
+
+    // crosstab counts (pivot.py:982)
+    "rs_crosstab" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .pivot("c_nationkey", (0 to 24).map(_.toString))
+        .agg(count(lit(1)))
+        .na.fill(0)
+    },
+
+    // melt / unpivot (melt.py:45; Spark `unpivot`)
+    "rs_melt" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 200)
+        .unpivot(
+          Array($"l_orderkey", $"l_linenumber"),
+          Array($"l_quantity", $"l_discount", $"l_tax"),
+          "measure", "val")
+    },
+
+    // explode list -> rows (frame.py:13764; Series.str.split + explode)
+    "rs_explode_words" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .filter($"doc_id" < 50)
+        .select($"doc_id", explode(split($"text", " ")).as("word"))
+    },
+
+    // get_dummies one-hot (encoding.py:44)
+    "rs_get_dummies" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "F", 1).otherwise(0).as("status_F"),
+          when($"o_orderstatus" === "O", 1).otherwise(0).as("status_O"),
+          when($"o_orderstatus" === "P", 1).otherwise(0).as("status_P"))
+    },
+
+    // cut: fixed-width right-closed bins (tile.py:59; pandas default
+    // right=True => (lo, hi])
+    "rs_cut" -> { (s, d) =>
+      import s.implicits._
+      val bin = when($"o_totalprice" <= 100000, "(0, 100k]")
+        .when($"o_totalprice" <= 250000, "(100k, 250k]")
+        .when($"o_totalprice" <= 400000, "(250k, 400k]")
+        .otherwise("(400k, inf]")
+      Tables(s, d, "orders")
+        .groupBy(bin.as("price_bin"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+    },
+
+    // qcut: quantile bins via ntile over a total order (tile.py:298)
+    "rs_qcut" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
+      Tables(s, d, "orders")
+        .withColumn("q4", ntile(4).over(w))
+        .groupBy($"q4")
+        .agg(count(lit(1)).as("n"),
+          min($"o_totalprice").as("lo"),
+          max($"o_totalprice").as("hi"))
+    },
+
+    // stack: columns -> long (reshape.py:668) — same engine op as melt,
+    // kept separate to mirror the API split; unstack is rs_pivot
+    "rs_stack" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "supplier")
+        .unpivot(
+          Array($"s_suppkey"),
+          Array($"s_name", $"s_nationkey".cast("string").as("s_nation")),
+          "attr", "val")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "rs_pivot" ->
+      """SELECT o_orderpriority,
+         CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,
+         CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
+         CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
+         FROM orders GROUP BY o_orderpriority""",
+
+    "rs_pivot_margins" ->
+      """SELECT COALESCE(o_orderpriority, 'All') AS priority,
+         COALESCE(o_orderstatus, 'All') AS status,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+
+    "rs_crosstab" -> {
+      val cols = (0 to 24)
+        .map(k => s"""COALESCE(COUNT(CASE WHEN c_nationkey = $k THEN 1 END), 0) AS "$k"""")
+        .mkString(",\n         ")
+      s"""SELECT c_mktsegment,
+         $cols
+         FROM customer GROUP BY c_mktsegment"""
+    },
+
+    "rs_melt" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val
+         FROM lineitem WHERE l_orderkey < 200
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+         FROM lineitem WHERE l_orderkey < 200
+         UNION ALL
+         SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+         FROM lineitem WHERE l_orderkey < 200""",
+
+    "rs_explode_words" ->
+      """SELECT doc_id, unnest(string_split(text, ' ')) AS word
+         FROM documents WHERE doc_id < 50""",
+
+    "rs_get_dummies" ->
+      """SELECT o_orderkey,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS status_F,
+         CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS status_O,
+         CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS status_P
+         FROM orders""",
+
+    "rs_cut" ->
+      """SELECT CASE WHEN o_totalprice <= 100000 THEN '(0, 100k]'
+                     WHEN o_totalprice <= 250000 THEN '(100k, 250k]'
+                     WHEN o_totalprice <= 400000 THEN '(250k, 400k]'
+                     ELSE '(400k, inf]' END AS price_bin,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
+
+    "rs_qcut" ->
+      """SELECT q4, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+         FROM (SELECT o_totalprice,
+                 NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q4
+               FROM orders) t
+         GROUP BY q4""",
+
+    "rs_stack" ->
+      """SELECT s_suppkey, 's_name' AS attr, s_name AS val FROM supplier
+         UNION ALL
+         SELECT s_suppkey, 's_nation', CAST(s_nationkey AS VARCHAR) FROM supplier"""
+  )
+}

@@ -1,0 +1,223 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Projection / filter / row-selection surface (SURVEY.md §2.2).
+  *
+  * Reference: pandas `frame.py:4259` __getitem__, `core/indexing.py`
+  * loc/iloc, `generic.py:10438` where/mask, `frame.py:4956` query.
+  * All label/positional selection becomes a filter (pushed to the
+  * parquet scan by Catalyst) or a window over the row-order columns;
+  * nothing materializes an index structure.
+  */
+object SelectQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // df[["a","b"]] projection + boolean mask (frame.py:4259; filter
+    // and column pruning both reach the parquet scan)
+    "sel_project_filter" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .filter($"o_orderstatus" === "F" && $"o_totalprice" > 300000)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // df.query("...") string predicate (frame.py:4956) -> Spark SQL parser
+    "sel_query_expr" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .filter(expr("l_discount > 0.08 AND l_quantity >= 45 AND l_returnflag = 'R'"))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount")
+    },
+
+    // Series.where keeping shape (generic.py:10438): non-matching -> NULL
+    "sel_where_mask" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 2000)
+        .select($"l_orderkey", $"l_linenumber",
+          when($"l_quantity" > 25, $"l_quantity").as("qty_if_big"),
+          when(!($"l_quantity" > 25), $"l_quantity").as("qty_if_small"))
+    },
+
+    // isin (algorithms.py:510) — literal list; large lists become a
+    // broadcast semi join (see join_semi)
+    "sel_isin" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "part")
+        .filter($"p_brand".isin("Brand#1", "Brand#5", "Brand#9"))
+        .select($"p_partkey", $"p_brand", $"p_retailprice")
+    },
+
+    // clip (generic.py:8856) -> least(greatest(...))
+    "sel_clip" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .filter($"o_orderkey" < 5000)
+        .select($"o_orderkey",
+          least(greatest($"o_totalprice", lit(50000.0)), lit(300000.0)).as("clipped_price"))
+    },
+
+    // head(n) over a defined order (generic.py:5806): deterministic via
+    // unique sort key; Catalyst plans TakeOrderedAndProject (top-k, no
+    // full sort at scale)
+    "sel_head" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .orderBy($"o_orderkey")
+        .limit(100)
+        .select($"o_orderkey", $"o_totalprice")
+    },
+
+    // tail(n): mirrored order
+    "sel_tail" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .orderBy($"o_orderkey".desc)
+        .limit(100)
+        .select($"o_orderkey", $"o_totalprice")
+    },
+
+    // iloc[1000:1100] positional slice (indexing.py:2092) — row_number
+    // over the __order__ key, then a range filter
+    "sel_iloc_slice" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.orderBy($"o_orderkey")
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice", row_number().over(w).as("pos"))
+        .filter($"pos" > 1000 && $"pos" <= 1100)
+        .drop("pos")
+    },
+
+    // loc[label] lookup (indexing.py:1359) -> key equality filter
+    "sel_loc_label" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "customer")
+        .filter($"c_custkey".isin(1L, 10L, 100L, 1000L))
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
+    // between_time (generic.py:9223): time-of-day filter on the ts index
+    "sel_between_time" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .filter(hour($"ts") >= 9 && hour($"ts") < 12)
+        .select($"event_id", $"ts", $"event_type")
+    },
+
+    // truncate(before, after) (generic.py:10979): index range filter
+    "sel_truncate" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-07-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+    },
+
+    // assign/drop/rename (frame.py:5907/:6386/:6614)
+    "sel_assign_rename" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 1000)
+        .withColumn("net_price", $"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .withColumn("taxed_price", $"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax"))
+        .withColumnRenamed("l_quantity", "qty")
+        .select($"l_orderkey", $"l_linenumber", $"qty", $"net_price", $"taxed_price")
+    },
+
+    // select_dtypes (frame.py:5357): schema-driven projection of the
+    // double columns — resolved from df.schema, not hand-listed
+    "sel_select_dtypes" -> { (s, d) =>
+      val df = Tables(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+      val doubles = df.schema.fields.filter(_.dataType == DoubleType).map(_.name)
+      df.select((Seq("l_orderkey", "l_linenumber") ++ doubles).map(col): _*)
+    },
+
+    // filter(regex=...) on column labels (generic.py:5694)
+    "sel_filter_regex_cols" -> { (s, d) =>
+      val df = Tables(s, d, "lineitem").filter(col("l_orderkey") < 1000)
+      val priceCols = df.columns.filter(_.matches("^l_.*price$"))
+      df.select((Seq("l_orderkey", "l_linenumber") ++ priceCols).map(col): _*)
+    },
+
+    // reproducible sampling (core/sample.py): key-hash modulo — the
+    // 100 TB-safe way to sample deterministically without a global seed
+    "sel_sample_mod" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .filter($"o_orderkey" % 20 === 0)
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sel_project_filter" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderstatus = 'F' AND o_totalprice > 300000""",
+
+    "sel_query_expr" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_discount > 0.08 AND l_quantity >= 45 AND l_returnflag = 'R'""",
+
+    "sel_where_mask" ->
+      """SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_quantity > 25 THEN l_quantity END AS qty_if_big,
+         CASE WHEN NOT (l_quantity > 25) THEN l_quantity END AS qty_if_small
+         FROM lineitem WHERE l_orderkey < 2000""",
+
+    "sel_isin" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+         WHERE p_brand IN ('Brand#1', 'Brand#5', 'Brand#9')""",
+
+    "sel_clip" ->
+      """SELECT o_orderkey,
+         LEAST(GREATEST(o_totalprice, 50000.0), 300000.0) AS clipped_price
+         FROM orders WHERE o_orderkey < 5000""",
+
+    "sel_head" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 100""",
+
+    "sel_tail" ->
+      """SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey DESC LIMIT 100""",
+
+    "sel_iloc_slice" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+           SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS pos
+           FROM orders) t WHERE pos > 1000 AND pos <= 1100""",
+
+    "sel_loc_label" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_custkey IN (1, 10, 100, 1000)""",
+
+    "sel_between_time" ->
+      """SELECT event_id, ts, event_type FROM events
+         WHERE EXTRACT(hour FROM ts) >= 9 AND EXTRACT(hour FROM ts) < 12""",
+
+    "sel_truncate" ->
+      """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+           AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'""",
+
+    "sel_assign_rename" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity AS qty,
+         l_extendedprice * (1.0 - l_discount) AS net_price,
+         l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS taxed_price
+         FROM lineitem WHERE l_orderkey < 1000""",
+
+    "sel_select_dtypes" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax FROM lineitem WHERE l_orderkey < 1000""",
+
+    "sel_filter_regex_cols" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+         FROM lineitem WHERE l_orderkey < 1000""",
+
+    "sel_sample_mod" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE o_orderkey % 20 = 0"""
+  )
+}

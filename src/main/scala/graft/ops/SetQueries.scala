@@ -1,0 +1,228 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import graft.OracleNum._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort / top-k / dedup / set-operation surface (SURVEY.md §2.6).
+  *
+  * Reference: pandas `frame.py:8454` sort_values (stable lexsort,
+  * `core/sorting.py`), `frame.py:9069` nlargest (partial select
+  * `_libs/algos.pyx:322`), `frame.py:8168` drop_duplicates,
+  * `algorithms.py:804` factorize, `reshape/concat.py` concat,
+  * `indexes/base.py:3150+` set ops.
+  *
+  * Scale notes: top-k compiles to TakeOrderedAndProject (no global
+  * sort); dedup keep=first is a window over the order column (one
+  * shuffle on the subset key); set ops are shuffles on the full row.
+  */
+object SetQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // nlargest(50) with unique tiebreak — TakeOrderedAndProject top-k
+    "set_nlargest" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(50)
+        .select($"o_orderkey", $"o_totalprice")
+    },
+
+    // nsmallest(50)
+    "set_nsmallest" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .orderBy($"o_totalprice".asc, $"o_orderkey".asc)
+        .limit(50)
+        .select($"o_orderkey", $"o_totalprice")
+    },
+
+    // multi-key sort with per-key direction + nulls placement, top 200
+    // (sort_values frame.py:8454; stability via unique tiebreak)
+    "set_sort_multi" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .orderBy($"o_orderstatus".asc, $"o_totalprice".desc, $"o_orderkey".asc)
+        .limit(200)
+        .select($"o_orderstatus", $"o_orderkey", $"o_totalprice")
+    },
+
+    // drop_duplicates(subset, keep='first') (frame.py:8168): first = min
+    // row order, here (o_orderdate, o_orderkey)
+    "set_dropdup_first" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderstatus", $"o_orderkey", $"o_orderdate")
+    },
+
+    // drop_duplicates(keep=False): only singleton groups survive
+    "set_dropdup_keepfalse" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey", $"o_orderstatus")
+      Tables(s, d, "orders")
+        .withColumn("cnt", count(lit(1)).over(w))
+        .filter($"cnt" === 1)
+        .select($"o_custkey", $"o_orderstatus", $"o_orderkey")
+    },
+
+    // duplicated() flags (algorithms.py:1120): keep='first' marks later
+    // occurrences True
+    "set_duplicated_flag" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables(s, d, "orders")
+        .select($"o_orderkey",
+          (row_number().over(w) > 1).as("is_dup"))
+    },
+
+    // factorize by first appearance (algorithms.py:804): code = dense
+    // rank of each value's first row position
+    "set_factorize" -> { (s, d) =>
+      import s.implicits._
+      val firstPos = Tables(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(min($"c_custkey").as("first_pos"))
+        .withColumn("code", (dense_rank().over(Window.orderBy($"first_pos")) - 1))
+      Tables(s, d, "customer")
+        .join(broadcast(firstPos), Seq("c_mktsegment"))
+        .select($"c_custkey", $"c_mktsegment", $"code")
+    },
+
+    // concat axis=0 = unionByName with missing-column promotion
+    // (reshape/concat.py:78; dtype promotion dtypes/concat.py)
+    "set_concat_union" -> { (s, d) =>
+      import s.implicits._
+      val high = Tables(s, d, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", $"o_totalprice", lit("high").as("tier"),
+          $"o_orderpriority")
+      val low = Tables(s, d, "orders").filter($"o_totalprice" < 5000)
+        .select($"o_orderkey", $"o_totalprice", lit("low").as("tier"))
+      high.unionByName(low, allowMissingColumns = true)
+    },
+
+    // Index.intersection (indexes/base.py:3378)
+    "set_intersect" -> { (s, d) =>
+      import s.implicits._
+      val big = Tables(s, d, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_custkey")
+      val urgent = Tables(s, d, "orders")
+        .filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_custkey")
+      big.intersect(urgent)
+    },
+
+    // Index.difference (indexes/base.py:3540)
+    "set_except" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables(s, d, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_custkey")
+      val b = Tables(s, d, "orders").filter($"o_totalprice" > 450000)
+        .select($"o_custkey")
+      a.except(b)
+    },
+
+    // combine_first (frame.py:12688): patch frame wins where present,
+    // base fills the rest — outer join + coalesce
+    "set_combine_first" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables(s, d, "customer")
+        .select($"c_custkey", $"c_acctbal")
+      val patch = Tables(s, d, "customer")
+        .filter($"c_acctbal" < 0)
+        .select($"c_custkey", lit(0.0).as("patched_bal"))
+      base.join(patch, Seq("c_custkey"), "full")
+        .select($"c_custkey",
+          coalesce($"patched_bal", $"c_acctbal").as("acctbal"))
+    },
+
+    // compare (frame.py:12343): differing cells only, self vs clipped
+    "set_compare" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .withColumn("other",
+          least(greatest($"o_totalprice", lit(10000.0)), lit(450000.0)))
+        .filter($"o_totalprice" =!= $"other")
+        .select($"o_orderkey", $"o_totalprice".as("self"), $"other")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "set_nlargest" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
+
+    "set_nsmallest" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 50""",
+
+    "set_sort_multi" ->
+      """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
+         ORDER BY o_orderstatus ASC, o_totalprice DESC, o_orderkey ASC LIMIT 200""",
+
+    "set_dropdup_first" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+           FROM orders) t WHERE rn = 1""",
+
+    "set_dropdup_keepfalse" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey FROM (
+           SELECT o_custkey, o_orderstatus, o_orderkey,
+             COUNT(*) OVER (PARTITION BY o_custkey, o_orderstatus) AS cnt
+           FROM orders) t WHERE cnt = 1""",
+
+    "set_duplicated_flag" ->
+      """SELECT o_orderkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) > 1 AS is_dup
+         FROM orders""",
+
+    "set_factorize" ->
+      """WITH f AS (
+           SELECT c_mktsegment, MIN(c_custkey) AS first_pos
+           FROM customer GROUP BY c_mktsegment),
+         coded AS (
+           SELECT c_mktsegment,
+             DENSE_RANK() OVER (ORDER BY first_pos) - 1 AS code
+           FROM f)
+         SELECT c.c_custkey, c.c_mktsegment, coded.code
+         FROM customer c JOIN coded USING (c_mktsegment)""",
+
+    "set_concat_union" ->
+      """SELECT o_orderkey, o_totalprice, 'high' AS tier, o_orderpriority
+         FROM orders WHERE o_totalprice > 400000
+         UNION ALL
+         SELECT o_orderkey, o_totalprice, 'low' AS tier, NULL AS o_orderpriority
+         FROM orders WHERE o_totalprice < 5000""",
+
+    "set_intersect" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+
+    "set_except" ->
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_totalprice > 450000""",
+
+    "set_combine_first" ->
+      """WITH patch AS (
+           SELECT c_custkey, 0.0 AS patched_bal FROM customer WHERE c_acctbal < 0)
+         SELECT c.c_custkey,
+           COALESCE(p.patched_bal, c.c_acctbal) AS acctbal
+         FROM customer c LEFT JOIN patch p ON c.c_custkey = p.c_custkey""",
+
+    "set_compare" ->
+      """SELECT o_orderkey, o_totalprice AS self,
+         LEAST(GREATEST(o_totalprice, 10000.0), 450000.0) AS other
+         FROM orders
+         WHERE o_totalprice <> LEAST(GREATEST(o_totalprice, 10000.0), 450000.0)"""
+  )
+}

@@ -1,0 +1,167 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.functions._
+
+/** String / JSON scalar surface (SURVEY.md §2.9).
+  *
+  * Reference: pandas `core/strings/accessor.py` StringMethods (~73
+  * methods over `object_array.py` / Arrow compute). Every method maps
+  * to a codegen'd Catalyst expression (`length`, `upper`, `split`,
+  * `regexp_extract`...) — no UDFs, so the whole surface stays inside
+  * whole-stage codegen and scales column-at-a-time.
+  */
+object StringQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // len/upper/lower/trim/substr (object_array.py:328 len, :438 case)
+    "str_basic" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          length($"text").as("n_chars_computed"),
+          upper(substring($"text", 1, 20)).as("head_upper"),
+          lower($"source").as("src_lower"),
+          trim(substring($"text", 1, 12)).as("head_trim"),
+          reverse($"lang").as("lang_rev"))
+    },
+
+    // pad/repeat/concat (object_array.py:125 pad, :200 repeat; cat)
+    "str_pad_concat" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          lpad($"lang", 5, "_").as("lang_lpad"),
+          rpad($"source", 8, ".").as("src_rpad"),
+          repeat($"lang", 3).as("lang_x3"),
+          concat_ws("|", $"lang", $"source").as("lang_src"))
+    },
+
+    // contains/startswith/endswith (object_array.py:141/:164/:169)
+    "str_predicates" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          $"text".contains("data").as("has_data"),
+          $"text".startsWith("key").as("starts_key"),
+          $"text".endsWith("row").as("ends_row"),
+          $"source".like("src1%").as("like_src1"))
+    },
+
+    // split + split_part + element access (object_array.py:354 split,
+    // :300 get; partition :321)
+    "str_split_part" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          expr("split_part(text, ' ', 1)").as("word1"),
+          expr("split_part(text, ' ', 2)").as("word2"),
+          size(split($"text", " ")).as("n_words"),
+          element_at(split($"text", " "), -1).as("last_word"))
+    },
+
+    // regexp extract/replace/count (object_array.py:505 extract, :174
+    // replace, findall :296)
+    "str_regexp" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          regexp_extract($"source", "src(\\d+)", 1).cast("int").as("src_num"),
+          regexp_replace(substring($"text", 1, 40), "[aeiou]", "_").as("devoweled"),
+          expr("regexp_count(text, 'data')").as("n_data"),
+          expr("regexp_like(text, 'spark.*query|query.*spark')").as("has_both"))
+    },
+
+    // strip affixes (removeprefix/suffix object_array.py:499/:502)
+    "str_affixes" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          regexp_replace($"source", "^src", "").cast("int").as("src_id"),
+          ltrim(substring($"text", 1, 15)).as("lstripped"),
+          rtrim(substring($"text", 1, 15)).as("rstripped"))
+    },
+
+    // JSON field extraction (json_normalize _normalize.py:303;
+    // get_json_object over the props JSON column)
+    "str_json_extract" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .filter($"event_id" < 2000)
+        .select($"event_id",
+          get_json_object($"props", "$.k").cast("int").as("k_val"))
+    },
+
+    // translate + instr/locate (object_array.py:396 translate, find :276)
+    "str_translate_find" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          translate($"lang", "aeiou", "AEIOU").as("lang_tr"),
+          instr($"text", "table").as("pos_table"),
+          instr($"text", "zzz_absent").as("pos_absent"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "str_basic" ->
+      """SELECT doc_id,
+         LENGTH(text) AS n_chars_computed,
+         UPPER(SUBSTR(text, 1, 20)) AS head_upper,
+         LOWER(source) AS src_lower,
+         TRIM(SUBSTR(text, 1, 12)) AS head_trim,
+         REVERSE(lang) AS lang_rev
+         FROM documents""",
+
+    "str_pad_concat" ->
+      """SELECT doc_id,
+         LPAD(lang, 5, '_') AS lang_lpad,
+         RPAD(source, 8, '.') AS src_rpad,
+         REPEAT(lang, 3) AS lang_x3,
+         CONCAT_WS('|', lang, source) AS lang_src
+         FROM documents""",
+
+    "str_predicates" ->
+      """SELECT doc_id,
+         text LIKE '%data%' AS has_data,
+         text LIKE 'key%' AS starts_key,
+         text LIKE '%row' AS ends_row,
+         source LIKE 'src1%' AS like_src1
+         FROM documents""",
+
+    "str_split_part" ->
+      """SELECT doc_id,
+         split_part(text, ' ', 1) AS word1,
+         split_part(text, ' ', 2) AS word2,
+         len(string_split(text, ' ')) AS n_words,
+         string_split(text, ' ')[-1] AS last_word
+         FROM documents""",
+
+    "str_regexp" ->
+      """SELECT doc_id,
+         CAST(regexp_extract(source, 'src(\d+)', 1) AS INT) AS src_num,
+         regexp_replace(SUBSTR(text, 1, 40), '[aeiou]', '_', 'g') AS devoweled,
+         len(regexp_extract_all(text, 'data')) AS n_data,
+         regexp_matches(text, 'spark.*query|query.*spark') AS has_both
+         FROM documents""",
+
+    "str_affixes" ->
+      """SELECT doc_id,
+         CAST(regexp_replace(source, '^src', '') AS INT) AS src_id,
+         LTRIM(SUBSTR(text, 1, 15)) AS lstripped,
+         RTRIM(SUBSTR(text, 1, 15)) AS rstripped
+         FROM documents""",
+
+    "str_json_extract" ->
+      """SELECT event_id,
+         CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
+         FROM events WHERE event_id < 2000""",
+
+    "str_translate_find" ->
+      """SELECT doc_id,
+         translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
+         CASE WHEN instr(text, 'table') IS NULL THEN 0 ELSE instr(text, 'table') END AS pos_table,
+         CASE WHEN instr(text, 'zzz_absent') IS NULL THEN 0 ELSE instr(text, 'zzz_absent') END AS pos_absent
+         FROM documents"""
+  )
+}

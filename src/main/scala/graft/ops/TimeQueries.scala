@@ -1,0 +1,220 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import graft.OracleNum._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series / resample surface (SURVEY.md §2.8).
+  *
+  * Reference: pandas `core/resample.py` (TimeGrouper bin calc :2636),
+  * `.dt` accessor (`indexes/accessors.py:271`), offsets
+  * (`_libs/tslibs/offsets.pyx`). Downsampling is `groupBy(date_trunc)`
+  * / epoch-floor bucketing (a plain hash aggregate — streaming-ready
+  * via `window()` in graft.streaming); upsampling generates a calendar
+  * spine with `sequence()` + explode and left-joins — all distributed,
+  * the spine being trivially small relative to the data.
+  */
+object TimeQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // resample('D').agg(...) (resample.py:119): daily count/sum/mean
+    "ts_resample_day" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          dsum($"value").as("sum_val"),
+          dmean($"value").as("mean_val"))
+    },
+
+    // resample('6h'): epoch-floor bucketing (portable alignment)
+    "ts_resample_6h" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .groupBy(timestamp_seconds(
+          (unix_seconds($"ts") / 21600).cast("long") * 21600).as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_val"))
+    },
+
+    // resample('D').ohlc() (resample.py:1105+): first/last keyed on
+    // the unique event ts
+    "ts_resample_ohlc" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .groupBy(date_trunc("day", $"ts").as("day"), $"event_type")
+        .agg(
+          min_by($"value", $"ts").as("open"),
+          max($"value").as("high"),
+          min($"value").as("low"),
+          max_by($"value", $"ts").as("close"))
+    },
+
+    // upsample: hourly spine per event_type + asfreq + ffill
+    // (resample.py:1059 asfreq, :612 ffill): sequence() spine, left
+    // join, window forward-fill
+    "ts_upsample_ffill" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+        .agg(dmean($"value").as("hr_mean"))
+      val bounds = ev.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hr"))
+        .crossJoin(ev.select($"event_type").distinct())
+      val w = Window.partitionBy($"event_type").orderBy($"hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("hr", "event_type"), "left")
+        .select($"hr", $"event_type",
+          last($"hr_mean", ignoreNulls = true).over(w).as("ffilled_mean"))
+    },
+
+    // .dt accessor fields (accessors.py:271)
+    "ts_dt_accessor" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .filter($"event_id" < 500)
+        .select($"event_id",
+          year($"ts").as("y"), month($"ts").as("m"), dayofmonth($"ts").as("dom"),
+          hour($"ts").as("h"), minute($"ts").as("mi"), second($"ts").as("sec"),
+          quarter($"ts").as("q"),
+          expr("weekday(ts)").as("wd_mon0"),
+          date_format($"ts", "EEEE").as("day_name"),
+          (dayofmonth($"ts") === 1).as("is_month_start"),
+          dayofmonth(last_day($"ts")).as("days_in_month"))
+    },
+
+    // dt.floor/ceil/round to hour (accessors; tslibs round)
+    "ts_floor_ceil_round" -> { (s, d) =>
+      import s.implicits._
+      val fl = date_trunc("hour", $"ts")
+      Tables(s, d, "events")
+        .filter($"event_id" < 500)
+        .select($"event_id", $"ts",
+          fl.as("floor_h"),
+          when($"ts" === fl, fl).otherwise(fl + expr("interval 1 hour")).as("ceil_h"),
+          when(minute($"ts") >= 30, fl + expr("interval 1 hour")).otherwise(fl).as("round_h"))
+    },
+
+    // shift(freq=) / offset arithmetic (offsets.pyx; add_months clamps
+    // like DateOffset months)
+    "ts_shift_freq" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .filter($"event_id" < 500)
+        .select($"event_id",
+          ($"ts" + expr("interval 3 days")).as("plus_3d"),
+          ($"ts" - expr("interval 90 minutes")).as("minus_90m"),
+          ($"ts" + expr("interval 1 month")).as("plus_1mo"),
+          datediff($"ts", lit("2024-01-01").cast("timestamp")).as("days_since_start"))
+    },
+
+    // business-day roll-forward (BDay offsets.pyx; Spark has no
+    // calendar module — explicit weekday formula, SURVEY §7.4)
+    "ts_business_day" -> { (s, d) =>
+      import s.implicits._
+      val wd = expr("weekday(ts)") // 0=Mon .. 6=Sun
+      Tables(s, d, "events")
+        .filter($"event_id" < 2000)
+        .select($"event_id",
+          when(wd === 5, date_trunc("day", $"ts") + expr("interval 2 days"))
+            .when(wd === 6, date_trunc("day", $"ts") + expr("interval 1 day"))
+            .otherwise(date_trunc("day", $"ts")).as("next_bday"))
+    },
+
+    // to_datetime parsing round-trip (tools/datetimes.py:767)
+    "ts_parse_roundtrip" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .filter($"event_id" < 500)
+        .select($"event_id",
+          date_format($"ts", "yyyy/MM/dd HH:mm").as("formatted"))
+        .select($"event_id", $"formatted",
+          to_timestamp($"formatted", "yyyy/MM/dd HH:mm").as("parsed"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "ts_resample_day" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT("value") AS mean_val
+         FROM events GROUP BY 1""",
+
+    "ts_resample_6h" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + INTERVAL 1 SECOND * ((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) AS bucket,
+         COUNT(*) AS n,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM events GROUP BY 1""",
+
+    "ts_resample_ohlc" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+         arg_min("value", ts) AS open, MAX("value") AS high,
+         MIN("value") AS low, arg_max("value", ts) AS close
+         FROM events GROUP BY 1, 2""",
+
+    "ts_upsample_ffill" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hr, event_type,
+             CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT("value") AS hr_mean
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+         spine AS (
+           SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr, t.event_type
+           FROM b CROSS JOIN (SELECT DISTINCT event_type FROM events) t)
+         SELECT s.hr, s.event_type,
+           last_value(h.hr_mean IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffilled_mean
+         FROM spine s LEFT JOIN hourly h ON s.hr = h.hr AND s.event_type = h.event_type""",
+
+    "ts_dt_accessor" ->
+      """SELECT event_id,
+         CAST(EXTRACT(year FROM ts) AS INT) AS y,
+         CAST(EXTRACT(month FROM ts) AS INT) AS m,
+         CAST(EXTRACT(day FROM ts) AS INT) AS dom,
+         CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+         CAST(EXTRACT(minute FROM ts) AS INT) AS mi,
+         CAST(EXTRACT(second FROM ts) AS INT) AS sec,
+         CAST(EXTRACT(quarter FROM ts) AS INT) AS q,
+         CAST(isodow(ts) - 1 AS INT) AS wd_mon0,
+         dayname(ts) AS day_name,
+         EXTRACT(day FROM ts) = 1 AS is_month_start,
+         CAST(EXTRACT(day FROM last_day(ts)) AS INT) AS days_in_month
+         FROM events WHERE event_id < 500""",
+
+    "ts_floor_ceil_round" ->
+      """SELECT event_id, ts,
+         date_trunc('hour', ts) AS floor_h,
+         CASE WHEN ts = date_trunc('hour', ts) THEN date_trunc('hour', ts)
+              ELSE date_trunc('hour', ts) + INTERVAL 1 HOUR END AS ceil_h,
+         CASE WHEN EXTRACT(minute FROM ts) >= 30 THEN date_trunc('hour', ts) + INTERVAL 1 HOUR
+              ELSE date_trunc('hour', ts) END AS round_h
+         FROM events WHERE event_id < 500""",
+
+    "ts_shift_freq" ->
+      """SELECT event_id,
+         ts + INTERVAL 3 DAY AS plus_3d,
+         ts - INTERVAL 90 MINUTE AS minus_90m,
+         ts + INTERVAL 1 MONTH AS plus_1mo,
+         date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS days_since_start
+         FROM events WHERE event_id < 500""",
+
+    "ts_business_day" ->
+      """SELECT event_id,
+         CASE WHEN isodow(ts) = 6 THEN date_trunc('day', ts) + INTERVAL 2 DAY
+              WHEN isodow(ts) = 7 THEN date_trunc('day', ts) + INTERVAL 1 DAY
+              ELSE date_trunc('day', ts) END AS next_bday
+         FROM events WHERE event_id < 2000""",
+
+    "ts_parse_roundtrip" ->
+      """SELECT event_id,
+         strftime(ts, '%Y/%m/%d %H:%M') AS formatted,
+         strptime(strftime(ts, '%Y/%m/%d %H:%M'), '%Y/%m/%d %H:%M') AS parsed
+         FROM events WHERE event_id < 500"""
+  )
+}

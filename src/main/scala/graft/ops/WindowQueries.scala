@@ -1,0 +1,209 @@
+package graft.ops
+
+import graft.{QueryModule, Tables}
+import graft.OracleNum._
+import graft.functions.Ewm
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (SURVEY.md §2.5).
+  *
+  * Reference: pandas `window/rolling.py` (frame bounds from indexer
+  * objects at `core/indexers/objects.py`) + online sliding kernels in
+  * `_libs/window/aggregations.pyx`. In Spark every variant is a
+  * `Window.partitionBy(key).orderBy(ts)` frame — `rowsBetween` for
+  * count windows, `rangeBetween` over `unix_micros` for time windows —
+  * evaluated distributed per partition with no driver state. EWM (the
+  * one recursive family) lives in graft.functions.Ewm.
+  *
+  * All queries window per `user_id`: the partition key is what makes
+  * this 100 TB-safe — no global ordering is ever required.
+  */
+object WindowQueries extends QueryModule {
+
+  def queries: Map[String, Q] = Map(
+    // rolling(5, min_periods=5) sum/mean (Rolling rolling.py:1955,
+    // FixedWindowIndexer objects.py:108)
+    "win_rolling_sum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-4, 0)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          when(count($"value").over(w) >= 5,
+            sum(dec($"value")).over(w).cast("double")).as("roll_sum"),
+          when(count($"value").over(w) >= 5,
+            sum(dec($"value")).over(w).cast("double") / count($"value").over(w)).as("roll_mean"))
+    },
+
+    // rolling("1h") time-based frame (VariableWindowIndexer
+    // objects.py:158): closed='right' => (t-1h, t]
+    "win_rolling_time" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3599999999L, 0)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          count($"value").over(w).as("n_1h"),
+          sum(dec($"value")).over(w).cast("double").as("sum_1h"),
+          max($"value").over(w).as("max_1h"))
+    },
+
+    // expanding() (window/expanding.py:43)
+    "win_expanding" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          count($"value").over(w).as("exp_n"),
+          (sum(dec($"value")).over(w).cast("double") / count($"value").over(w)).as("exp_mean"),
+          max($"value").over(w).as("exp_max"))
+    },
+
+    // rolling(center=True) (rolling.py window bounds shifting)
+    "win_rolling_center" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-2, 2)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          when(count($"value").over(w) >= 5,
+            sum(dec($"value")).over(w).cast("double")).as("roll_sum_center"))
+    },
+
+    // rolling std/var from exact window moment sums (roll_var
+    // aggregations.pyx:422 — Welford online; here: algebraic identity
+    // over exact decimal sums, identical on both engines)
+    "win_rolling_std" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-9, 0)
+      val v7 = $"value".cast("decimal(7,2)")
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          count($"value").over(w).cast("double").as("n"),
+          sum(v7).over(w).cast("double").as("s1"),
+          sum(v7 * v7).over(w).cast("double").as("s2"))
+        .select($"user_id", $"event_id",
+          when($"n" >= 10, round(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1), 6)).as("roll_var"),
+          when($"n" >= 10, round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 6)).as("roll_std"))
+    },
+
+    // rank(method='average') + pandas pct (group_rank groupby.pyx:1910):
+    // average = rank_min + (n_equal - 1)/2
+    "win_rank_average" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"event_type").orderBy($"value")
+      val eq = Window.partitionBy($"event_type", $"value")
+      val grp = Window.partitionBy($"event_type")
+      Tables(s, d, "events")
+        .select($"event_type", $"event_id", $"value",
+          (rank().over(ord) + (count(lit(1)).over(eq) - 1) / lit(2.0)).as("rank_avg"),
+          ((rank().over(ord) + (count(lit(1)).over(eq) - 1) / lit(2.0)) /
+            count(lit(1)).over(grp)).as("rank_pct"))
+    },
+
+    // weighted rolling window (win_type= rolling.py:862): explicit
+    // 4-tap dot product over lags
+    "win_weighted" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val v = $"value"
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          (lag(v, 3).over(w) * 0.1 + lag(v, 2).over(w) * 0.2 +
+            lag(v, 1).over(w) * 0.3 + v * 0.4).as("wma_4"))
+    },
+
+    // ewm mean, adjust=True and adjust=False (ewm.py:127; recursion in
+    // graft.functions.Ewm via flatMapGroups per user)
+    "win_ewm_mean" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      Ewm.ewmMean(s, ev, "user_id", "ts", "value", alpha = 0.1)
+        .withColumn("ewm_adj", round(col("ewm_adj"), 6))
+        .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "win_rolling_sum" ->
+      """SELECT user_id, event_id,
+         CASE WHEN COUNT("value") OVER w >= 5
+              THEN CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) END AS roll_sum,
+         CASE WHEN COUNT("value") OVER w >= 5
+              THEN CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT("value") OVER w END AS roll_mean
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+
+    "win_rolling_time" ->
+      """SELECT user_id, event_id,
+         COUNT("value") OVER w AS n_1h,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h,
+         MAX("value") OVER w AS max_1h
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                      RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)""",
+
+    "win_expanding" ->
+      """SELECT user_id, event_id,
+         COUNT("value") OVER w AS exp_n,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) / COUNT("value") OVER w AS exp_mean,
+         MAX("value") OVER w AS exp_max
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
+    "win_rolling_center" ->
+      """SELECT user_id, event_id,
+         CASE WHEN COUNT("value") OVER w >= 5
+              THEN CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) END AS roll_sum_center
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)""",
+
+    "win_rolling_std" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             CAST(COUNT("value") OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(7,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2))) OVER w AS DOUBLE) AS s2
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id,
+           CASE WHEN n >= 10 THEN ROUND((s2 - s1 * s1 / n) / (n - 1), 6) END AS roll_var,
+           CASE WHEN n >= 10 THEN ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) END AS roll_std
+         FROM t""",
+
+    "win_rank_average" ->
+      """SELECT event_type, event_id, "value",
+         RANK() OVER (PARTITION BY event_type ORDER BY "value")
+           + (COUNT(*) OVER (PARTITION BY event_type, "value") - 1) / 2.0 AS rank_avg,
+         (RANK() OVER (PARTITION BY event_type ORDER BY "value")
+           + (COUNT(*) OVER (PARTITION BY event_type, "value") - 1) / 2.0)
+           / COUNT(*) OVER (PARTITION BY event_type) AS rank_pct
+         FROM events""",
+
+    "win_weighted" ->
+      """SELECT user_id, event_id,
+         LAG("value", 3) OVER w * 0.1 + LAG("value", 2) OVER w * 0.2 +
+         LAG("value", 1) OVER w * 0.3 + "value" * 0.4 AS wma_4
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+
+    // recursive CTE mirrors the engine's per-group recursion with the
+    // same operation order, so the doubles are bit-identical
+    "win_ewm_mean" ->
+      """WITH RECURSIVE r AS (
+           SELECT user_id, ts, "value",
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, "value", rn,
+             CAST("value" AS DOUBLE) AS num, CAST(1.0 AS DOUBLE) AS den,
+             CAST("value" AS DOUBLE) AS ynoadj
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r."value", r.rn,
+             0.9 * e.num + r."value", 0.9 * e.den + 1.0,
+             0.9 * e.ynoadj + 0.1 * r."value"
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, "value",
+           ROUND(num / den, 6) AS ewm_adj, ROUND(ynoadj, 6) AS ewm_noadj
+         FROM e"""
+  )
+}
