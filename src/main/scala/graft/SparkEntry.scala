@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
+import graft.pipeline._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +15,11 @@ object SparkEntry {
     SetQueries,
     ReshapeQueries,
     TimeQueries,
-    StringQueries
+    StringQueries,
+    DedupQueries,
+    SimilarityQueries,
+    TextQueries,
+    MultimodalQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,248 @@
+package graft.pipeline
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableHash
+import graft.functions.PortableHash._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Exact dedup is a hash aggregate; near-dup is shingle -> MinHash ->
+  * LSH band-bucket join -> verify, all computed map-side with Catalyst
+  * higher-order functions (no UDFs, no explode until the candidate
+  * join). At 100 TB: signatures are O(1) per document computed in one
+  * scan; the only shuffles are the band-key candidate join (keys are
+  * near-uniform by construction) and the final verify join on the
+  * candidate pairs, which LSH keeps tiny relative to the corpus.
+  *
+  * SimHash gives the complementary bit-signature family: one long per
+  * document, near-dup = same high-bit bucket + small Hamming distance.
+  */
+object DedupQueries extends QueryModule {
+
+  /** word array of the document text */
+  private def words: Column = split(col("text"), " ")
+
+  /** distinct word-3-gram shingle array, map-side */
+  private def shingles: Column = {
+    val l = words
+    array_distinct(
+      when(size(l) >= 3,
+        transform(sequence(lit(1), size(l) - 2),
+          i => concat_ws(" ", element_at(l, i), element_at(l, i + 1), element_at(l, i + 2))))
+        .otherwise(array().cast("array<string>")))
+  }
+
+  /** portable hashes of the shingles */
+  private def shingleHashes: Column = transform(shingles, g => wordHash(g))
+
+  /** doc_id + the 4 LSH band keys + shingle count, one scan, no shuffle */
+  private def signatures(df: DataFrame): DataFrame = {
+    val withH = df.select(col("doc_id"), shingleHashes.as("hs"), size(shingles).as("n_shingles"))
+    val bandCols = (0 until NumBands).map { b =>
+      (0 until BandSize).map { pos =>
+        val k = b * BandSize + pos
+        array_min(transform(col("hs"), h => perm(k, h))) * lit(BandPow(pos))
+      }.reduce(_ + _).as(s"band$b")
+    }
+    withH.select(col("doc_id") +: col("n_shingles") +: bandCols: _*)
+  }
+
+  // ---- DuckDB oracle building blocks (mirror the Spark HOFs) ----
+
+  private val shinglesSql =
+    """list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
+       THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
+            i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
+       ELSE CAST([] AS VARCHAR[]) END)"""
+
+  private val hashesSql =
+    s"list_transform(sh, g -> ${wordHashSql("g")})"
+
+  private def bandSql(b: Int): String =
+    (0 until BandSize).map { pos =>
+      val k = b * BandSize + pos
+      s"list_min(list_transform(hs, h -> (${permA(k)} * h + ${permB(k)}) % $P)) * ${BandPow(pos)}"
+    }.mkString(" + ")
+
+  private val sigCte =
+    s"""docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       hsh AS (SELECT doc_id, $hashesSql AS hs, len(sh) AS n_shingles FROM docs),
+       sig AS (SELECT doc_id, n_shingles,
+                 ${(0 until NumBands).map(b => s"${bandSql(b)} AS band$b").mkString(", ")}
+               FROM hsh)"""
+
+  def queries: Map[String, Q] = Map(
+    // exact full-row dedup via hash aggregate (the testdata's lineitem
+    // carries real duplicate rows): duplicate groups + multiplicity
+    "dedup_exact_rows" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      li.groupBy(li.columns.map(col): _*)
+        .agg(count(lit(1)).as("multiplicity"))
+        .filter($"multiplicity" > 1)
+    },
+
+    // exact content dedup by md5 fingerprint: canonical doc per digest
+    "dedup_exact_md5" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .groupBy(md5($"text").as("digest"))
+        .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_docs"))
+    },
+
+    // MinHash/LSH signatures: 16 perms -> 4 band keys per doc, one scan
+    "dedup_minhash_sig" -> { (s, d) =>
+      signatures(Tables(s, d, "documents"))
+    },
+
+    // MinHash/LSH near-dup pairs: band-bucket candidate join, then
+    // exact shingle-jaccard verification >= 0.5
+    "dedup_minhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      val sig = signatures(Tables(s, d, "documents")).cache()
+      val cands = (0 until NumBands).map { b =>
+        val l = sig.select($"doc_id".as("da"), col(s"band$b").as("bk"))
+        val r = sig.select($"doc_id".as("db"), col(s"band$b").as("bk"))
+        l.join(r, Seq("bk")).filter($"da" < $"db").select($"da", $"db")
+      }.reduce(_ unionByName _).distinct()
+      val tri = Tables(s, d, "documents").select($"doc_id", shingles.as("sh"))
+      cands
+        .join(tri.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
+        .join(tri.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
+        .withColumn("shared", size(array_intersect($"sha", $"shb")))
+        .withColumn("jac", $"shared".cast("double") /
+          (size($"sha") + size($"shb") - $"shared"))
+        .filter($"jac" >= 0.5)
+        .select($"da", $"db", round($"jac", 6).as("jaccard"))
+    },
+
+    // brute-force shingle-jaccard near-dups (oracle path for MinHash
+    // recall; candidate generation by shared-shingle blocking)
+    "dedup_jaccard_pairs" -> { (s, d) =>
+      import s.implicits._
+      val tri = Tables(s, d, "documents")
+        .select($"doc_id", explode(shingles).as("g"))
+      val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val shared = tri.as("a")
+        .join(tri.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.select($"doc_id".as("da"), $"n".as("na")), Seq("da"))
+        .join(sizes.select($"doc_id".as("db"), $"n".as("nb")), Seq("db"))
+        .withColumn("jac", $"shared".cast("double") / ($"na" + $"nb" - $"shared"))
+        .filter($"jac" >= 0.5)
+        .select($"da", $"db", round($"jac", 6).as("jaccard"))
+    },
+
+    // SimHash 24-bit signatures + banded near-pair search by Hamming
+    // distance (one long per doc; bucket = high 12 bits)
+    "dedup_simhash" -> { (s, d) =>
+      import s.implicits._
+      val hs = shingleHashes
+      val bits = (0 until 24).map { j =>
+        val p2 = 1L << j
+        when(aggregate(hs, lit(0L),
+          (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      Tables(s, d, "documents")
+        .select($"doc_id", bits.as("simhash"))
+    },
+
+    "dedup_simhash_pairs" -> { (s, d) =>
+      import s.implicits._
+      val hs = shingleHashes
+      val bits = (0 until 24).map { j =>
+        val p2 = 1L << j
+        when(aggregate(hs, lit(0L),
+          (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
+          .otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sig = Tables(s, d, "documents")
+        .select($"doc_id", bits.as("simhash"))
+        .withColumn("bucket", ($"simhash" / lit(4096L)).cast("long"))
+      val a = sig.select($"doc_id".as("da"), $"simhash".as("sa"), $"bucket")
+      val b = sig.select($"doc_id".as("db"), $"simhash".as("sb"), $"bucket")
+      a.join(b, Seq("bucket")).filter($"da" < $"db")
+        .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
+        .filter($"hamming" <= 3)
+        .select($"da", $"db", $"sa", $"sb", $"hamming")
+    }
+  )
+
+  def oracle: Map[String, String] = {
+    val simhashBitsSql = (0 until 24).map { j =>
+      val p2 = 1L << j
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        s"list_transform(hs, h -> ((h // $p2) % 2) * 2 - 1)), (a, b) -> a + b) >= 0 " +
+        s"THEN CAST($p2 AS BIGINT) ELSE 0 END"
+    }.mkString(" + ")
+
+    Map(
+      "dedup_exact_rows" ->
+        """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity,
+           l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus,
+           l_shipdate, COUNT(*) AS multiplicity
+           FROM lineitem
+           GROUP BY ALL HAVING COUNT(*) > 1""",
+
+      "dedup_exact_md5" ->
+        """SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc, COUNT(*) AS n_docs
+           FROM documents GROUP BY 1""",
+
+      "dedup_minhash_sig" ->
+        s"""WITH $sigCte SELECT doc_id, n_shingles,
+            ${(0 until NumBands).map(b => s"band$b").mkString(", ")} FROM sig""",
+
+      "dedup_minhash_pairs" ->
+        s"""WITH $sigCte,
+           cands AS (
+             ${(0 until NumBands).map(b =>
+               s"SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+               .mkString(" UNION ")}),
+           tri AS (SELECT doc_id, sh FROM docs)
+           SELECT c.da, c.db,
+             ROUND(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+               / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 6) AS jaccard
+           FROM cands c
+           JOIN tri ta ON c.da = ta.doc_id
+           JOIN tri tb ON c.db = tb.doc_id
+           WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
+             / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= 0.5""",
+
+      "dedup_jaccard_pairs" ->
+        s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           tri AS (SELECT doc_id, unnest(sh) AS g FROM docs),
+           sz AS (SELECT doc_id, COUNT(*) AS n FROM tri GROUP BY 1),
+           shared AS (
+             SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS shared
+             FROM tri a JOIN tri b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+           SELECT da, db,
+             ROUND(CAST(shared AS DOUBLE) / (sa.n + sb.n - shared), 6) AS jaccard
+           FROM shared s
+           JOIN sz sa ON s.da = sa.doc_id
+           JOIN sz sb ON s.db = sb.doc_id
+           WHERE CAST(shared AS DOUBLE) / (sa.n + sb.n - shared) >= 0.5""",
+
+      "dedup_simhash" ->
+        s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           hsh AS (SELECT doc_id, $hashesSql AS hs FROM docs)
+           SELECT doc_id, $simhashBitsSql AS simhash FROM hsh""",
+
+      "dedup_simhash_pairs" ->
+        s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           hsh AS (SELECT doc_id, $hashesSql AS hs FROM docs),
+           sig AS (SELECT doc_id, $simhashBitsSql AS simhash FROM hsh),
+           sb AS (SELECT doc_id, simhash, simhash // 4096 AS bucket FROM sig)
+           SELECT a.doc_id AS da, b.doc_id AS db,
+             a.simhash AS sa, b.simhash AS sb,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+           FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    )
+  }
+}

@@ -1,0 +1,168 @@
+package graft.pipeline
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the embedding column (Array[Float], 64-dim).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the scale
+  * path is LSH: 8 deterministic hyperplanes -> 8-bit bucket computed
+  * map-side per vector, candidates restricted to same-bucket pairs.
+  * At 100 TB the bucket key join replaces the quadratic cross join —
+  * the same blocking pattern as the MinHash band join in DedupQueries.
+  *
+  * Dot products use `zip_with` + `aggregate` higher-order functions
+  * (strict left-to-right fold, so the DuckDB `list_reduce` oracle is
+  * bit-identical); elements are cast float->double before multiply on
+  * both engines.
+  */
+object SimilarityQueries extends QueryModule {
+
+  private val Dim = 64
+
+  /** strict left-fold dot product of two float-array columns */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** DuckDB mirror of dot(a, b) */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))), " +
+      s"(x, y) -> x + y)"
+
+  private def cosineSql(a: String, b: String): String =
+    s"${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)}))"
+
+  /** deterministic hyperplane weight for dim i (1-based), plane j */
+  private def planeWeight(i: Column, j: Int): Column =
+    ((i * 31 + lit(j * 17)) % 7 - 3).cast("double")
+
+  /** 8-bit LSH bucket from hyperplane sign pattern, map-side */
+  private def lshBucket(emb: Column): Column =
+    (0 until 8).map { j =>
+      val proj = aggregate(sequence(lit(1), lit(Dim)), lit(0.0),
+        (acc, i) => acc + element_at(emb, i).cast("double") * planeWeight(i, j))
+      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def lshBucketSql(emb: String): String =
+    (0 until 8).map { j =>
+      s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+        s"list_transform(range(1, ${Dim + 1}), i -> CAST($emb[i] AS DOUBLE) * CAST((i * 31 + ${j * 17}) % 7 - 3 AS DOUBLE))), " +
+        s"(x, y) -> x + y) >= 0 THEN ${1L << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  def queries: Map[String, Q] = Map(
+    // per-vector stats: L2 norm + mean element (scan-only sanity layer)
+    "sim_norms" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "embeddings")
+        .select($"vec_id", $"label",
+          round(sqrt(dot($"embedding", $"embedding")), 6).as("l2_norm"),
+          round(dot($"embedding", $"embedding"), 6).as("sq_norm"))
+    },
+
+    // brute-force cosine pairs over a threshold (baseline correctness)
+    "sim_cosine_pairs" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
+      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+      a.crossJoin(b).filter($"va" < $"vb")
+        .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+        .filter($"cos" >= 0.35)
+        .select($"va", $"vb", $"cos")
+    },
+
+    // brute-force top-3 neighbors for the first 10 query vectors
+    "sim_cosine_topk" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("vq"), $"embedding".as("eq"))
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"))
+      val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      q.crossJoin(c).filter($"vq" =!= $"vc")
+        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"vq", $"vc", $"cos", $"rn")
+    },
+
+    // LSH bucket assignment (map-side, the scale path)
+    "sim_lsh_buckets" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "embeddings")
+        .select($"vec_id", lshBucket($"embedding").as("bucket"))
+    },
+
+    // LSH-restricted ANN: best same-bucket neighbor per query vector
+    "sim_lsh_ann" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables(s, d, "embeddings")
+        .select($"vec_id", $"embedding", lshBucket($"embedding").as("bucket"))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"bucket")
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"bucket")
+      val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      q.join(c, Seq("bucket")).filter($"vq" =!= $"vc")
+        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vq", $"vc", $"cos")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sim_norms" ->
+      s"""SELECT vec_id, label,
+         ROUND(SQRT(${dotSql("embedding", "embedding")}), 6) AS l2_norm,
+         ROUND(${dotSql("embedding", "embedding")}, 6) AS sq_norm
+         FROM embeddings""",
+
+    "sim_cosine_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings)
+         SELECT a.vec_id AS va, b.vec_id AS vb,
+           ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) >= 0.35""",
+
+    "sim_cosine_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         q AS (SELECT vec_id AS vq, embedding AS eq FROM e WHERE vec_id < 10),
+         cand AS (
+           SELECT q.vq, c.vec_id AS vc,
+             ROUND(${cosineSql("q.eq", "c.embedding")}, 6) AS cos
+           FROM q JOIN e c ON q.vq <> c.vec_id),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM cand)
+         SELECT vq, vc, cos, rn FROM ranked WHERE rn <= 3""",
+
+    "sim_lsh_buckets" ->
+      s"""SELECT vec_id, ${lshBucketSql("embedding")} AS bucket FROM embeddings""",
+
+    "sim_lsh_ann" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+           FROM embeddings),
+         q AS (SELECT vec_id AS vq, embedding AS eq, bucket FROM e WHERE vec_id < 50),
+         cand AS (
+           SELECT q.vq, c.vec_id AS vc,
+             ROUND(${cosineSql("q.eq", "c.embedding")}, 6) AS cos
+           FROM q JOIN e c ON q.bucket = c.bucket AND q.vq <> c.vec_id),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM cand)
+         SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+  )
+}
