@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
 import graft.pipeline._
+import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -19,7 +20,8 @@ object SparkEntry {
     DedupQueries,
     SimilarityQueries,
     TextQueries,
-    MultimodalQueries
+    MultimodalQueries,
+    StreamQueries
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

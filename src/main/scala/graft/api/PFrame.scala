@@ -1,0 +1,284 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{DataType, NumericType}
+
+/** pandas-shaped fluent API over Spark DataFrames (SURVEY.md §7.1).
+  *
+  * A `PFrame` is a thin algebra: `(df, index)` where the pandas row
+  * index is ordinary named columns. Every method compiles directly to
+  * Catalyst in one step — there is no interpreter, no materialized
+  * index structure, and no driver-side state, so every chain a user
+  * writes is a single declarative plan that AQE optimizes whole.
+  *
+  * Mapping (reference -> here):
+  *   df[cols], df.query, df.assign, df.drop/rename  -> same names
+  *   df.loc[label]            -> loc(value) (index-column filter)
+  *   df.sort_values           -> sortValues
+  *   df.merge                 -> merge (all pandas `how` + semi/anti)
+  *   df.groupby(...).agg      -> groupby(...).agg("col" -> "sum", ...)
+  *   df.rolling(n)            -> rolling(n, order, partition)
+  *   df.fillna/dropna/isna    -> same names
+  *   pd.concat axis=0         -> PFrame.concat
+  *
+  * Ordered semantics (shift/cumsum/rolling/dedup-keep) take an
+  * explicit order column, per the `__order__` discipline: on a
+  * distributed engine order is data, not physical layout.
+  */
+final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
+
+  def columns: Seq[String] = df.columns.toSeq
+  def dtypes: Seq[(String, DataType)] = df.schema.fields.map(f => f.name -> f.dataType).toSeq
+  def toDF: DataFrame = df
+
+  private def keep(cols: Seq[String]): Seq[Column] =
+    (index ++ cols.filterNot(index.contains)).map(col)
+
+  /** df[["a", "b"]] — projection keeps the index columns */
+  def apply(cols: String*): PFrame = copy(df = df.select(keep(cols): _*))
+
+  /** df.query("a > 1 and b == 'x'") — Spark SQL predicate */
+  def query(predicate: String): PFrame = copy(df = df.filter(expr(predicate)))
+
+  def filter(cond: Column): PFrame = copy(df = df.filter(cond))
+
+  /** df.loc[label] on a single-column index */
+  def loc(value: Any): PFrame = {
+    require(index.nonEmpty, "loc requires an index")
+    copy(df = df.filter(col(index.head) === lit(value)))
+  }
+
+  /** df.assign(name=expr) */
+  def assign(cols: (String, Column)*): PFrame =
+    copy(df = cols.foldLeft(df) { case (d, (n, c)) => d.withColumn(n, c) })
+
+  def drop(cols: String*): PFrame = copy(df = df.drop(cols: _*))
+
+  def rename(mapping: (String, String)*): PFrame =
+    copy(df = mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
+      index = index.map(i => mapping.toMap.getOrElse(i, i)))
+
+  /** df.set_index / reset_index */
+  def setIndex(cols: String*): PFrame = copy(index = cols)
+  def resetIndex: PFrame = copy(index = Nil)
+
+  /** df.sort_values(by, ascending): top-level order is only observable
+    * through head/limit on a distributed engine */
+  def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): PFrame = {
+    val asc = if (ascending.isEmpty) Seq.fill(by.size)(true) else ascending
+    val sorts = by.zip(asc).map { case (c, a) => if (a) col(c).asc else col(c).desc }
+    copy(df = df.orderBy(sorts: _*))
+  }
+
+  def head(n: Int): PFrame = copy(df = df.limit(n))
+
+  /** df.nlargest(n, col) — compiles to TakeOrderedAndProject */
+  def nlargest(n: Int, by: String, tiebreak: String): PFrame =
+    copy(df = df.orderBy(col(by).desc, col(tiebreak).asc).limit(n))
+
+  def fillna(value: Any, cols: Seq[String] = Nil): PFrame = {
+    val target = if (cols.isEmpty) df.columns.toSeq else cols
+    val filled = value match {
+      case d: Double => df.na.fill(d, target.toArray)
+      case l: Long   => df.na.fill(l, target.toArray)
+      case i: Int    => df.na.fill(i.toLong, target.toArray)
+      case s: String => df.na.fill(s, target.toArray)
+      case other     => throw new IllegalArgumentException(s"fillna: $other")
+    }
+    copy(df = filled)
+  }
+
+  def dropna(subset: Seq[String] = Nil): PFrame =
+    copy(df = if (subset.isEmpty) df.na.drop() else df.na.drop(subset.toArray))
+
+  /** df.drop_duplicates(subset, keep='first') — first in `order` */
+  def dropDuplicates(subset: Seq[String], order: Seq[String]): PFrame = {
+    val w = Window.partitionBy(subset.map(col): _*)
+      .orderBy(order.map(col(_).asc): _*)
+    copy(df = df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+
+  /** df.merge(right, on=, how=) — pandas hows + Spark's semi/anti;
+    * suffixes applied to colliding non-key columns like pandas */
+  def merge(
+      right: PFrame,
+      on: Seq[String],
+      how: String = "inner",
+      suffixes: (String, String) = ("_x", "_y")): PFrame = {
+    val sparkHow = how match {
+      case "outer" => "full"
+      case "semi"  => "left_semi"
+      case "anti"  => "left_anti"
+      case h       => h
+    }
+    val collisions = (df.columns.toSet intersect right.df.columns.toSet) -- on.toSet
+    val l = collisions.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + suffixes._1))
+    val r = collisions.foldLeft(right.df)((d, c) => d.withColumnRenamed(c, c + suffixes._2))
+    copy(df = l.join(r, on, sparkHow))
+  }
+
+  /** df.isin on a column against another frame's column: semi join —
+    * the 100 TB-safe form of a large isin list */
+  def isinFrame(colName: String, other: PFrame, otherCol: String): PFrame =
+    copy(df = df.join(other.df.select(col(otherCol).as(colName)).distinct(),
+      Seq(colName), "left_semi"))
+
+  def groupby(keys: String*): PGroupBy = PGroupBy(df, keys)
+
+  /** df.rolling(n, min_periods) over an explicit order, per partition key */
+  def rolling(n: Int, order: String, partition: Seq[String] = Nil,
+      minPeriods: Int = 1): PRolling =
+    PRolling(df, partition, order, n, minPeriods)
+
+  /** df.shift/diff/pct_change per partition over an explicit order */
+  def shift(colName: String, periods: Int, order: String,
+      partition: Seq[String] = Nil, as: String = "shifted"): PFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(col(order))
+    val c = if (periods >= 0) lag(col(colName), periods).over(w)
+            else lead(col(colName), -periods).over(w)
+    copy(df = df.withColumn(as, c))
+  }
+
+  /** df.melt */
+  def melt(idVars: Seq[String], valueVars: Seq[String],
+      varName: String = "variable", valueName: String = "value"): PFrame =
+    copy(df = df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray,
+      varName, valueName))
+
+  /** df.pivot_table(index, columns, values, aggfunc='sum') */
+  def pivotTable(indexCol: String, columnsCol: String, valuesCol: String,
+      pivotValues: Seq[String]): PFrame =
+    copy(df = df.groupBy(col(indexCol)).pivot(columnsCol, pivotValues)
+      .agg(sum(col(valuesCol))))
+
+  /** df.explode */
+  def explodeCol(colName: String, as: String): PFrame =
+    copy(df = df.withColumn(as, explode(col(colName))))
+
+  /** df.describe() over the numeric columns */
+  def describe(): DataFrame = {
+    val nums = df.schema.fields.collect { case f if f.dataType.isInstanceOf[NumericType] => f.name }
+    df.select(nums.flatMap(c => Seq(
+      F.count(col(c)).cast("double").as(s"${c}_count"),
+      avg(col(c)).as(s"${c}_mean"),
+      stddev_samp(col(c)).as(s"${c}_std"),
+      min(col(c)).cast("double").as(s"${c}_min"),
+      max(col(c)).cast("double").as(s"${c}_max"))).toSeq: _*)
+  }
+
+  def count(): Long = df.count()
+}
+
+object PFrame {
+  def apply(df: DataFrame): PFrame = new PFrame(df, Nil)
+
+  /** pd.concat(frames, axis=0) — union by name with type promotion */
+  def concat(frames: Seq[PFrame]): PFrame =
+    new PFrame(frames.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)), Nil)
+}
+
+/** df.groupby(keys) handle (pandas DataFrameGroupBy). */
+final case class PGroupBy(df: DataFrame, keys: Seq[String]) {
+
+  private def aggCol(colName: String, func: String): Column = func match {
+    case "sum"     => F.sum(col(colName)).as(s"${colName}_sum")
+    case "mean"    => F.avg(col(colName)).as(s"${colName}_mean")
+    case "min"     => F.min(col(colName)).as(s"${colName}_min")
+    case "max"     => F.max(col(colName)).as(s"${colName}_max")
+    case "count"   => F.count(col(colName)).as(s"${colName}_count")
+    case "nunique" => countDistinct(col(colName)).as(s"${colName}_nunique")
+    case "median"  => expr(s"percentile($colName, 0.5)").as(s"${colName}_median")
+    case "std"     => stddev_samp(col(colName)).as(s"${colName}_std")
+    case "var"     => var_samp(col(colName)).as(s"${colName}_var")
+    case "any"     => expr(s"bool_or($colName)").as(s"${colName}_any")
+    case "all"     => expr(s"bool_and($colName)").as(s"${colName}_all")
+    case other     => throw new IllegalArgumentException(s"agg func: $other")
+  }
+
+  /** gb.agg("qty" -> "sum", "price" -> "mean") */
+  def agg(specs: (String, String)*): PFrame = {
+    val cols = specs.map { case (c, f) => aggCol(c, f) }
+    PFrame(df.groupBy(keys.map(col): _*).agg(cols.head, cols.tail: _*), keys)
+  }
+
+  def size(): PFrame =
+    PFrame(df.groupBy(keys.map(col): _*).agg(F.count(lit(1)).as("size")), keys)
+
+  /** gb.transform('mean', col) — group aggregate broadcast to rows */
+  def transform(func: String, colName: String, as: String): PFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val c = func match {
+      case "mean"  => F.avg(col(colName)).over(w)
+      case "sum"   => F.sum(col(colName)).over(w)
+      case "min"   => F.min(col(colName)).over(w)
+      case "max"   => F.max(col(colName)).over(w)
+      case "count" => F.count(col(colName)).over(w)
+      case other   => throw new IllegalArgumentException(s"transform func: $other")
+    }
+    PFrame(df.withColumn(as, c), keys)
+  }
+
+  /** gb.filter(lambda g: agg(g) cond) — keep rows of qualifying groups */
+  def filterGroups(func: String, colName: String, cond: Column => Column): PFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+    val c = func match {
+      case "count" => F.count(col(colName)).over(w)
+      case "sum"   => F.sum(col(colName)).over(w)
+      case "mean"  => F.avg(col(colName)).over(w)
+      case other   => throw new IllegalArgumentException(s"filter func: $other")
+    }
+    PFrame(df.withColumn("__g", c).filter(cond(col("__g"))).drop("__g"))
+  }
+
+  /** gb.cumsum() over an explicit in-group order */
+  def cumsum(colName: String, order: Seq[String], as: String): PFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    PFrame(df.withColumn(as, F.sum(col(colName)).over(w)))
+  }
+
+  /** gb.rank(method='min'|'dense'|'first', pct) */
+  def rank(colName: String, method: String = "min", pct: Boolean = false,
+      as: String = "rank"): PFrame = {
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(col(colName))
+    val grp = Window.partitionBy(keys.map(col): _*)
+    val r: Column = method match {
+      case "min"   => F.rank().over(ord)
+      case "dense" => F.dense_rank().over(ord)
+      case "first" => F.row_number().over(ord)
+      case "average" =>
+        F.rank().over(ord) +
+          (F.count(lit(1)).over(Window.partitionBy((keys :+ colName).map(col): _*)) - 1) / lit(2.0)
+      case other => throw new IllegalArgumentException(s"rank method: $other")
+    }
+    val out = if (pct) r.cast("double") / F.count(lit(1)).over(grp) else r
+    PFrame(df.withColumn(as, out))
+  }
+}
+
+/** df.rolling(window) handle (pandas Rolling). */
+final case class PRolling(df: DataFrame, partition: Seq[String], order: String,
+    n: Int, minPeriods: Int) {
+
+  private def w = Window.partitionBy(partition.map(col): _*)
+    .orderBy(col(order)).rowsBetween(-(n - 1), 0)
+
+  private def gated(c: Column, src: String): Column =
+    when(F.count(col(src)).over(w) >= minPeriods, c)
+
+  def sum(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, gated(F.sum(col(colName)).over(w), colName)))
+  def mean(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, gated(F.avg(col(colName)).over(w), colName)))
+  def min(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, gated(F.min(col(colName)).over(w), colName)))
+  def max(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, gated(F.max(col(colName)).over(w), colName)))
+  def count(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, F.count(col(colName)).over(w)))
+}

