@@ -1,25 +1,70 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Throughput benchmark (driver contract): one JSON line with per-query
+  * wall time over the headline set at SPARK_GRAFT_SF_DIR.
+  *
+  * Headline queries mirror the reference's asv benchmark shapes
+  * (BASELINE.md): scan+filter+agg (q1), fact-fact and star joins,
+  * many-label groupby, window sweep, pivot reshape, dedup keep=first,
+  * resample, as-of join, and the pipeline ops (MinHash pairs, cosine
+  * top-k, token stats).
+  *
+  * Timing methodology: one warmup query amortizes JVM/codegen startup;
+  * each query then executes once against the `noop` sink — unlike
+  * `count()`, this computes every output column (count() lets Catalyst
+  * prune the projections being measured).
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q1_groupby_agg",      // scan + filter + hash agg + sort
+    "join_inner",          // lineitem |><| orders, AQE-chosen strategy
+    "join_star_broadcast", // broadcast dim star join
+    "agg_minmax_nunique",  // many-label groupby w/ distinct aggs
+    "agg_apply_topn",      // per-group top-n via flatMapGroups
+    "win_rolling_sum",     // per-user rolling window
+    "win_ewm_mean",        // recursive EWM via flatMapGroups
+    "rs_pivot",            // groupBy().pivot()
+    "set_dropdup_first",   // dedup keep=first window
+    "ts_resample_day",     // time bucketing
+    "join_asof_backward",  // union+window as-of join
+    "dedup_minhash_pairs", // shingle->minhash->LSH->verify
+    "sim_cosine_topk",     // brute-force ANN baseline
+    "txt_tokens"           // scalar text analysis sweep
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def exec(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+
+    // warmup: codegen + parquet footer caches + JIT
+    exec("q1_groupby_agg")
+
+    val results = headline.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try exec(name)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

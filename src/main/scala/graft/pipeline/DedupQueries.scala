@@ -101,16 +101,26 @@ object DedupQueries extends QueryModule {
     // exact shingle-jaccard verification >= 0.5
     "dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val sig = signatures(Tables(s, d, "documents")).cache()
+      // one cached frame carries shingle arrays + band keys: the text
+      // HOFs run exactly once per document, every join reads the cache
+      val withH = Tables(s, d, "documents")
+        .select($"doc_id", shingles.as("sh"))
+        .withColumn("hs", transform($"sh", g => wordHash(g)))
+      val bandCols = (0 until NumBands).map { b =>
+        (0 until BandSize).map { pos =>
+          val k = b * BandSize + pos
+          array_min(transform($"hs", h => perm(k, h))) * lit(BandPow(pos))
+        }.reduce(_ + _).as(s"band$b")
+      }
+      val sig = withH.select($"doc_id" +: $"sh" +: bandCols: _*).cache()
       val cands = (0 until NumBands).map { b =>
         val l = sig.select($"doc_id".as("da"), col(s"band$b").as("bk"))
         val r = sig.select($"doc_id".as("db"), col(s"band$b").as("bk"))
         l.join(r, Seq("bk")).filter($"da" < $"db").select($"da", $"db")
       }.reduce(_ unionByName _).distinct()
-      val tri = Tables(s, d, "documents").select($"doc_id", shingles.as("sh"))
       cands
-        .join(tri.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
-        .join(tri.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
+        .join(sig.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
+        .join(sig.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
         .withColumn("shared", size(array_intersect($"sha", $"shb")))
         .withColumn("jac", $"shared".cast("double") /
           (size($"sha") + size($"shb") - $"shared"))
