@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ops._
 import graft.pipeline._
+import graft.sources.SourceQueries
 import graft.streaming.StreamQueries
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -21,6 +22,7 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,
+    SourceQueries,
     StreamQueries
   )
 

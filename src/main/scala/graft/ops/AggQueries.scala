@@ -351,6 +351,33 @@ object AggQueries extends QueryModule {
         .toDF("o_custkey", "o_orderkey", "o_totalprice")
     },
 
+    // spearman correlation (nancorr spearman algos.pyx:434): rank both
+    // columns (ties -> average rank, exactly pandas' default), then
+    // pearson over the ranks from exact moment sums. Ranks are
+    // half-integers, so the decimal moments are exact on both engines.
+    "agg_spearman" -> { (s, d) =>
+      import s.implicits._
+      val rq = Window.orderBy($"l_quantity")
+      val rqEq = Window.partitionBy($"l_quantity")
+      val rd = Window.orderBy($"l_discount")
+      val rdEq = Window.partitionBy($"l_discount")
+      val ranked = Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 5000)
+        .select(
+          (rank().over(rq) + (count(lit(1)).over(rqEq) - 1) / lit(2.0)).as("rx"),
+          (rank().over(rd) + (count(lit(1)).over(rdEq) - 1) / lit(2.0)).as("ry"))
+      val m = ranked.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"rx".cast("decimal(18,1)")).cast("double").as("sx"),
+        sum($"ry".cast("decimal(18,1)")).cast("double").as("sy"),
+        sum(($"rx".cast("decimal(18,1)") * $"rx".cast("decimal(18,1)")).cast("decimal(38,2)")).cast("double").as("sxx"),
+        sum(($"ry".cast("decimal(18,1)") * $"ry".cast("decimal(18,1)")).cast("decimal(38,2)")).cast("double").as("syy"),
+        sum(($"rx".cast("decimal(18,1)") * $"ry".cast("decimal(18,1)")).cast("decimal(38,2)")).cast("double").as("sxy"))
+      m.select(round(($"n" * $"sxy" - $"sx" * $"sy") /
+        (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)
+        .as("spearman_qd"))
+    },
+
     // product aggregate (groupby.pyx:892): tiny per-order groups keep fp
     // reassociation error << the 1e-6 rounding grain
     "agg_prod" -> { (s, d) =>
@@ -567,6 +594,26 @@ object AggQueries extends QueryModule {
            SELECT o_custkey, o_orderkey, o_totalprice,
              ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
            FROM orders) t WHERE rn <= 2""",
+
+    "agg_spearman" ->
+      """WITH ranked AS (
+           SELECT
+             RANK() OVER (ORDER BY l_quantity)
+               + (COUNT(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx,
+             RANK() OVER (ORDER BY l_discount)
+               + (COUNT(*) OVER (PARTITION BY l_discount) - 1) / 2.0 AS ry
+           FROM lineitem WHERE l_orderkey < 5000),
+         m AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(18,1))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(18,1))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(rx AS DECIMAL(18,1)) * CAST(rx AS DECIMAL(18,1)) AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(ry AS DECIMAL(18,1)) * CAST(ry AS DECIMAL(18,1)) AS DECIMAL(38,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(rx AS DECIMAL(18,1)) * CAST(ry AS DECIMAL(18,1)) AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+           FROM ranked)
+         SELECT ROUND((n * sxy - sx * sy)
+           / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS spearman_qd
+         FROM m""",
 
     "agg_prod" ->
       """SELECT l_orderkey,

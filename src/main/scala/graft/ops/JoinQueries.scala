@@ -138,6 +138,18 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
     },
 
+    // merge(validate='m:1') (merge.py:149 validate param): the check is
+    // a key-multiplicity histogram on the right side — all-1 proves the
+    // join is m:1; pandas raises, we surface the evidence
+    "join_validate_m1" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "customer")
+        .groupBy($"c_custkey")
+        .agg(count(lit(1)).as("key_multiplicity"))
+        .groupBy($"key_multiplicity")
+        .agg(count(lit(1)).as("n_keys"))
+    },
+
     // merge_asof backward, by=user (merge.py:644 _AsOfMerge;
     // join.pyx:725 asof_join_backward_on_X_by_Y): latest purchase value
     // at/before each click
@@ -256,6 +268,12 @@ object JoinQueries extends QueryModule {
               AS bands(band, lo, hi)
            ON p_retailprice >= lo AND p_retailprice < hi
          GROUP BY band""",
+
+    "join_validate_m1" ->
+      """SELECT key_multiplicity, COUNT(*) AS n_keys FROM (
+           SELECT c_custkey, COUNT(*) AS key_multiplicity
+           FROM customer GROUP BY c_custkey) t
+         GROUP BY key_multiplicity""",
 
     "join_asof_backward" ->
       """SELECT a.user_id, a.event_id, a.ts, b."value" AS asof_val

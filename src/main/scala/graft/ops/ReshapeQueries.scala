@@ -107,6 +107,33 @@ object ReshapeQueries extends QueryModule {
           max($"o_totalprice").as("hi"))
     },
 
+    // nested struct + array columns (ArrowDtype list/struct surface,
+    // arrays/arrow/accessors.py ListAccessor/StructAccessor): struct
+    // construction, field access, array slice
+    "rs_nested_struct" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          struct($"lang", $"n_chars").as("meta"),
+          slice(split($"text", " "), 1, 3).as("head_words"))
+        .select($"doc_id", $"meta", $"meta.lang".as("lang_field"),
+          size($"head_words").as("n_head"), $"head_words")
+    },
+
+    // from_dummies: inverse one-hot (encoding.py:409)
+    "rs_from_dummies" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .select($"o_orderkey",
+          when($"o_orderstatus" === "F", 1).otherwise(0).as("status_F"),
+          when($"o_orderstatus" === "O", 1).otherwise(0).as("status_O"),
+          when($"o_orderstatus" === "P", 1).otherwise(0).as("status_P"))
+        .select($"o_orderkey",
+          when($"status_F" === 1, "F")
+            .when($"status_O" === 1, "O")
+            .when($"status_P" === 1, "P").as("status_reconstructed"))
+    },
+
     // stack: columns -> long (reshape.py:668) — same engine op as melt,
     // kept separate to mirror the API split; unstack is rs_pivot
     "rs_stack" -> { (s, d) =>
@@ -179,6 +206,17 @@ object ReshapeQueries extends QueryModule {
                  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q4
                FROM orders) t
          GROUP BY q4""",
+
+    "rs_nested_struct" ->
+      """SELECT doc_id,
+         {'lang': lang, 'n_chars': n_chars} AS meta,
+         lang AS lang_field,
+         len(string_split(text, ' ')[1:3]) AS n_head,
+         string_split(text, ' ')[1:3] AS head_words
+         FROM documents""",
+
+    "rs_from_dummies" ->
+      """SELECT o_orderkey, o_orderstatus AS status_reconstructed FROM orders""",
 
     "rs_stack" ->
       """SELECT s_suppkey, 's_name' AS attr, s_name AS val FROM supplier

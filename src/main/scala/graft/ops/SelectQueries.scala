@@ -143,6 +143,26 @@ object SelectQueries extends QueryModule {
       df.select((Seq("l_orderkey", "l_linenumber") ++ priceCols).map(col): _*)
     },
 
+    // reindex (frame.py:6125): conform to a new index -> left join from
+    // the new index spine; missing labels surface as NULL rows
+    "sel_reindex" -> { (s, d) =>
+      import s.implicits._
+      val spine = s.range(1, 2001).select($"id".as("c_custkey"))
+      spine.join(Tables(s, d, "customer"), Seq("c_custkey"), "left")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+
+    // typed Dataset map (Series.apply frame.py:14854 — the typed UDF
+    // surface; deterministic arithmetic so the oracle can mirror it)
+    "sel_typed_map" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice")
+        .as[(Long, Double)]
+        .map { case (k, p) => (k, p * 1.1 + 5.0, if (p > 200000) "big" else "small") }
+        .toDF("o_orderkey", "adjusted", "bucket")
+    },
+
     // reproducible sampling (core/sample.py): key-hash modulo — the
     // 100 TB-safe way to sample deterministically without a global seed
     "sel_sample_mod" -> { (s, d) =>
@@ -215,6 +235,16 @@ object SelectQueries extends QueryModule {
     "sel_filter_regex_cols" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice
          FROM lineitem WHERE l_orderkey < 1000""",
+
+    "sel_reindex" ->
+      """SELECT s.c_custkey, c.c_name, c.c_acctbal
+         FROM (SELECT unnest(range(1, 2001)) AS c_custkey) s
+         LEFT JOIN customer c ON s.c_custkey = c.c_custkey""",
+
+    "sel_typed_map" ->
+      """SELECT o_orderkey, o_totalprice * 1.1 + 5.0 AS adjusted,
+         CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
+         FROM orders""",
 
     "sel_sample_mod" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

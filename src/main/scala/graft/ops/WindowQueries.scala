@@ -113,6 +113,23 @@ object WindowQueries extends QueryModule {
             lag(v, 1).over(w) * 0.3 + v * 0.4).as("wma_4"))
     },
 
+    // rolling median via sorted window array (roll_median_c
+    // aggregations.pyx:1036 uses a skiplist; here: collect the frame,
+    // sort, linear-interpolate — exact pandas semantics, frame size
+    // bounded by the window so memory is O(n) per row)
+    "win_rolling_median" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-8, 0)
+      val arr = sort_array(collect_list($"value").over(w))
+      val n = size(arr)
+      val loIdx = ((n + 1) / 2).cast("int") // 1-based lower-middle
+      val lo = element_at(arr, loIdx)
+      val hi = element_at(arr, loIdx + (n + 1) % 2)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          when(n >= 9, round((lo + hi) / 2.0, 6)).as("roll_median"))
+    },
+
     // ewm mean, adjust=True and adjust=False (ewm.py:127; recursion in
     // graft.functions.Ewm via flatMapGroups per user)
     "win_ewm_mean" -> { (s, d) =>
@@ -184,6 +201,18 @@ object WindowQueries extends QueryModule {
          LAG("value", 3) OVER w * 0.1 + LAG("value", 2) OVER w * 0.2 +
          LAG("value", 1) OVER w * 0.3 + "value" * 0.4 AS wma_4
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+
+    "win_rolling_median" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             list_sort(list("value") OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS arr
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN len(arr) >= 9 THEN
+             ROUND((arr[(len(arr) + 1) // 2]
+               + arr[(len(arr) + 1) // 2 + (len(arr) + 1) % 2]) / 2.0, 6) END AS roll_median
+         FROM t""",
 
     // recursive CTE mirrors the engine's per-group recursion with the
     // same operation order, so the doubles are bit-identical

@@ -101,16 +101,15 @@ object DedupQueries extends QueryModule {
     // exact shingle-jaccard verification >= 0.5
     "dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
-      // one cached frame carries shingle arrays + band keys: the text
-      // HOFs run exactly once per document, every join reads the cache
+      // band keys via the custom Catalyst expressions (tight JVM loop,
+      // SCALE.md target #1); shingle STRING arrays kept for the exact
+      // jaccard verify. One cached frame, every join reads the cache.
+      graft.functions.MinHashExprs.register(s)
       val withH = Tables(s, d, "documents")
-        .select($"doc_id", shingles.as("sh"))
-        .withColumn("hs", transform($"sh", g => wordHash(g)))
+        .select($"doc_id", shingles.as("sh"),
+          expr("graft_minhash_bands(graft_shingle_hashes(text))").as("bands"))
       val bandCols = (0 until NumBands).map { b =>
-        (0 until BandSize).map { pos =>
-          val k = b * BandSize + pos
-          array_min(transform($"hs", h => perm(k, h))) * lit(BandPow(pos))
-        }.reduce(_ + _).as(s"band$b")
+        element_at($"bands", b + 1).as(s"band$b")
       }
       val sig = withH.select($"doc_id" +: $"sh" +: bandCols: _*).cache()
       val cands = (0 until NumBands).map { b =>
