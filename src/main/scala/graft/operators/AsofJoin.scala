@@ -6,88 +6,131 @@ import org.apache.spark.sql.functions._
 
 /** Distributed as-of join (pandas `merge_asof`, reference
   * `core/reshape/merge.py:644` `_AsOfMerge` and the Cython pointer-walk
-  * kernels at `_libs/join.pyx:725-900`).
+  * kernels at `_libs/join.pyx:725-900` —
+  * asof_join_{backward,forward,nearest}_on_X_by_Y).
   *
   * Spark has no built-in as-of join, and the reference's algorithm
   * (sorted two-pointer walk with a per-`by` last-seen table) is a
   * single-node design. The Spark-first rewrite is UNION + running
-  * `last(_, ignoreNulls)` over a window partitioned by the `by` keys
-  * and ordered by the timestamp:
+  * window fills over a window partitioned by the `by` keys:
   *
-  *   - both sides are tagged and unioned on a common schema;
-  *   - one shuffle co-partitions by the `by` keys (same exchange a
-  *     sort-merge join would need), the in-partition sort orders by
-  *     (ts, side) so that at equal timestamps the right row precedes
-  *     the left row (pandas `allow_exact_matches=True`);
-  *   - `last(value, ignoreNulls) over rowsBetween(-inf, 0)` carries the
-  *     latest right-side value to every left row — a single pass, no
-  *     per-row probe, no driver state.
+  *   - both sides are tagged and unioned on a common schema; right
+  *     rows appear with side=0 (before left rows at equal timestamps,
+  *     feeding the backward fill) and/or side=2 (after, feeding the
+  *     forward fill) — this side ordering is exactly pandas
+  *     `allow_exact_matches=True`;
+  *   - one shuffle co-partitions by the `by` keys (the same exchange a
+  *     sort-merge join needs); the in-partition sort orders by
+  *     (ts, side);
+  *   - `last(value, ignoreNulls)` over (-inf, 0] carries the latest
+  *     right value backward; `first(value, ignoreNulls)` over
+  *     [0, +inf) carries the earliest following right value forward —
+  *     single pass, no per-row probes, no driver state;
+  *   - `nearest` computes both fills and picks the closer match
+  *     (backward wins ties, matching the reference kernel).
   *
   * At 100 TB this scales with the `by`-key cardinality exactly like a
-  * shuffled join; there is no broadcast, no collect, and AQE can split
-  * skewed user keys. A global as-of (empty `by`) degenerates to a
-  * single-partition sort — callers should prefer a `by` key, or a
-  * range-partitioned two-pass variant (future custom SparkStrategy,
-  * SURVEY.md §4).
+  * shuffled join; AQE can split skewed keys. A global as-of (empty
+  * `by`) degenerates to a single-partition sort — callers should
+  * prefer a `by` key (SCALE.md).
   */
 object AsofJoin {
 
-  /** Backward as-of join: for each left row, the latest right row with
-    * `right.tsCol <= left.tsCol` and equal `by` keys.
-    *
-    * @param valueCols right-side columns carried to the output
-    * @param toleranceMicros optional max age of the matched right row
-    *        (`pandas tolerance=`): matches older than this become NULL
-    * @return left rows + `valueCols` (+ `__asof_ts` of the match)
-    */
-  def backward(
+  /** Backward as-of join: latest right row with rts <= lts. */
+  def backward(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asof(left, right, by, leftTs, rightTs, valueCols, "backward", toleranceMicros)
+
+  /** Forward as-of join: earliest right row with rts >= lts. */
+  def forward(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asof(left, right, by, leftTs, rightTs, valueCols, "forward", toleranceMicros)
+
+  /** Nearest as-of join: right row minimizing |rts - lts|; backward
+    * wins ties. */
+  def nearest(left: DataFrame, right: DataFrame, by: Seq[String],
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None): DataFrame =
+    asof(left, right, by, leftTs, rightTs, valueCols, "nearest", toleranceMicros)
+
+  private def asof(
       left: DataFrame,
       right: DataFrame,
       by: Seq[String],
       leftTs: String,
       rightTs: String,
       valueCols: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame = {
+      direction: String,
+      toleranceMicros: Option[Long]): DataFrame = {
     val leftCols = left.columns.toSeq
-    val lTagged = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
-      .select(
-        (by.map(col) :+ col("__ts") :+ col("__side")) ++
-          leftCols.filterNot(by.contains).map(col) ++
-          valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
-    val rTagged = right
-      .withColumn("__ts", col(rightTs))
-      .withColumn("__side", lit(0))
-      .select(
-        (by.map(col) :+ col("__ts") :+ col("__side")) ++
-          leftCols.filterNot(by.contains)
-            .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-          valueCols.map(col): _*)
+    val leftOther = leftCols.filterNot(by.contains)
+    val needBack = direction == "backward" || direction == "nearest"
+    val needFwd = direction == "forward" || direction == "nearest"
 
-    val w = Window
-      .partitionBy(by.map(col): _*)
+    def tag(df: DataFrame, ts: String, side: Int, isLeft: Boolean): DataFrame =
+      df.select(
+        (by.map(col) :+ col(ts).as("__ts") :+ lit(side).as("__side")) ++
+          (if (isLeft) leftOther.map(col)
+           else leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
+          (if (isLeft) valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+           else valueCols.map(col)): _*)
+
+    val parts = Seq(tag(left, leftTs, 1, isLeft = true)) ++
+      (if (needBack) Seq(tag(right, rightTs, 0, isLeft = false)) else Nil) ++
+      (if (needFwd) Seq(tag(right, rightTs, 2, isLeft = false)) else Nil)
+    val unioned = parts.reduce(_ unionByName _)
+
+    val ord = Window.partitionBy(by.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    val matchTs = last(when(col("__side") === 0, col("__ts")), ignoreNulls = true).over(w)
-    val filled = valueCols.foldLeft(lTagged.unionByName(rTagged)) { (df, c) =>
-      df.withColumn(s"__asof_$c", last(when(col("__side") === 0, col(c)), ignoreNulls = true).over(w))
-    }.withColumn("__asof_ts", matchTs)
+    def backFill(c: Column): Column =
+      last(when(col("__side") === 0, c), ignoreNulls = true).over(back)
+    def fwdFill(c: Column): Column =
+      first(when(col("__side") === 2, c), ignoreNulls = true).over(fwd)
 
-    val withTol = toleranceMicros match {
-      case Some(tol) =>
-        valueCols.foldLeft(filled) { (df, c) =>
-          df.withColumn(s"__asof_$c",
-            when(unix_micros(col("__ts")) - unix_micros(col("__asof_ts")) <= tol, col(s"__asof_$c")))
-        }
-      case None => filled
+    var df = unioned
+    if (needBack) {
+      df = valueCols.foldLeft(df)((d, c) => d.withColumn(s"__b_$c", backFill(col(c))))
+        .withColumn("__b_ts", backFill(col("__ts")))
+    }
+    if (needFwd) {
+      df = valueCols.foldLeft(df)((d, c) => d.withColumn(s"__f_$c", fwdFill(col(c))))
+        .withColumn("__f_ts", fwdFill(col("__ts")))
     }
 
-    withTol
-      .filter(col("__side") === 1)
-      .select(
-        (leftCols.map(col) ++
-          valueCols.map(c => col(s"__asof_$c").as(c))): _*)
+    // tolerance: the chosen match must be within the window; any other
+    // candidate in that direction is farther, so nulling suffices
+    toleranceMicros.foreach { tol =>
+      if (needBack) {
+        val stale = unix_micros(col("__ts")) - unix_micros(col("__b_ts")) > tol
+        df = valueCols.foldLeft(df)((d, c) =>
+          d.withColumn(s"__b_$c", when(stale, lit(null)).otherwise(col(s"__b_$c"))))
+        df = df.withColumn("__b_ts", when(stale, lit(null)).otherwise(col("__b_ts")))
+      }
+      if (needFwd) {
+        val stale = unix_micros(col("__f_ts")) - unix_micros(col("__ts")) > tol
+        df = valueCols.foldLeft(df)((d, c) =>
+          d.withColumn(s"__f_$c", when(stale, lit(null)).otherwise(col(s"__f_$c"))))
+        df = df.withColumn("__f_ts", when(stale, lit(null)).otherwise(col("__f_ts")))
+      }
+    }
+
+    val picked = direction match {
+      case "backward" => valueCols.map(c => col(s"__b_$c").as(c))
+      case "forward"  => valueCols.map(c => col(s"__f_$c").as(c))
+      case "nearest" =>
+        val distB = unix_micros(col("__ts")) - unix_micros(col("__b_ts"))
+        val distF = unix_micros(col("__f_ts")) - unix_micros(col("__ts"))
+        val useBack = col("__f_ts").isNull ||
+          (col("__b_ts").isNotNull && distB <= distF)
+        valueCols.map(c => when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c))
+    }
+
+    df.filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ picked: _*)
   }
 }

@@ -181,6 +181,35 @@ object JoinQueries extends QueryModule {
         .withColumnRenamed("value", "asof_val")
     },
 
+    // merge_asof direction='forward' (merge.py:644; join.pyx:812)
+    "join_asof_forward" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      AsofJoin.forward(clicks, purchases,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"))
+        .withColumnRenamed("value", "asof_val")
+    },
+
+    // merge_asof direction='nearest' (join.pyx:900): closest match in
+    // either direction, backward wins ties
+    "join_asof_nearest" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      AsofJoin.nearest(clicks, purchases,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"))
+        .withColumnRenamed("value", "asof_val")
+    },
+
     // merge_ordered + group-wise ffill (merge.py:500 _OrderedMerge):
     // full outer on (user, ts), forward-fill each side within user
     "join_merge_ordered" -> { (s, d) =>
@@ -290,6 +319,28 @@ object JoinQueries extends QueryModule {
            FROM a LEFT JOIN b
              ON a.user_id = b.user_id AND b.ts <= a.ts
               AND b.ts >= a.ts - INTERVAL 1 DAY)
+         SELECT user_id, event_id, ts, v AS asof_val
+         FROM j WHERE rn = 1""",
+
+    "join_asof_forward" ->
+      """WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT a.user_id, a.event_id, a.ts, b."value" AS v,
+             ROW_NUMBER() OVER (PARTITION BY a.user_id, a.event_id ORDER BY b.ts ASC) AS rn
+           FROM a LEFT JOIN b
+             ON a.user_id = b.user_id AND b.ts >= a.ts)
+         SELECT user_id, event_id, ts, v AS asof_val
+         FROM j WHERE rn = 1""",
+
+    "join_asof_nearest" ->
+      """WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         b AS (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase'),
+         j AS (
+           SELECT a.user_id, a.event_id, a.ts, b."value" AS v,
+             ROW_NUMBER() OVER (PARTITION BY a.user_id, a.event_id
+               ORDER BY ABS(epoch_us(b.ts) - epoch_us(a.ts)) ASC, b.ts ASC) AS rn
+           FROM a LEFT JOIN b ON a.user_id = b.user_id)
          SELECT user_id, event_id, ts, v AS asof_val
          FROM j WHERE rn = 1""",
 

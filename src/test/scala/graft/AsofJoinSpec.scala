@@ -39,4 +39,33 @@ class AsofJoinSpec extends SparkSpec {
     assert(tol("b").isEmpty)       // age 50s > 20s -> nulled
     assert(tol("d").contains(3.0)) // age 10s <= 20s
   }
+
+  test("forward and nearest directions") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), "a"), (1L, ts(120), "b"), (1L, ts(300), "c"))
+      .toDF("k", "tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = Seq((1L, ts(100), 1.0), (1L, ts(130), 2.0))
+      .toDF("k", "tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+
+    val fwd = AsofJoin.forward(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(fwd("a").contains(1.0)) // exact forward match
+    assert(fwd("b").contains(2.0)) // next at 130
+    assert(fwd("c").isEmpty)       // nothing after 300
+
+    val near = AsofJoin.nearest(left, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(near("a").contains(1.0)) // dist 0
+    assert(near("b").contains(2.0)) // 10s fwd beats 20s back
+    assert(near("c").contains(2.0)) // only backward exists
+
+    // tie: left at 115 is 15s from both 100 and 130 -> backward wins
+    val tie = Seq((1L, ts(115), "t")).toDF("k", "tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val tieOut = AsofJoin.nearest(tie, right, Seq("k"), "t", "t", Seq("v"))
+      .select($"v").as[Option[Double]].collect()
+    assert(tieOut.head.contains(1.0))
+  }
 }
