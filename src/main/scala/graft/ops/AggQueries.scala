@@ -378,6 +378,41 @@ object AggQueries extends QueryModule {
         .as("spearman_qd"))
     },
 
+    // custom typed Aggregator via udaf (§2.11 agg-with-UDF surface):
+    // geometric mean; log-sum reassociation error << rounding grain
+    "agg_geomean" -> { (s, d) =>
+      import s.implicits._
+      val gm = udaf(graft.functions.GeoMean)
+      Tables(s, d, "orders")
+        .groupBy($"o_orderstatus")
+        .agg(round(gm($"o_totalprice"), 4).as("geomean_price"),
+          count(lit(1)).as("n"))
+    },
+
+    // Kendall tau-b (nancorr kendall algos.pyx:1988): concordant/
+    // discordant pair counts with tie corrections. The O(n^2) self-join
+    // formulation is exact on a bounded subset; integer counts make it
+    // oracle-deterministic. (A merge-sort O(n log n) Aggregator is the
+    // at-scale variant — documented gap.)
+    "agg_kendall" -> { (s, d) =>
+      import s.implicits._
+      val o = Tables(s, d, "orders")
+        .filter($"o_orderkey" < 2000)
+        .select($"o_orderkey".as("k"), $"o_totalprice".as("x"),
+          unix_micros($"o_orderdate".cast("timestamp")).as("y"))
+      val a = o.as("a")
+      val b = o.as("b")
+      val sgn = ($"a.x" - $"b.x") * ($"a.y" - $"b.y")
+      val m = a.join(b, $"a.k" < $"b.k")
+        .agg(
+          count(when(sgn > 0, 1)).cast("double").as("c"),
+          count(when(sgn < 0, 1)).cast("double").as("dd"),
+          count(when($"a.x" === $"b.x" && $"a.y" =!= $"b.y", 1)).cast("double").as("tx"),
+          count(when($"a.y" === $"b.y" && $"a.x" =!= $"b.x", 1)).cast("double").as("ty"))
+      m.select(round(($"c" - $"dd") /
+        (sqrt($"c" + $"dd" + $"tx") * sqrt($"c" + $"dd" + $"ty")), 6).as("kendall_tau"))
+    },
+
     // product aggregate (groupby.pyx:892): tiny per-order groups keep fp
     // reassociation error << the 1e-6 rounding grain
     "agg_prod" -> { (s, d) =>
@@ -613,6 +648,27 @@ object AggQueries extends QueryModule {
            FROM ranked)
          SELECT ROUND((n * sxy - sx * sy)
            / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS spearman_qd
+         FROM m""",
+
+    "agg_geomean" ->
+      """SELECT o_orderstatus,
+         ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(o_totalprice)), 4) AS geomean_price,
+         COUNT(*) AS n
+         FROM orders GROUP BY o_orderstatus""",
+
+    "agg_kendall" ->
+      """WITH o AS (
+           SELECT o_orderkey AS k, o_totalprice AS x,
+             epoch_us(o_orderdate) AS y
+           FROM orders WHERE o_orderkey < 2000),
+         m AS (
+           SELECT
+             CAST(COUNT(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 END) AS DOUBLE) AS c,
+             CAST(COUNT(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 END) AS DOUBLE) AS dd,
+             CAST(COUNT(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 END) AS DOUBLE) AS tx,
+             CAST(COUNT(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 END) AS DOUBLE) AS ty
+           FROM o a JOIN o b ON a.k < b.k)
+         SELECT ROUND((c - dd) / (SQRT(c + dd + tx) * SQRT(c + dd + ty)), 6) AS kendall_tau
          FROM m""",
 
     "agg_prod" ->

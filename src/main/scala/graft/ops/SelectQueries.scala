@@ -163,6 +163,30 @@ object SelectQueries extends QueryModule {
         .toDF("o_orderkey", "adjusted", "bucket")
     },
 
+    // weighted sampling (core/sample.py:27 weights): Bernoulli draw
+    // per row with probability proportional to the weight, driven by a
+    // deterministic key hash — reproducible and shuffle-free at scale
+    "sel_sample_weighted" -> { (s, d) =>
+      import s.implicits._
+      val frac = (($"o_orderkey" * 2654435761L) % 1000000L).cast("double") / 1000000.0
+      Tables(s, d, "orders")
+        .filter(frac < $"o_totalprice" / 600000.0)
+        .select($"o_orderkey", $"o_totalprice")
+    },
+
+    // Kleene three-valued logic (arrays/boolean.py masked ops,
+    // core/ops/mask_ops.py): NULL-aware AND/OR/NOT truth behavior
+    "sel_kleene_logic" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .withColumn("a", when($"event_type" =!= "error", $"value" > 100))
+        .withColumn("b", $"user_id" % 2 === 0)
+        .select($"event_id", $"a", $"b",
+          ($"a" && $"b").as("a_and_b"),
+          ($"a" || $"b").as("a_or_b"),
+          (!$"a").as("not_a"))
+    },
+
     // reproducible sampling (core/sample.py): key-hash modulo — the
     // 100 TB-safe way to sample deterministically without a global seed
     "sel_sample_mod" -> { (s, d) =>
@@ -245,6 +269,20 @@ object SelectQueries extends QueryModule {
       """SELECT o_orderkey, o_totalprice * 1.1 + 5.0 AS adjusted,
          CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS bucket
          FROM orders""",
+
+    "sel_sample_weighted" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         WHERE CAST((o_orderkey * 2654435761) % 1000000 AS DOUBLE) / 1000000.0
+               < o_totalprice / 600000.0""",
+
+    "sel_kleene_logic" ->
+      """SELECT event_id,
+         CASE WHEN event_type <> 'error' THEN "value" > 100 END AS a,
+         user_id % 2 = 0 AS b,
+         (CASE WHEN event_type <> 'error' THEN "value" > 100 END) AND (user_id % 2 = 0) AS a_and_b,
+         (CASE WHEN event_type <> 'error' THEN "value" > 100 END) OR (user_id % 2 = 0) AS a_or_b,
+         NOT (CASE WHEN event_type <> 'error' THEN "value" > 100 END) AS not_a
+         FROM events""",
 
     "sel_sample_mod" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

@@ -125,6 +125,21 @@ object TimeQueries extends QueryModule {
             .otherwise(date_trunc("day", $"ts")).as("next_bday"))
     },
 
+    // Period dtype representation (PeriodDtype dtypes.py:1000, SURVEY
+    // §1.3): period = struct(start, freq) + integer ordinal; period
+    // arithmetic = month arithmetic on the start
+    "ts_period_struct" -> { (s, d) =>
+      import s.implicits._
+      val start = date_trunc("month", $"o_orderdate")
+      Tables(s, d, "orders")
+        .filter($"o_orderkey" < 2000)
+        .select($"o_orderkey",
+          struct(start.as("start"), lit("M").as("freq")).as("period"),
+          ((year($"o_orderdate") - 1970) * 12 + month($"o_orderdate") - 1)
+            .as("period_ordinal"),
+          (start + expr("interval 1 month")).as("next_period_start"))
+    },
+
     // to_datetime parsing round-trip (tools/datetimes.py:767)
     "ts_parse_roundtrip" -> { (s, d) =>
       import s.implicits._
@@ -210,6 +225,14 @@ object TimeQueries extends QueryModule {
               WHEN isodow(ts) = 7 THEN date_trunc('day', ts) + INTERVAL 1 DAY
               ELSE date_trunc('day', ts) END AS next_bday
          FROM events WHERE event_id < 2000""",
+
+    "ts_period_struct" ->
+      """SELECT o_orderkey,
+         {'start': CAST(date_trunc('month', o_orderdate) AS TIMESTAMP), 'freq': 'M'} AS period,
+         CAST((EXTRACT(year FROM o_orderdate) - 1970) * 12
+           + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS period_ordinal,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 1 MONTH AS next_period_start
+         FROM orders WHERE o_orderkey < 2000""",
 
     "ts_parse_roundtrip" ->
       """SELECT event_id,
