@@ -111,6 +111,28 @@ object NaQueries extends QueryModule {
         .select($"event_id", $"user_id", $"interp")
     },
 
+    // interpolate(method='time') (missing.py:370): like linear but
+    // weighted by actual timestamp distance, not row position
+    "na_interpolate_time" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ts")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tsu = unix_micros($"ts").cast("double")
+      withHoles(s, d)
+        .withColumn("tsu", tsu)
+        .withColumn("pv", last($"reading", ignoreNulls = true).over(back))
+        .withColumn("pt", max(when($"reading".isNotNull, $"tsu")).over(back))
+        .withColumn("nv", first($"reading", ignoreNulls = true).over(fwd))
+        .withColumn("nt", min(when($"reading".isNotNull, $"tsu")).over(fwd))
+        .withColumn("interp_t",
+          when($"reading".isNotNull, $"reading")
+            .when($"pv".isNotNull && $"nv".isNotNull,
+              $"pv" + ($"nv" - $"pv") * ($"tsu" - $"pt") / ($"nt" - $"pt"))
+            .when($"pv".isNotNull, $"pv"))
+        .select($"event_id", $"user_id", $"interp_t")
+    },
+
     // replace (generic.py:7600): value map on strings + numeric clip of
     // a sentinel
     "na_replace" -> { (s, d) =>
@@ -201,6 +223,30 @@ object NaQueries extends QueryModule {
                   WHEN pv IS NOT NULL AND nv IS NOT NULL
                     THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
                   WHEN pv IS NOT NULL THEN pv END AS interp
+           FROM t2""",
+
+      "na_interpolate_time" ->
+        s"""WITH h AS ($holes),
+           t AS (
+             SELECT event_id, user_id, reading,
+               CAST(epoch_us(ts) AS DOUBLE) AS tsu,
+               last_value(reading IGNORE NULLS) OVER wb AS pv,
+               first_value(reading IGNORE NULLS) OVER wf AS nv
+             FROM h
+             WINDOW wb AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           t2 AS (
+             SELECT event_id, user_id, reading, tsu, pv, nv,
+               MAX(CASE WHEN reading IS NOT NULL THEN tsu END)
+                 OVER (PARTITION BY user_id ORDER BY tsu ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+               MIN(CASE WHEN reading IS NOT NULL THEN tsu END)
+                 OVER (PARTITION BY user_id ORDER BY tsu ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+             FROM t)
+           SELECT event_id, user_id,
+             CASE WHEN reading IS NOT NULL THEN reading
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (tsu - pt) / (nt - pt)
+                  WHEN pv IS NOT NULL THEN pv END AS interp_t
            FROM t2""",
 
       "na_replace" ->

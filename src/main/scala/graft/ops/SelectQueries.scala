@@ -81,15 +81,17 @@ object SelectQueries extends QueryModule {
         .select($"o_orderkey", $"o_totalprice")
     },
 
-    // iloc[1000:1100] positional slice (indexing.py:2092) — row_number
-    // over the __order__ key, then a range filter
+    // iloc[1000:1100] positional slice (indexing.py:2092) — global
+    // ordinal via range-partition + zipWithIndex (GlobalOrder), the
+    // scalable replacement for a single-partition row_number window
     "sel_iloc_slice" -> { (s, d) =>
       import s.implicits._
-      val w = Window.orderBy($"o_orderkey")
-      Tables(s, d, "orders")
-        .select($"o_orderkey", $"o_totalprice", row_number().over(w).as("pos"))
-        .filter($"pos" > 1000 && $"pos" <= 1100)
-        .drop("pos")
+      graft.operators.GlobalOrder
+        .zipOrdinal(
+          Tables(s, d, "orders").select($"o_orderkey", $"o_totalprice"),
+          Seq($"o_orderkey"))
+        .filter($"__ord" >= 1000 && $"__ord" < 1100)
+        .drop("__ord")
     },
 
     // loc[label] lookup (indexing.py:1359) -> key equality filter
