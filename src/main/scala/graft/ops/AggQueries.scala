@@ -42,19 +42,26 @@ object AggQueries extends QueryModule {
         .orderBy($"l_returnflag", $"l_linestatus")
     },
 
-    // groupby min/max/count/count_distinct (groupby.pyx:2257/:2229; nunique generic.py:890)
+    // groupby min/max/count/count_distinct (groupby.pyx:2257/:2229;
+    // nunique generic.py:890). Two count-distincts in one Aggregate
+    // force an Expand (every input row duplicated per distinct set);
+    // at scale it is cheaper to dedup each key set independently and
+    // join the 3 tiny per-group results back.
     "agg_minmax_nunique" -> { (s, d) =>
       import s.implicits._
-      Tables(s, d, "lineitem")
-        .groupBy($"l_returnflag")
+      val li = Tables(s, d, "lineitem")
+      val base = li.groupBy($"l_returnflag")
         .agg(
           min($"l_extendedprice").as("min_price"),
           max($"l_extendedprice").as("max_price"),
           min($"l_shipdate").as("min_ship"),
           max($"l_shipdate").as("max_ship"),
-          count($"l_partkey").as("n"),
-          countDistinct($"l_partkey").as("nunique_part"),
-          countDistinct($"l_suppkey", $"l_partkey").as("nunique_sp"))
+          count($"l_partkey").as("n"))
+      val nuPart = li.select($"l_returnflag", $"l_partkey").distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_part"))
+      val nuSp = li.select($"l_returnflag", $"l_suppkey", $"l_partkey").distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_sp"))
+      base.join(nuPart, Seq("l_returnflag")).join(nuSp, Seq("l_returnflag"))
     },
 
     // groupby median/quantile, exact with linear interpolation

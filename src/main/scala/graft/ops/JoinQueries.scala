@@ -138,6 +138,26 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
     },
 
+    // skew-salted join: l_returnflag has only 3 heavy keys, the
+    // pathological-skew shape. Salt the fact key with a hash bucket and
+    // explode the dim side by the salt range so each heavy key spreads
+    // over 8 reducers; results identical to the plain join (oracle).
+    // (AQE skew-join handles moderate skew; explicit salting is the
+    // deterministic fallback for known-degenerate keys.)
+    "join_salted_skew" -> { (s, d) =>
+      import s.implicits._
+      val salts = 8
+      val dim = s.createDataFrame(Seq(
+        ("A", "returned"), ("N", "kept"), ("R", "refunded")))
+        .toDF("flag", "label")
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val fact = Tables(s, d, "lineitem")
+        .withColumn("salt", pmod($"l_orderkey", lit(salts)).cast("int"))
+      fact.join(dim, $"l_returnflag" === $"flag" && fact("salt") === dim("salt"))
+        .groupBy($"label")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+    },
+
     // merge(validate='m:1') (merge.py:149 validate param): the check is
     // a key-multiplicity histogram on the right side — all-1 proves the
     // join is m:1; pandas raises, we surface the evidence
@@ -297,6 +317,15 @@ object JoinQueries extends QueryModule {
               AS bands(band, lo, hi)
            ON p_retailprice >= lo AND p_retailprice < hi
          GROUP BY band""",
+
+    "join_salted_skew" ->
+      """SELECT label, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         JOIN (VALUES ('A', 'returned'), ('N', 'kept'), ('R', 'refunded'))
+              AS dim(flag, label)
+           ON l_returnflag = flag
+         GROUP BY label""",
 
     "join_validate_m1" ->
       """SELECT key_multiplicity, COUNT(*) AS n_keys FROM (
