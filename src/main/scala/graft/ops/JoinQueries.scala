@@ -201,6 +201,23 @@ object JoinQueries extends QueryModule {
         .withColumnRenamed("value", "asof_val")
     },
 
+    // merge_asof through the native LogicalPlan/Strategy/SparkPlan
+    // operator (graft.plans.AsofJoinNative): same semantics and oracle
+    // as join_asof_backward, physical sorted merge-walk instead of the
+    // union+window rewrite
+    "join_asof_native" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts", $"value")
+      graft.plans.AsofJoinNative.backward(s, clicks, purchases,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"))
+        .withColumnRenamed("value", "asof_val")
+    },
+
     // merge_asof direction='forward' (merge.py:644; join.pyx:812)
     "join_asof_forward" -> { (s, d) =>
       import s.implicits._
@@ -350,6 +367,12 @@ object JoinQueries extends QueryModule {
               AND b.ts >= a.ts - INTERVAL 1 DAY)
          SELECT user_id, event_id, ts, v AS asof_val
          FROM j WHERE rn = 1""",
+
+    "join_asof_native" ->
+      """SELECT a.user_id, a.event_id, a.ts, b."value" AS asof_val
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events WHERE event_type = 'purchase') b
+         ON a.user_id = b.user_id AND a.ts >= b.ts""",
 
     "join_asof_forward" ->
       """WITH a AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),

@@ -1,0 +1,192 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native as-of join operator: LogicalPlan + Strategy + SparkPlan
+  * (SURVEY §4 "custom Catalyst work"; SCALE.md round-2 target #3).
+  *
+  * The DataFrame-level rewrite in `operators/AsofJoin` unions both
+  * sides and runs a windowed fill — correct, but it shuffles
+  * left+right as one stream and evaluates window state. This operator
+  * is the physical form of the reference's sorted pointer walk
+  * (`_libs/join.pyx:725` asof_join_backward_on_X_by_Y), distributed:
+  *
+  *   - `requiredChildDistribution` co-partitions both sides on the
+  *     `by` keys (EnsureRequirements inserts the exchanges, exactly as
+  *     for a sort-merge join);
+  *   - `requiredChildOrdering` sorts each side by (by, ts) within
+  *     partitions;
+  *   - `doExecute` zips partitions and walks both sorted iterators
+  *     once, carrying the latest right row per key — O(n+m) per
+  *     partition, no window buffers, no union blow-up.
+  *
+  * Semantics: backward as-of with allow_exact_matches=true (rts <=
+  * lts), unmatched left rows null-padded — identical to
+  * `AsofJoin.backward`, which the shared DuckDB oracle checks.
+  */
+case class AsofJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftBy: Seq[Attribute],
+    rightBy: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    rightValues: Seq[Attribute])
+  extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lb, rb, lts, rts, vals) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lts, rts, vals) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftBy: Seq[Attribute],
+    rightBy: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    rightValues: Seq[Attribute])
+  extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ rightValues.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] = Seq(
+    ClusteredDistribution(leftBy, requireAllClusterKeys = true, None),
+    ClusteredDistribution(rightBy, requireAllClusterKeys = true, None))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftBy :+ leftTs).map(a => SortOrder(a, Ascending)),
+    (rightBy :+ rightTs).map(a => SortOrder(a, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val lByIdx = leftBy.map(a => leftOut.indexWhere(_.exprId == a.exprId)).toArray
+    val rByIdx = rightBy.map(a => rightOut.indexWhere(_.exprId == a.exprId)).toArray
+    val lTsIdx = leftOut.indexWhere(_.exprId == leftTs.exprId)
+    val rTsIdx = rightOut.indexWhere(_.exprId == rightTs.exprId)
+    val byTypes = leftBy.map(_.dataType).toArray
+    val nVals = rightValues.size
+    val valueExprs: Seq[Expression] = rightValues
+    val outAttrs = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val valueProj = UnsafeProjection.create(valueExprs, rightOut)
+      // bind against nullable copies: the null-padded row must survive
+      // projection even when the right schema declared non-null
+      val resultProj = UnsafeProjection.create(outAttrs,
+        leftOut ++ rightValues.map(_.withNullability(true)))
+      val orderings = byTypes.map(dt =>
+        TypeUtils.getInterpretedOrdering(dt).asInstanceOf[Ordering[Any]])
+      val nullValues = new GenericInternalRow(nVals)
+      val joined = new JoinedRow
+
+      def cmpBy(l: InternalRow, r: InternalRow): Int = {
+        var i = 0
+        while (i < byTypes.length) {
+          val c = orderings(i).compare(
+            l.get(lByIdx(i), byTypes(i)), r.get(rByIdx(i), byTypes(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
+      new Iterator[InternalRow] {
+        private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        private var candVals: UnsafeRow = _
+        private var candRow: InternalRow = _ // copy of the matched right row (key compare)
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          var continue = rHead != null
+          while (continue) {
+            val c = cmpBy(l, rHead)
+            if (c > 0) {
+              // right key entirely before left key: skip
+              rHead = if (rIter.hasNext) rIter.next() else null
+              continue = rHead != null
+            } else if (c == 0 && rHead.getLong(rTsIdx) <= l.getLong(lTsIdx)) {
+              candVals = valueProj(rHead).copy()
+              candRow = rHead.copy()
+              rHead = if (rIter.hasNext) rIter.next() else null
+              continue = rHead != null
+            } else {
+              continue = false
+            }
+          }
+          val useCand = candRow != null && cmpBy(l, candRow) == 0
+          if (useCand) resultProj(joined(l, candVals))
+          else resultProj(joined(l, nullValues))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinNative {
+  /** Backward as-of join through the native operator. `left`/`right`
+    * may share lineage: the right side is re-aliased with fresh
+    * expression ids before plan construction.
+    */
+  def backward(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String]): DataFrame = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsofStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofStrategy
+
+    val lPlan = GraftSqlBridge.analyzed(left)
+    val rAnalyzed = GraftSqlBridge.analyzed(right)
+    // fresh exprIds on the right side so self-joins stay unambiguous
+    val rAliases = rAnalyzed.output.map(a => Alias(a, a.name)())
+    val rPlan = Project(rAliases, rAnalyzed)
+    val rOut: Seq[Attribute] = rAliases.map(_.toAttribute)
+
+    def attrOf(out: Seq[Attribute], name: String): Attribute =
+      out.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+
+    val node = AsofJoinPlan(
+      lPlan, rPlan,
+      by.map(attrOf(lPlan.output, _)),
+      by.map(attrOf(rOut, _)),
+      attrOf(lPlan.output, leftTs),
+      attrOf(rOut, rightTs),
+      valueCols.map(attrOf(rOut, _)))
+    GraftSqlBridge.ofRows(spark, node)
+  }
+}

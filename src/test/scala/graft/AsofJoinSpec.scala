@@ -68,4 +68,38 @@ class AsofJoinSpec extends SparkSpec {
       .select($"v").as[Option[Double]].collect()
     assert(tieOut.head.contains(1.0))
   }
+
+  test("native operator matches the union+window rewrite") {
+    import spark.implicits._
+    val ev = Tables(spark, sf(), "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val viaWindow = AsofJoin.backward(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      .select($"event_id", $"value").as[(Long, Option[Double])]
+      .collect().toMap
+    val viaNative = graft.plans.AsofJoinNative.backward(spark, clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"))
+      .select($"event_id", $"value").as[(Long, Option[Double])]
+      .collect().toMap
+    assert(viaNative.size == viaWindow.size)
+    assert(viaNative == viaWindow)
+  }
+
+  test("native operator handles empty right side and exact matches") {
+    import spark.implicits._
+    val left = Seq((1L, ts(100), "a"), (2L, ts(50), "b"))
+      .toDF("k", "tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = Seq((1L, ts(100), 7.0))
+      .toDF("k", "tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val out = graft.plans.AsofJoinNative.backward(spark, left, right,
+        Seq("k"), "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(out("a").contains(7.0)) // exact ts match allowed
+    assert(out("b").isEmpty)       // key with no right rows
+  }
 }
