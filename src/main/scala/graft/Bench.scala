@@ -29,6 +29,7 @@ object Bench {
     "set_dropdup_first",   // dedup keep=first window
     "ts_resample_day",     // time bucketing
     "join_asof_backward",  // union+window as-of join
+    "join_asof_native",    // native merge-walk as-of operator
     "dedup_minhash_pairs", // shingle->minhash->LSH->verify
     "sim_cosine_topk",     // brute-force ANN baseline
     "txt_tokens"           // scalar text analysis sweep

@@ -87,6 +87,27 @@ object WindowQueries extends QueryModule {
           when($"n" >= 10, round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 6)).as("roll_std"))
     },
 
+    // rolling skew (roll_skew aggregations.pyx:548): bias-corrected G1
+    // from exact decimal window moments, same pattern as win_rolling_std
+    "win_rolling_skew" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-14, 0)
+      val v7 = $"value".cast("decimal(7,2)")
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          count($"value").over(w).cast("double").as("n"),
+          sum(v7).over(w).cast("double").as("s1"),
+          sum(v7 * v7).over(w).cast("double").as("s2"),
+          sum((v7 * v7 * v7).cast("decimal(38,8)")).over(w).cast("double").as("s3"))
+        .select($"user_id", $"event_id",
+          when($"n" >= 15, {
+            val mean = $"s1" / $"n"
+            val m2 = $"s2" / $"n" - mean * mean
+            val m3 = $"s3" / $"n" - lit(3) * mean * ($"s2" / $"n") + lit(2) * mean * mean * mean
+            round(sqrt($"n" * ($"n" - 1)) / ($"n" - 2) * (m3 / pow(m2, 1.5)), 6)
+          }).as("roll_skew"))
+    },
+
     // rank(method='average') + pandas pct (group_rank groupby.pyx:1910):
     // average = rank_min + (n_equal - 1)/2
     "win_rank_average" -> { (s, d) =>
@@ -185,6 +206,22 @@ object WindowQueries extends QueryModule {
          SELECT user_id, event_id,
            CASE WHEN n >= 10 THEN ROUND((s2 - s1 * s1 / n) / (n - 1), 6) END AS roll_var,
            CASE WHEN n >= 10 THEN ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 6) END AS roll_std
+         FROM t""",
+
+    "win_rolling_skew" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             CAST(COUNT("value") OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(7,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2))) OVER w AS DOUBLE) AS s2,
+             CAST(SUM(CAST(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2)) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s3
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 14 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id,
+           CASE WHEN n >= 15 THEN
+             ROUND(SQRT(n * (n - 1)) / (n - 2)
+               * ((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                  / POW(s2 / n - (s1 / n) * (s1 / n), 1.5)), 6) END AS roll_skew
          FROM t""",
 
     "win_rank_average" ->
