@@ -129,6 +129,30 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   def groupby(keys: String*): PGroupBy = PGroupBy(df, keys)
 
+  /** pd.merge_asof(direction=backward|forward|nearest) */
+  def mergeAsof(
+      right: PFrame,
+      by: Seq[String],
+      on: String,
+      valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceMicros: Option[Long] = None): PFrame = {
+    val out = direction match {
+      case "backward" =>
+        graft.operators.AsofJoin.backward(df, right.df, by, on, on, valueCols, toleranceMicros)
+      case "forward" =>
+        graft.operators.AsofJoin.forward(df, right.df, by, on, on, valueCols, toleranceMicros)
+      case "nearest" =>
+        graft.operators.AsofJoin.nearest(df, right.df, by, on, on, valueCols, toleranceMicros)
+      case other => throw new IllegalArgumentException(s"direction: $other")
+    }
+    copy(df = out)
+  }
+
+  /** df.ewm(alpha).mean()/var() per key over an explicit time order */
+  def ewm(key: String, order: String, value: String, alpha: Double): PFrame =
+    copy(df = graft.functions.Ewm.ewmMean(df.sparkSession, df, key, order, value, alpha))
+
   /** df.rolling(n, min_periods) over an explicit order, per partition key */
   def rolling(n: Int, order: String, partition: Seq[String] = Nil,
       minPeriods: Int = 1): PRolling =

@@ -52,23 +52,33 @@ object Ewm {
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val rows = it.toArray.sortBy(_._2)
-        val out = new Array[(Long, Long, Double, Double, Double)](rows.length)
-        var num = 0.0; var den = 0.0 // adjust=true state
-        var yNoAdj = Double.NaN      // adjust=false state
+        val out = new Array[(Long, Long, Double, Double, Double, Option[Double])](rows.length)
+        var num = 0.0; var den = 0.0   // adjust=true mean state
+        var num2 = 0.0; var sw2 = 0.0  // variance state (sum w*x^2, sum w^2)
+        var yNoAdj = Double.NaN        // adjust=false state
         var i = 0
         while (i < rows.length) {
           val (_, ord, x) = rows(i)
           num = (1 - alpha) * num + x
           den = (1 - alpha) * den + 1.0
+          num2 = (1 - alpha) * num2 + x * x
+          sw2 = ((1 - alpha) * (1 - alpha)) * sw2 + 1.0
           yNoAdj = if (i == 0) x else (1 - alpha) * yNoAdj + alpha * x
-          out(i) = (key, ord, x, num / den, yNoAdj)
+          // unbiased EWM variance (ewmcov aggregations.pyx:2143):
+          // biased second moment scaled by den^2 / (den^2 - sw2)
+          val ewmVar =
+            if (den * den - sw2 > 0)
+              Some((num2 / den - (num / den) * (num / den)) *
+                ((den * den) / (den * den - sw2)))
+            else None
+          out(i) = (key, ord, x, num / den, yNoAdj, ewmVar)
           i += 1
         }
         out.iterator
       }
-      .toDF(keyCol, "ord_micros", valueCol, "ewm_adj", "ewm_noadj")
+      .toDF(keyCol, "ord_micros", valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
       .withColumn(orderCol, timestamp_micros(col("ord_micros")))
       .drop("ord_micros")
-      .select(keyCol, orderCol, valueCol, "ewm_adj", "ewm_noadj")
+      .select(keyCol, orderCol, valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
   }
 }

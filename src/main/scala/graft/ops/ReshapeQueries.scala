@@ -95,12 +95,23 @@ object ReshapeQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
     },
 
-    // qcut: quantile bins via ntile over a total order (tile.py:298)
+    // qcut: quantile bins (tile.py:298). NTILE semantics reproduced
+    // distributed: global ordinal via GlobalOrder (range partition +
+    // zipWithIndex), then the SQL-standard remainder rule — the first
+    // (n mod k) buckets get the extra row. No single-partition window.
     "rs_qcut" -> { (s, d) =>
       import s.implicits._
-      val w = Window.orderBy($"o_totalprice", $"o_orderkey")
-      Tables(s, d, "orders")
-        .withColumn("q4", ntile(4).over(w))
+      val k = 4
+      val ordered = graft.operators.GlobalOrder.zipOrdinal(
+        Tables(s, d, "orders").select($"o_orderkey", $"o_totalprice"),
+        Seq($"o_totalprice", $"o_orderkey"))
+      val n = ordered.count()
+      val q = n / k
+      val r = n % k
+      val bucket = when(col("__ord") < (q + 1) * r, (col("__ord") / (q + 1)).cast("long"))
+        .otherwise(((col("__ord") - r) / q).cast("long"))
+      ordered
+        .withColumn("q4", (bucket + 1).cast("int"))
         .groupBy($"q4")
         .agg(count(lit(1)).as("n"),
           min($"o_totalprice").as("lo"),

@@ -158,6 +158,7 @@ object WindowQueries extends QueryModule {
       Ewm.ewmMean(s, ev, "user_id", "ts", "value", alpha = 0.1)
         .withColumn("ewm_adj", round(col("ewm_adj"), 6))
         .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+        .withColumn("ewm_var", round(col("ewm_var"), 6))
     }
   )
 
@@ -261,15 +262,22 @@ object WindowQueries extends QueryModule {
          e AS (
            SELECT user_id, ts, "value", rn,
              CAST("value" AS DOUBLE) AS num, CAST(1.0 AS DOUBLE) AS den,
+             CAST("value" AS DOUBLE) * CAST("value" AS DOUBLE) AS num2,
+             CAST(1.0 AS DOUBLE) AS sw2,
              CAST("value" AS DOUBLE) AS ynoadj
            FROM r WHERE rn = 1
            UNION ALL
            SELECT r.user_id, r.ts, r."value", r.rn,
              0.9 * e.num + r."value", 0.9 * e.den + 1.0,
+             0.9 * e.num2 + r."value" * r."value",
+             (0.9 * 0.9) * e.sw2 + 1.0,
              0.9 * e.ynoadj + 0.1 * r."value"
            FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
          SELECT user_id, ts, "value",
-           ROUND(num / den, 6) AS ewm_adj, ROUND(ynoadj, 6) AS ewm_noadj
+           ROUND(num / den, 6) AS ewm_adj, ROUND(ynoadj, 6) AS ewm_noadj,
+           CASE WHEN den * den - sw2 > 0 THEN
+             ROUND((num2 / den - (num / den) * (num / den))
+               * ((den * den) / (den * den - sw2)), 6) END AS ewm_var
          FROM e"""
   )
 }
