@@ -83,6 +83,19 @@ object StreamQueries extends QueryModule {
       runToMemory(s, agg, OutputMode.Complete())
     },
 
+    // watermarked append-mode aggregate: only windows the 10-minute
+    // watermark has closed are emitted — late data handling pandas has
+    // no analogue for. The last (open) day window is withheld, which
+    // the oracle mirrors with max(ts) - delay.
+    "stream_watermark_append" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+        .select(col("window.start").as("day"), col("n"), col("sum_val"))
+      runToMemory(s, agg, OutputMode.Append())
+    },
+
     // stateful per-user recursion via flatMapGroupsWithState: final
     // EWM(adjust=false, alpha=0.1) per user — state carries across
     // micro-batches in the state store
@@ -132,6 +145,15 @@ object StreamQueries extends QueryModule {
            FROM events)
          SELECT w_start, event_type, COUNT(*) AS n
          FROM b GROUP BY 1, 2""",
+
+    "stream_watermark_append" ->
+      """WITH m AS (SELECT MAX(ts) - INTERVAL 10 MINUTE AS wm FROM events)
+         SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM events, m
+         WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= m.wm
+         GROUP BY 1""",
 
     "stream_stateful_ewm" ->
       """WITH RECURSIVE r AS (
