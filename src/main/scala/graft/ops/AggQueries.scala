@@ -35,7 +35,15 @@ object AggQueries extends QueryModule {
         .agg(
           dsum($"l_quantity").as("sum_qty"),
           dsum($"l_extendedprice").as("sum_base_price"),
-          dsum8(dec($"l_extendedprice") * (lit(1).cast("decimal(18,4)") - dec($"l_discount"))).as("sum_disc_price"),
+          // price*(1-disc) distributed as sum(p) - sum(p*d): 2-decimal
+          // inputs keep every product at scale 4, so the scaled sum
+          // stays below 2^53 and the final decimal->double cast is
+          // exact on both engines (scale-8 sums are not: the cast can
+          // differ by 1 ulp between engines at ~1e9 magnitudes)
+          (sum($"l_extendedprice".cast("decimal(12,2)")).cast("decimal(38,4)") -
+            sum(($"l_extendedprice".cast("decimal(12,2)") * $"l_discount".cast("decimal(6,2)"))
+              .cast("decimal(38,4)")))
+            .cast("double").as("sum_disc_price"),
           dmean($"l_quantity").as("avg_qty"),
           dmean($"l_discount").as("avg_disc"),
           count(lit(1)).as("count_order"))
@@ -281,7 +289,10 @@ object AggQueries extends QueryModule {
         .select($"user_id", $"event_id", $"value",
           lag($"value", 1).over(w).as("prev_value"),
           ($"value" - lag($"value", 1).over(w)).as("diff_value"),
-          (($"value" - lag($"value", 1).over(w)) / lag($"value", 1).over(w)).as("pct_change"),
+          // pandas pct_change with a 0 base is inf; the engine policy
+          // (SURVEY §7.4.2) is NULL for undefined ratios on both sides
+          (($"value" - lag($"value", 1).over(w)) /
+            nullif(lag($"value", 1).over(w), lit(0.0))).as("pct_change"),
           lead($"value", 1).over(w).as("next_value"))
     },
 
@@ -436,7 +447,8 @@ object AggQueries extends QueryModule {
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(38,8))) AS DOUBLE) AS sum_disc_price,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,4))
+              - SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(6,2)) AS DECIMAL(38,4))) AS DOUBLE) AS sum_disc_price,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
          CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
          COUNT(*) AS count_order
@@ -588,7 +600,7 @@ object AggQueries extends QueryModule {
       """SELECT user_id, event_id, "value",
          LAG("value", 1) OVER w AS prev_value,
          "value" - LAG("value", 1) OVER w AS diff_value,
-         ("value" - LAG("value", 1) OVER w) / LAG("value", 1) OVER w AS pct_change,
+         ("value" - LAG("value", 1) OVER w) / nullif(LAG("value", 1) OVER w, 0.0) AS pct_change,
          LEAD("value", 1) OVER w AS next_value
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
 

@@ -41,7 +41,12 @@ def main():
         name = os.path.basename(d)
         if not os.path.isdir(d):
             continue
-        got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+        try:
+            got = con.execute(f"SELECT * FROM '{d}/*.parquet'")
+        except Exception as e:
+            n_fail += 1
+            print(f"  [FAIL-run ] {name}: no output written ({e})")
+            continue
         got_names = [c[0] for c in got.description]
         got_rows = got.fetchall()
         if name not in oracle:
