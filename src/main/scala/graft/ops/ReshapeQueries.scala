@@ -120,15 +120,22 @@ object ReshapeQueries extends QueryModule {
 
     // nested struct + array columns (ArrowDtype list/struct surface,
     // arrays/arrow/accessors.py ListAccessor/StructAccessor): struct
-    // construction, field access, array slice
+    // construction, field access, array slice. Nested values are
+    // flattened to hashable scalars for the oracle compare (the
+    // driver's pandas sort can't order dict/ndarray cells); the nested
+    // types themselves stay covered in ReshapeSpec.
     "rs_nested_struct" -> { (s, d) =>
       import s.implicits._
       Tables(s, d, "documents")
         .select($"doc_id",
           struct($"lang", $"n_chars").as("meta"),
           slice(split($"text", " "), 1, 3).as("head_words"))
-        .select($"doc_id", $"meta", $"meta.lang".as("lang_field"),
-          size($"head_words").as("n_head"), $"head_words")
+        .select($"doc_id",
+          concat(lit("{lang:"), $"meta.lang", lit(",n_chars:"),
+            $"meta.n_chars".cast("string"), lit("}")).as("meta_json"),
+          $"meta.lang".as("lang_field"),
+          size($"head_words").as("n_head"),
+          concat_ws(" ", $"head_words").as("head_str"))
     },
 
     // from_dummies: inverse one-hot (encoding.py:409)
@@ -220,10 +227,10 @@ object ReshapeQueries extends QueryModule {
 
     "rs_nested_struct" ->
       """SELECT doc_id,
-         {'lang': lang, 'n_chars': n_chars} AS meta,
+         '{lang:' || lang || ',n_chars:' || CAST(n_chars AS VARCHAR) || '}' AS meta_json,
          lang AS lang_field,
-         len(string_split(text, ' ')[1:3]) AS n_head,
-         string_split(text, ' ')[1:3] AS head_words
+         CAST(len(string_split(text, ' ')[1:3]) AS INT) AS n_head,
+         array_to_string(string_split(text, ' ')[1:3], ' ') AS head_str
          FROM documents""",
 
     "rs_from_dummies" ->

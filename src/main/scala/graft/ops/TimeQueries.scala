@@ -127,7 +127,11 @@ object TimeQueries extends QueryModule {
 
     // Period dtype representation (PeriodDtype dtypes.py:1000, SURVEY
     // §1.3): period = struct(start, freq) + integer ordinal; period
-    // arithmetic = month arithmetic on the start
+    // arithmetic = month arithmetic on the start. The struct itself is
+    // built and field-accessed here (and covered as a nested type in
+    // ReshapeSpec); the oracle-facing projection flattens it to
+    // hashable scalars because the driver's pandas sort can't order
+    // dict cells.
     "ts_period_struct" -> { (s, d) =>
       import s.implicits._
       val start = date_trunc("month", $"o_orderdate")
@@ -138,6 +142,11 @@ object TimeQueries extends QueryModule {
           ((year($"o_orderdate") - 1970) * 12 + month($"o_orderdate") - 1)
             .as("period_ordinal"),
           (start + expr("interval 1 month")).as("next_period_start"))
+        .select($"o_orderkey",
+          concat(lit("["), date_format($"period.start", "yyyy-MM-dd"),
+            lit("|"), $"period.freq", lit("]")).as("period_str"),
+          $"period.start".as("period_start"),
+          $"period_ordinal", $"next_period_start")
     },
 
     // to_datetime parsing round-trip (tools/datetimes.py:767)
@@ -228,7 +237,8 @@ object TimeQueries extends QueryModule {
 
     "ts_period_struct" ->
       """SELECT o_orderkey,
-         {'start': CAST(date_trunc('month', o_orderdate) AS TIMESTAMP), 'freq': 'M'} AS period,
+         '[' || strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') || '|M]' AS period_str,
+         CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS period_start,
          CAST((EXTRACT(year FROM o_orderdate) - 1970) * 12
            + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS period_ordinal,
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 1 MONTH AS next_period_start

@@ -5,9 +5,10 @@
 set -u
 SF=${1:-/root/testdata/sf0.01}
 OUT=${2:-/tmp/vout}
+FILTER=${3:-}
 rm -rf "$OUT"
 START=$(date +%s)
-tmux send-keys -t sbt "runMain graft.Verify $SF $OUT" Enter
+tmux send-keys -t sbt "runMain graft.Verify $SF $OUT $FILTER" Enter
 for i in $(seq 1 240); do
   sleep 5
   if [ -f "$OUT/oracle_sql.json" ]; then
