@@ -108,6 +108,89 @@ object WindowQueries extends QueryModule {
           }).as("roll_skew"))
     },
 
+    // rolling kurt (roll_kurt aggregations.pyx:671): bias-corrected
+    // excess kurtosis G2 from exact decimal window moments s1..s4 —
+    // same algebraic-identity pattern as win_rolling_std/skew. The
+    // 3rd/4th power sums stay internal (absorbed by round(_,6)).
+    "win_rolling_kurt" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-19, 0)
+      val v = $"value".cast("decimal(7,2)")
+      val v2 = v * v
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          count($"value").over(w).cast("double").as("n"),
+          sum(v).over(w).cast("double").as("s1"),
+          sum(v2).over(w).cast("double").as("s2"),
+          sum((v2 * v).cast("decimal(38,8)")).over(w).cast("double").as("s3"),
+          // widen the squared term so the 4th-power multiply is exact
+          // on both engines (DuckDB's int64 decimal lane overflows)
+          sum((v2.cast("decimal(19,4)") * v2.cast("decimal(19,4)"))
+            .cast("decimal(38,8)")).over(w).cast("double").as("s4"))
+        .select($"user_id", $"event_id",
+          when($"n" >= 20, {
+            val mean = $"s1" / $"n"
+            val m2 = $"s2" / $"n" - mean * mean
+            val m4 = $"s4" / $"n" - lit(4) * mean * ($"s3" / $"n") +
+              lit(6) * mean * mean * ($"s2" / $"n") - lit(3) * mean * mean * mean * mean
+            val g2 = m4 / (m2 * m2) - lit(3)
+            round((($"n" - 1) / (($"n" - 2) * ($"n" - 3))) * (($"n" + 1) * g2 + lit(6)), 6)
+          }).as("roll_kurt"))
+    },
+
+    // rolling quantile, interpolation='linear' (roll_quantile
+    // aggregations.pyx:1404): sorted window array + the (n-1)*q
+    // fractional index rule — generalizes the win_rolling_median shape
+    "win_rolling_quantile" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-8, 0)
+      val arr = sort_array(collect_list($"value").over(w))
+      val n = size(arr)
+      val h = (n.cast("double") - 1) * lit(0.3)
+      val lo = floor(h).cast("int")
+      val frac = h - floor(h)
+      val atLo = element_at(arr, lo + 1)
+      val atHi = element_at(arr, least(lo + 2, n))
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          when(n >= 9, round(atLo + frac * (atHi - atLo), 6)).as("roll_q30"))
+    },
+
+    // rolling rank, method='average' + pct (roll_rank
+    // aggregations.pyx:1528): rank of the current value inside its own
+    // window frame = #less + (#equal + 1)/2, via HOF filters — no
+    // second window pass
+    "win_rolling_rank" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-8, 0)
+      val arr = collect_list($"value").over(w)
+      val n = size(arr)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id", $"value", arr.as("arr"), n.as("n"))
+        .select($"user_id", $"event_id",
+          when($"n" >= 9, {
+            val nless = size(filter($"arr", x => x < $"value")).cast("double")
+            val neq = size(filter($"arr", x => x === $"value"))
+            round(nless + (neq + 1) / lit(2.0), 6)
+          }).as("roll_rank_avg"),
+          when($"n" >= 9, {
+            val nless = size(filter($"arr", x => x < $"value")).cast("double")
+            val neq = size(filter($"arr", x => x === $"value"))
+            round((nless + (neq + 1) / lit(2.0)) / $"n", 6)
+          }).as("roll_rank_pct"))
+    },
+
+    // rolling nunique (roll_nunique aggregations.pyx:1636): distinct
+    // count inside the window frame
+    "win_rolling_nunique" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-8, 0)
+      val arr = collect_list($"value").over(w)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          when(size(arr) >= 9, size(array_distinct(arr))).as("roll_nunique"))
+    },
+
     // rank(method='average') + pandas pct (group_rank groupby.pyx:1910):
     // average = rank_min + (n_equal - 1)/2
     "win_rank_average" -> { (s, d) =>
@@ -223,6 +306,67 @@ object WindowQueries extends QueryModule {
              ROUND(SQRT(n * (n - 1)) / (n - 2)
                * ((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
                   / POW(s2 / n - (s1 / n) * (s1 / n), 1.5)), 6) END AS roll_skew
+         FROM t""",
+
+    "win_rolling_kurt" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             CAST(COUNT("value") OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(7,2))) OVER w AS DOUBLE) AS s1,
+             CAST(SUM(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2))) OVER w AS DOUBLE) AS s2,
+             CAST(SUM(CAST(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2)) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s3,
+             CAST(SUM(CAST(CAST(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2)) AS DECIMAL(19,4)) * CAST(CAST("value" AS DECIMAL(7,2)) * CAST("value" AS DECIMAL(7,2)) AS DECIMAL(19,4)) AS DECIMAL(38,8))) OVER w AS DOUBLE) AS s4
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id,
+           CASE WHEN n >= 20 THEN
+             ROUND(((n - 1) / ((n - 2) * (n - 3))) * ((n + 1) *
+               ((s4 / n - 4 * (s1 / n) * (s3 / n)
+                 + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                 - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                / ((s2 / n - (s1 / n) * (s1 / n)) * (s2 / n - (s1 / n) * (s1 / n))) - 3) + 6), 6)
+           END AS roll_kurt
+         FROM t""",
+
+    "win_rolling_quantile" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             list_sort(list("value") OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS arr
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN len(arr) >= 9 THEN
+             ROUND(arr[CAST(FLOOR((len(arr) - 1) * 0.3) AS INT) + 1]
+               + ((len(arr) - 1) * 0.3 - FLOOR((len(arr) - 1) * 0.3))
+                 * (arr[LEAST(CAST(FLOOR((len(arr) - 1) * 0.3) AS INT) + 2, len(arr))]
+                    - arr[CAST(FLOOR((len(arr) - 1) * 0.3) AS INT) + 1]), 6) END AS roll_q30
+         FROM t""",
+
+    "win_rolling_rank" ->
+      """WITH t AS (
+           SELECT user_id, event_id, "value",
+             list("value") OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS arr
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN len(arr) >= 9 THEN
+             ROUND(CAST(len(list_filter(arr, x -> x < "value")) AS DOUBLE)
+               + (len(list_filter(arr, x -> x = "value")) + 1) / 2.0, 6) END AS roll_rank_avg,
+           CASE WHEN len(arr) >= 9 THEN
+             ROUND((CAST(len(list_filter(arr, x -> x < "value")) AS DOUBLE)
+               + (len(list_filter(arr, x -> x = "value")) + 1) / 2.0)
+               / CAST(len(arr) AS DOUBLE), 6) END AS roll_rank_pct
+         FROM t""",
+
+    "win_rolling_nunique" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             list("value") OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS arr
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN len(arr) >= 9
+                THEN CAST(len(list_distinct(arr)) AS INT) END AS roll_nunique
          FROM t""",
 
     "win_rank_average" ->
