@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Exponentially weighted moving aggregates (pandas
   * `window/ewm.py:127` ExponentialMovingWindow; kernels
-  * `_libs/window/aggregations.pyx:2044`).
+  * `_libs/window/aggregations.pyx:2044` ewm / `:2143` ewmcov).
   *
   * EWM is a linear recursion (y_t depends on y_{t-1}) — the one pandas
   * window family with no Spark window-function equivalent. The
@@ -15,7 +15,8 @@ import org.apache.spark.sql.functions._
   *   - `groupByKey(key)` co-partitions each entity's rows (one shuffle,
   *     the same exchange any per-key window needs);
   *   - `flatMapGroups` sorts the group in memory and folds the
-  *     recursion — state is two doubles, never materialized globally.
+  *     recursion — state is a handful of doubles, never materialized
+  *     globally.
   *
   * At 100 TB this scales with group count; a single group's rows must
   * fit an executor (same constraint pandas-on-a-node has for the whole
@@ -23,18 +24,29 @@ import org.apache.spark.sql.functions._
   * variant with `flatMapGroupsWithState` carries (num, den) across
   * micro-batches (see graft.streaming).
   *
-  * Semantics (pandas ewm docstring): with a = alpha,
-  *   adjust=true:  y_t = sum_{i<=t}(1-a)^{t-i} x_i / sum_{i<=t}(1-a)^{t-i}
-  *   adjust=false: y_0 = x_0; y_t = (1-a) y_{t-1} + a x_t
-  * Nulls propagate pandas-style: they produce no state update
-  * (ignore_na=false position weighting is preserved by decaying on
-  * every row).
+  * Null semantics (pandas ewm docstring, aggregations.pyx ewm kernel):
+  * a missing value emits the carried-forward statistic; with
+  * ignore_na=false (default) it still decays the accumulated weights by
+  * one step (absolute-position weighting), with ignore_na=true it
+  * leaves state untouched (relative-position weighting). Missing keys
+  * or order values are rejected with a clear error, matching pandas
+  * which disallows NaN in the grouping/ordering of a window op.
   */
 object Ewm {
 
-  /** EWM mean of `valueCol` per `keyCol`, ordered by `orderCol` (must
-    * be unique within key). Returns (key, order, value, ewm_adj,
-    * ewm_noadj) rows.
+  /** alpha from the pandas smoothing parameterizations (ewm.py:127):
+    * span >= 1, com >= 0, halflife > 0. */
+  def alphaFromSpan(span: Double): Double = 2.0 / (span + 1.0)
+  def alphaFromCom(com: Double): Double = 1.0 / (1.0 + com)
+  def alphaFromHalflife(halflife: Double): Double =
+    1.0 - math.exp(-math.log(2.0) / halflife)
+
+  /** EWM mean + unbiased variance of `valueCol` per `keyCol`, ordered
+    * by `orderCol` (must be non-null and unique within key; null keys/
+    * order values fail fast). Null values follow pandas semantics for
+    * the given `ignoreNa`. Returns (key, order, value, ewm_adj,
+    * ewm_noadj, ewm_var) rows — one per input row, carried-forward on
+    * missing input.
     */
   def ewmMean(
       spark: SparkSession,
@@ -42,43 +54,143 @@ object Ewm {
       keyCol: String,
       orderCol: String,
       valueCol: String,
-      alpha: Double): DataFrame = {
+      alpha: Double,
+      ignoreNa: Boolean = false): DataFrame = {
     import spark.implicits._
+    val decay = 1 - alpha
     df.select(
-        col(keyCol).cast("long"),
-        unix_micros(col(orderCol)),
-        col(valueCol).cast("double"))
-      .as[(Long, Long, Double)]
+        col(keyCol).cast("long").as("k"),
+        unix_micros(col(orderCol)).as("o"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Option[Long], Option[Long], Option[Double])]
+      .map { case (k, o, v) =>
+        (k.getOrElse(throw new IllegalArgumentException(
+           s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")),
+         o.getOrElse(throw new IllegalArgumentException(
+           s"Ewm: null/invalid order in '$orderCol'")),
+         v)
+      }
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val rows = it.toArray.sortBy(_._2)
-        val out = new Array[(Long, Long, Double, Double, Double, Option[Double])](rows.length)
         var num = 0.0; var den = 0.0   // adjust=true mean state
         var num2 = 0.0; var sw2 = 0.0  // variance state (sum w*x^2, sum w^2)
         var yNoAdj = Double.NaN        // adjust=false state
-        var i = 0
-        while (i < rows.length) {
-          val (_, ord, x) = rows(i)
-          num = (1 - alpha) * num + x
-          den = (1 - alpha) * den + 1.0
-          num2 = (1 - alpha) * num2 + x * x
-          sw2 = ((1 - alpha) * (1 - alpha)) * sw2 + 1.0
-          yNoAdj = if (i == 0) x else (1 - alpha) * yNoAdj + alpha * x
-          // unbiased EWM variance (ewmcov aggregations.pyx:2143):
-          // biased second moment scaled by den^2 / (den^2 - sw2)
+        var wNoAdj = 1.0               // adjust=false carried weight across gaps
+        rows.iterator.map { case (_, ord, vOpt) =>
+          vOpt match {
+            case Some(x) =>
+              num = decay * num + x
+              den = decay * den + 1.0
+              num2 = decay * num2 + x * x
+              sw2 = (decay * decay) * sw2 + 1.0
+              if (yNoAdj.isNaN) { yNoAdj = x; wNoAdj = 1.0 }
+              else {
+                val wd = wNoAdj * decay
+                yNoAdj = (wd * yNoAdj + alpha * x) / (wd + alpha)
+                wNoAdj = 1.0
+              }
+            case None if !ignoreNa =>
+              // absolute-position weighting: one decay step, no value
+              num = decay * num; den = decay * den
+              num2 = decay * num2; sw2 = (decay * decay) * sw2
+              wNoAdj = wNoAdj * decay
+            case None => () // ignore_na=true: state untouched
+          }
           val ewmVar =
-            if (den * den - sw2 > 0)
+            if (den > 0 && den * den - sw2 > 0)
               Some((num2 / den - (num / den) * (num / den)) *
                 ((den * den) / (den * den - sw2)))
             else None
-          out(i) = (key, ord, x, num / den, yNoAdj, ewmVar)
-          i += 1
+          (key, ord, vOpt,
+            if (den > 0) Some(num / den) else None,
+            if (yNoAdj.isNaN) None else Some(yNoAdj),
+            ewmVar)
         }
-        out.iterator
       }
       .toDF(keyCol, "ord_micros", valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
       .withColumn(orderCol, timestamp_micros(col("ord_micros")))
       .drop("ord_micros")
       .select(keyCol, orderCol, valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
+  }
+
+  /** EWM covariance (bias=False) + correlation of (`xCol`, `yCol`) per
+    * `keyCol` (ewmcov aggregations.pyx:2143; cov/corr ewm.py:127).
+    * A pair is an observation only when BOTH values are present.
+    * `adjust` selects the pandas weight scheme: true → new weight 1,
+    * false → new weight alpha with the first observation keeping
+    * weight 1. Returns (key, order, x, y, ewm_cov, ewm_corr).
+    */
+  def ewmCov(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      xCol: String,
+      yCol: String,
+      alpha: Double,
+      adjust: Boolean = true,
+      ignoreNa: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val decay = 1 - alpha
+    df.select(
+        col(keyCol).cast("long").as("k"),
+        unix_micros(col(orderCol)).as("o"),
+        col(xCol).cast("double").as("x"),
+        col(yCol).cast("double").as("y"))
+      .as[(Option[Long], Option[Long], Option[Double], Option[Double])]
+      .map { case (k, o, x, y) =>
+        (k.getOrElse(throw new IllegalArgumentException(
+           s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")),
+         o.getOrElse(throw new IllegalArgumentException(
+           s"Ewm: null/invalid order in '$orderCol'")),
+         x, y)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var numx = 0.0; var numy = 0.0; var numxy = 0.0
+        var numx2 = 0.0; var numy2 = 0.0
+        var den = 0.0; var sw2 = 0.0
+        var started = false
+        rows.iterator.map { case (_, ord, xOpt, yOpt) =>
+          (xOpt, yOpt) match {
+            case (Some(x), Some(y)) =>
+              // first observation always has weight 1; later ones get
+              // the scheme's new weight (1 for adjust, alpha otherwise)
+              val nw = if (!started || adjust) 1.0 else alpha
+              numx = decay * numx + nw * x
+              numy = decay * numy + nw * y
+              numxy = decay * numxy + nw * (x * y)
+              numx2 = decay * numx2 + nw * (x * x)
+              numy2 = decay * numy2 + nw * (y * y)
+              den = decay * den + nw
+              sw2 = (decay * decay) * sw2 + nw * nw
+              started = true
+            case _ if !ignoreNa && started =>
+              numx = decay * numx; numy = decay * numy; numxy = decay * numxy
+              numx2 = decay * numx2; numy2 = decay * numy2
+              den = decay * den; sw2 = (decay * decay) * sw2
+            case _ => ()
+          }
+          val (cov, corr) =
+            if (den > 0) {
+              val mx = numx / den; val my = numy / den
+              val cxy = numxy / den - mx * my
+              val m2x = numx2 / den - mx * mx
+              val m2y = numy2 / den - my * my
+              (if (den * den - sw2 > 0)
+                 Some(cxy * ((den * den) / (den * den - sw2)))
+               else None,
+               if (m2x > 0 && m2y > 0) Some(cxy / math.sqrt(m2x * m2y))
+               else None)
+            } else (None, None)
+          (key, ord, xOpt, yOpt, cov, corr)
+        }
+      }
+      .toDF(keyCol, "ord_micros", xCol, yCol, "ewm_cov", "ewm_corr")
+      .withColumn(orderCol, timestamp_micros(col("ord_micros")))
+      .drop("ord_micros")
+      .select(keyCol, orderCol, xCol, yCol, "ewm_cov", "ewm_corr")
   }
 }

@@ -242,8 +242,80 @@ object WindowQueries extends QueryModule {
         .withColumn("ewm_adj", round(col("ewm_adj"), 6))
         .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
         .withColumn("ewm_var", round(col("ewm_var"), 6))
+    },
+
+    // ewm mean over a series WITH missing values, ignore_na=False
+    // (default): a gap decays the accumulated weights one step
+    // (absolute-position weighting, aggregations.pyx ewm kernel)
+    "win_ewm_nulls" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"user_id", $"ts",
+          when(pmod($"event_id", lit(7)) === 0, lit(null))
+            .otherwise($"value").cast("double").as("v"))
+      Ewm.ewmMean(s, ev, "user_id", "ts", "v", alpha = 0.2, ignoreNa = false)
+        .drop("ewm_var")
+        .withColumn("ewm_adj", round(col("ewm_adj"), 6))
+        .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+    },
+
+    // same series, ignore_na=True: gaps leave state untouched
+    // (relative-position weighting)
+    "win_ewm_ignore_na" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"user_id", $"ts",
+          when(pmod($"event_id", lit(7)) === 0, lit(null))
+            .otherwise($"value").cast("double").as("v"))
+      Ewm.ewmMean(s, ev, "user_id", "ts", "v", alpha = 0.2, ignoreNa = true)
+        .drop("ewm_var")
+        .withColumn("ewm_adj", round(col("ewm_adj"), 6))
+        .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+    },
+
+    // ewm cov (bias=False) + corr, adjust=True, alpha from span=9
+    // (ewmcov aggregations.pyx:2143; span->alpha ewm.py:127)
+    "win_ewm_cov" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"user_id", $"ts", $"value".as("x"),
+          ($"value" * 0.5 + pmod($"event_id", lit(10)).cast("double")).as("y"))
+      Ewm.ewmCov(s, ev, "user_id", "ts", "x", "y",
+          alpha = Ewm.alphaFromSpan(9), adjust = true)
+        .withColumn("ewm_cov", round(col("ewm_cov"), 6))
+        .withColumn("ewm_corr", round(col("ewm_corr"), 6))
+    },
+
+    // ewm cov + corr with adjust=False: new weight alpha, first
+    // observation keeps weight 1
+    "win_ewm_cov_noadj" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"user_id", $"ts", $"value".as("x"),
+          ($"value" * 0.5 + pmod($"event_id", lit(10)).cast("double")).as("y"))
+      Ewm.ewmCov(s, ev, "user_id", "ts", "x", "y",
+          alpha = Ewm.alphaFromSpan(9), adjust = false)
+        .withColumn("ewm_cov", round(col("ewm_cov"), 6))
+        .withColumn("ewm_corr", round(col("ewm_corr"), 6))
+    },
+
+    // halflife parameterization: alpha = 1 - exp(-ln 2 / halflife)
+    "win_ewm_halflife" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      Ewm.ewmMean(s, ev, "user_id", "ts", "value",
+          alpha = Ewm.alphaFromHalflife(2.0))
+        .drop("ewm_var")
+        .withColumn("ewm_adj", round(col("ewm_adj"), 6))
+        .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
     }
   )
+
+  // oracle constants interpolated from the SAME Scala doubles the
+  // engine uses, so the recursive CTE replays bit-identical arithmetic
+  private val D02 = (1 - 0.2).toString // decay for alpha=0.2
+  private val aHl = Ewm.alphaFromHalflife(2.0).toString
+  private val dHl = (1 - Ewm.alphaFromHalflife(2.0)).toString
 
   def oracle: Map[String, String] = Map(
     "win_rolling_sum" ->
@@ -422,6 +494,143 @@ object WindowQueries extends QueryModule {
            CASE WHEN den * den - sw2 > 0 THEN
              ROUND((num2 / den - (num / den) * (num / den))
                * ((den * den) / (den * den - sw2)), 6) END AS ewm_var
+         FROM e""",
+
+    "win_ewm_nulls" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST("value" AS DOUBLE) END AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, v, rn,
+             CASE WHEN v IS NOT NULL THEN v ELSE CAST(0.0 AS DOUBLE) END AS num,
+             CASE WHEN v IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS den,
+             v AS yno,
+             CAST(1.0 AS DOUBLE) AS wno
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.v, r.rn,
+             CASE WHEN r.v IS NOT NULL THEN $D02 * e.num + r.v ELSE $D02 * e.num END,
+             CASE WHEN r.v IS NOT NULL THEN $D02 * e.den + 1.0 ELSE $D02 * e.den END,
+             CASE WHEN r.v IS NULL THEN e.yno
+                  WHEN e.yno IS NULL THEN r.v
+                  ELSE ((e.wno * $D02) * e.yno + 0.2 * r.v) / (e.wno * $D02 + 0.2) END,
+             CASE WHEN r.v IS NULL THEN e.wno * $D02 ELSE 1.0 END
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, v,
+           CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS ewm_adj,
+           ROUND(yno, 6) AS ewm_noadj
+         FROM e""",
+
+    "win_ewm_ignore_na" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT user_id, ts,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE CAST("value" AS DOUBLE) END AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, v, rn,
+             CASE WHEN v IS NOT NULL THEN v ELSE CAST(0.0 AS DOUBLE) END AS num,
+             CASE WHEN v IS NOT NULL THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS den,
+             v AS yno
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.v, r.rn,
+             CASE WHEN r.v IS NOT NULL THEN $D02 * e.num + r.v ELSE e.num END,
+             CASE WHEN r.v IS NOT NULL THEN $D02 * e.den + 1.0 ELSE e.den END,
+             CASE WHEN r.v IS NULL THEN e.yno
+                  WHEN e.yno IS NULL THEN r.v
+                  ELSE (($D02) * e.yno + 0.2 * r.v) / ($D02 + 0.2) END
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, v,
+           CASE WHEN den > 0 THEN ROUND(num / den, 6) END AS ewm_adj,
+           ROUND(yno, 6) AS ewm_noadj
+         FROM e""",
+
+    "win_ewm_cov" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT user_id, ts, CAST("value" AS DOUBLE) AS x,
+             "value" * 0.5 + CAST(event_id % 10 AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, x, y, rn,
+             x AS numx, y AS numy, x * y AS numxy,
+             x * x AS numx2, y * y AS numy2,
+             CAST(1.0 AS DOUBLE) AS den, CAST(1.0 AS DOUBLE) AS sw2
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.x, r.y, r.rn,
+             $D02 * e.numx + 1.0 * r.x,
+             $D02 * e.numy + 1.0 * r.y,
+             $D02 * e.numxy + 1.0 * (r.x * r.y),
+             $D02 * e.numx2 + 1.0 * (r.x * r.x),
+             $D02 * e.numy2 + 1.0 * (r.y * r.y),
+             $D02 * e.den + 1.0,
+             ($D02 * $D02) * e.sw2 + 1.0
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, x, y,
+           CASE WHEN den * den - sw2 > 0 THEN
+             ROUND((numxy / den - (numx / den) * (numy / den))
+               * ((den * den) / (den * den - sw2)), 6) END AS ewm_cov,
+           CASE WHEN (numx2 / den - (numx / den) * (numx / den)) > 0
+                 AND (numy2 / den - (numy / den) * (numy / den)) > 0 THEN
+             ROUND((numxy / den - (numx / den) * (numy / den))
+               / SQRT((numx2 / den - (numx / den) * (numx / den))
+                    * (numy2 / den - (numy / den) * (numy / den))), 6) END AS ewm_corr
+         FROM e""",
+
+    "win_ewm_cov_noadj" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT user_id, ts, CAST("value" AS DOUBLE) AS x,
+             "value" * 0.5 + CAST(event_id % 10 AS DOUBLE) AS y,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, x, y, rn,
+             x AS numx, y AS numy, x * y AS numxy,
+             x * x AS numx2, y * y AS numy2,
+             CAST(1.0 AS DOUBLE) AS den, CAST(1.0 AS DOUBLE) AS sw2
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.x, r.y, r.rn,
+             $D02 * e.numx + 0.2 * r.x,
+             $D02 * e.numy + 0.2 * r.y,
+             $D02 * e.numxy + 0.2 * (r.x * r.y),
+             $D02 * e.numx2 + 0.2 * (r.x * r.x),
+             $D02 * e.numy2 + 0.2 * (r.y * r.y),
+             $D02 * e.den + 0.2,
+             ($D02 * $D02) * e.sw2 + 0.2 * 0.2
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, x, y,
+           CASE WHEN den * den - sw2 > 0 THEN
+             ROUND((numxy / den - (numx / den) * (numy / den))
+               * ((den * den) / (den * den - sw2)), 6) END AS ewm_cov,
+           CASE WHEN (numx2 / den - (numx / den) * (numx / den)) > 0
+                 AND (numy2 / den - (numy / den) * (numy / den)) > 0 THEN
+             ROUND((numxy / den - (numx / den) * (numy / den))
+               / SQRT((numx2 / den - (numx / den) * (numx / den))
+                    * (numy2 / den - (numy / den) * (numy / den))), 6) END AS ewm_corr
+         FROM e""",
+
+    "win_ewm_halflife" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT user_id, ts, CAST("value" AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, v, rn, v AS num, CAST(1.0 AS DOUBLE) AS den, v AS yno
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.v, r.rn,
+             $dHl * e.num + r.v,
+             $dHl * e.den + 1.0,
+             ((1.0 * $dHl) * e.yno + $aHl * r.v) / (1.0 * $dHl + $aHl)
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, v AS value,
+           ROUND(num / den, 6) AS ewm_adj,
+           ROUND(yno, 6) AS ewm_noadj
          FROM e"""
   )
 }

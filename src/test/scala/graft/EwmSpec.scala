@@ -35,4 +35,56 @@ class EwmSpec extends SparkSpec {
     // single-element group
     assert(out(3)._1 == 2L && math.abs(out(3)._2 - 10.0) < eps)
   }
+
+  test("ewm mean null semantics match pandas for both ignore_na modes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1000L, Some(1.0)), (1L, 2000L, None: Option[Double]), (1L, 3000L, Some(3.0)))
+      .toDF("k", "tsm", "x")
+      .withColumn("ts", timestamp_micros($"tsm")).drop("tsm")
+
+    val eps = 1e-9
+    // pandas Series([1, nan, 3]).ewm(alpha=.5, ignore_na=False):
+    //   adjust=True  mean -> [1, 1, 2.6]
+    //   adjust=False mean -> [1, 1, 7/3]
+    val keep = Ewm.ewmMean(spark, df, "k", "ts", "x", alpha = 0.5, ignoreNa = false)
+      .orderBy($"ts").select($"ewm_adj", $"ewm_noadj")
+      .as[(Double, Double)].collect()
+    assert(math.abs(keep(1)._1 - 1.0) < eps) // carried forward on the gap
+    assert(math.abs(keep(2)._1 - 2.6) < eps)
+    assert(math.abs(keep(2)._2 - 7.0 / 3.0) < eps)
+    // ignore_na=True: adjust=True -> 7/3, adjust=False -> 2.0
+    val ign = Ewm.ewmMean(spark, df, "k", "ts", "x", alpha = 0.5, ignoreNa = true)
+      .orderBy($"ts").select($"ewm_adj", $"ewm_noadj")
+      .as[(Double, Double)].collect()
+    assert(math.abs(ign(2)._1 - 7.0 / 3.0) < eps)
+    assert(math.abs(ign(2)._2 - 2.0) < eps)
+  }
+
+  test("ewm cov equals unbiased ewm var when x == y, corr is 1") {
+    import spark.implicits._
+    val df = Seq((1L, 1000L, 1.0), (1L, 2000L, 2.0), (1L, 3000L, 3.0))
+      .toDF("k", "tsm", "x")
+      .withColumn("ts", timestamp_micros($"tsm")).drop("tsm")
+      .withColumn("y", $"x")
+
+    val out = Ewm.ewmCov(spark, df, "k", "ts", "x", "y", alpha = 0.5)
+      .orderBy($"ts").select($"ewm_cov", $"ewm_corr")
+      .as[(Option[Double], Option[Double])].collect()
+    val eps = 1e-9
+    assert(out(0)._1.isEmpty) // single obs: unbiased cov undefined
+    assert(math.abs(out(1)._1.get - 0.5) < eps) // pandas ewm(alpha=.5).var()[1]
+    assert(math.abs(out(1)._2.get - 1.0) < eps)
+  }
+
+  test("ewm rejects null group keys with a clear error") {
+    import spark.implicits._
+    val df = Seq((Some(1L), 1000L, 1.0), (None: Option[Long], 2000L, 2.0))
+      .toDF("k", "tsm", "x")
+      .withColumn("ts", timestamp_micros(col("tsm"))).drop("tsm")
+    val ex = intercept[Exception] {
+      Ewm.ewmMean(spark, df, "k", "ts", "x", alpha = 0.5).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
