@@ -266,6 +266,27 @@ object AggQueries extends QueryModule {
           (count(lit(1)).over(w) - 1).as("cumcount"))
     },
 
+    // cumprod (group_cumprod groupby.pyx:270): exact per-group running
+    // product via a window-frame array fold — multiplication stays
+    // exact (signs and zeros included), unlike the exp(sum(log(abs)))
+    // rewrite which loses the sign and precision. The frame array is
+    // bounded by group size (<= 7 lines per order), so memory is O(1)
+    // per row at any scale; groups partition-distribute as usual.
+    "agg_cumprod" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber", $"l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val q = $"l_quantity".cast("double")
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          aggregate(collect_list(q).over(w), lit(1.0),
+            (acc, x) => acc * x).as("cumprod_qty"),
+          // centered variant exercises sign flips and exact zeros
+          aggregate(collect_list(q - 25.0).over(w), lit(1.0),
+            (acc, x) => acc * x).as("cumprod_ctr"))
+    },
+
     // rank family inside groups (group_rank groupby.pyx:1910): rank=min,
     // dense, first=row_number, pandas pct = rank/group_size
     "agg_rank_group" -> { (s, d) =>
@@ -375,15 +396,19 @@ object AggQueries extends QueryModule {
     // half-integers, so the decimal moments are exact on both engines.
     "agg_spearman" -> { (s, d) =>
       import s.implicits._
-      val rq = Window.orderBy($"l_quantity")
-      val rqEq = Window.partitionBy($"l_quantity")
-      val rd = Window.orderBy($"l_discount")
-      val rdEq = Window.partitionBy($"l_discount")
-      val ranked = Tables(s, d, "lineitem")
+      // method='average' ranks WITHOUT a global window: GlobalOrder
+      // range-partitions + zips a 0-based ordinal (ties get arbitrary
+      // but contiguous ordinals), then a per-VALUE window average
+      // restores the average rank — avg of a contiguous integer run is
+      // order-independent. No single-partition WindowExec anywhere.
+      val base = Tables(s, d, "lineitem")
         .filter($"l_orderkey" < 5000)
-        .select(
-          (rank().over(rq) + (count(lit(1)).over(rqEq) - 1) / lit(2.0)).as("rx"),
-          (rank().over(rd) + (count(lit(1)).over(rdEq) - 1) / lit(2.0)).as("ry"))
+        .select($"l_quantity".as("xv"), $"l_discount".as("yv"))
+      val zx = graft.operators.GlobalOrder.zipOrdinal(base, Seq($"xv"), "__ox")
+        .withColumn("rx", avg($"__ox").over(Window.partitionBy($"xv")) + 1.0)
+      val ranked = graft.operators.GlobalOrder.zipOrdinal(zx, Seq($"yv"), "__oy")
+        .withColumn("ry", avg($"__oy").over(Window.partitionBy($"yv")) + 1.0)
+        .select($"rx", $"ry")
       val m = ranked.agg(
         count(lit(1)).cast("double").as("n"),
         sum($"rx".cast("decimal(18,1)")).cast("double").as("sx"),
@@ -407,28 +432,19 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n"))
     },
 
-    // Kendall tau-b (nancorr kendall algos.pyx:1988): concordant/
-    // discordant pair counts with tie corrections. The O(n^2) self-join
-    // formulation is exact on a bounded subset; integer counts make it
-    // oracle-deterministic. (A merge-sort O(n log n) Aggregator is the
-    // at-scale variant — documented gap.)
+    // Kendall tau-b on the FULL orders table via Knight's O(n log n)
+    // merge-sort Aggregator (graft.functions.KendallTau; ref
+    // algos.pyx:1988 nancorr_kendall is the O(n^2) pandas kernel).
+    // The O(n^2) pair self-join survives only as the DuckDB oracle.
     "agg_kendall" -> { (s, d) =>
       import s.implicits._
-      val o = Tables(s, d, "orders")
-        .filter($"o_orderkey" < 2000)
-        .select($"o_orderkey".as("k"), $"o_totalprice".as("x"),
-          unix_micros($"o_orderdate".cast("timestamp")).as("y"))
-      val a = o.as("a")
-      val b = o.as("b")
-      val sgn = ($"a.x" - $"b.x") * ($"a.y" - $"b.y")
-      val m = a.join(b, $"a.k" < $"b.k")
-        .agg(
-          count(when(sgn > 0, 1)).cast("double").as("c"),
-          count(when(sgn < 0, 1)).cast("double").as("dd"),
-          count(when($"a.x" === $"b.x" && $"a.y" =!= $"b.y", 1)).cast("double").as("tx"),
-          count(when($"a.y" === $"b.y" && $"a.x" =!= $"b.x", 1)).cast("double").as("ty"))
-      m.select(round(($"c" - $"dd") /
-        (sqrt($"c" + $"dd" + $"tx") * sqrt($"c" + $"dd" + $"ty")), 6).as("kendall_tau"))
+      val ds = Tables(s, d, "orders")
+        .select($"o_totalprice".cast("double").as("x"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .cast("double").as("y"))
+        .as[(Double, Double)]
+      ds.select(graft.functions.KendallTau.toColumn.name("tau"))
+        .select(round($"tau", 6).as("kendall_tau"))
     },
 
     // product aggregate (groupby.pyx:892): tiny per-order groups keep fp
@@ -588,6 +604,16 @@ object AggQueries extends QueryModule {
          WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
 
+    "agg_cumprod" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           list(CAST(l_quantity AS DOUBLE)) OVER w), (a, b) -> a * b) AS cumprod_qty,
+         list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+           list(CAST(l_quantity AS DOUBLE) - 25.0) OVER w), (a, b) -> a * b) AS cumprod_ctr
+         FROM lineitem
+         WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+
     "agg_rank_group" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
          RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rank_min,
@@ -677,9 +703,9 @@ object AggQueries extends QueryModule {
 
     "agg_kendall" ->
       """WITH o AS (
-           SELECT o_orderkey AS k, o_totalprice AS x,
-             epoch_us(o_orderdate) AS y
-           FROM orders WHERE o_orderkey < 2000),
+           SELECT o_orderkey AS k, CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS DOUBLE) AS y
+           FROM orders),
          m AS (
            SELECT
              CAST(COUNT(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 END) AS DOUBLE) AS c,

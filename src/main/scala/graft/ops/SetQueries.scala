@@ -81,14 +81,18 @@ object SetQueries extends QueryModule {
           (row_number().over(w) > 1).as("is_dup"))
     },
 
-    // factorize by first appearance (algorithms.py:804): code = dense
-    // rank of each value's first row position
+    // factorize by first appearance (algorithms.py:804): code = rank of
+    // each value's first row position over the value dictionary. The
+    // dictionary is an aggregate (one row per distinct value) and its
+    // first positions are unique, so the code is a GlobalOrder ordinal
+    // — no unpartitioned window even for huge dictionaries.
     "set_factorize" -> { (s, d) =>
       import s.implicits._
-      val firstPos = Tables(s, d, "customer")
-        .groupBy($"c_mktsegment")
-        .agg(min($"c_custkey").as("first_pos"))
-        .withColumn("code", (dense_rank().over(Window.orderBy($"first_pos")) - 1))
+      val firstPos = graft.operators.GlobalOrder.zipOrdinal(
+        Tables(s, d, "customer")
+          .groupBy($"c_mktsegment")
+          .agg(min($"c_custkey").as("first_pos")),
+        Seq($"first_pos"), "code")
       Tables(s, d, "customer")
         .join(broadcast(firstPos), Seq("c_mktsegment"))
         .select($"c_custkey", $"c_mktsegment", $"code")
