@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -19,15 +18,20 @@ import PortableHash._
   *
   *   - [[PolyHash]]: the portable polynomial string hash, with full
   *     codegen (`doGenCode`) so it stays inside whole-stage codegen;
-  *   - [[ShingleHashes]]: text -> distinct word-3-gram shingle hash
-  *     array in one pass (split, shingle, hash, dedupe);
-  *   - [[MinHashBandKeys]]: shingle-hash array -> the NumBands LSH
-  *     band keys, evaluating all NumPerms permutations per element in
-  *     one loop.
+  *   - [[ShingleHash64s]]: text -> distinct word-3-gram 64-bit shingle
+  *     hash array in one pass (split, shingle, double-hash, dedupe);
+  *     h64 = h31 * 2^31 + h37 so the high bits recover the 30-bit
+  *     minhash input while the full value is collision-safe for the
+  *     verify-join set intersection;
+  *   - [[MinHashBandKeys]]: 64-bit shingle-hash array -> the NumBands
+  *     LSH band keys (all NumPerms permutations of the high 30 bits in
+  *     one loop, fused per band with the injective-then-mod fold of
+  *     PortableHash.bandFuse). NULL for shingle-less docs so empty
+  *     documents never bucket together.
   *
-  * Semantics are bit-identical to the HOF versions (same constants,
-  * same integer arithmetic), so the DuckDB oracles are unchanged —
-  * PortableHashSpec pins the constants.
+  * Unlike the HOF `wordHash` (UTF-16 code units via split), these
+  * loops iterate CODE POINTS, matching DuckDB `string_split`/`ascii`
+  * semantics on all of Unicode, not just ASCII.
   */
 object MinHashExprs {
 
@@ -37,8 +41,8 @@ object MinHashExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_poly_hash",
       exprs => PolyHash(exprs.head), "scala_udf")
-    reg.createOrReplaceTempFunction("graft_shingle_hashes",
-      exprs => ShingleHashes(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_shingle_hash64",
+      exprs => ShingleHash64s(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinHashBandKeys(exprs.head), "scala_udf")
   }
@@ -48,14 +52,29 @@ object MinHashExprs {
     var acc = 0L
     var i = 0
     while (i < str.length) {
-      acc = (acc * 31 + str.charAt(i)) % P
-      i += 1
+      val cp = str.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
     }
     acc
   }
+
+  /** h64 = h31 * 2^31 + h37 over code points. */
+  private[functions] def hash64(str: String): Long = {
+    var h1 = 0L; var h2 = 0L
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      h1 = (h1 * 31 + cp) % P
+      h2 = (h2 * 37 + cp) % P2
+      i += Character.charCount(cp)
+    }
+    h1 * Shift + h2
+  }
 }
 
-/** Codegen'd portable polynomial hash of a string (graft_poly_hash). */
+/** Codegen'd portable polynomial hash of a string (graft_poly_hash);
+  * code-point iteration matches DuckDB ascii() on all of Unicode. */
 case class PolyHash(child: Expression)
     extends UnaryExpression {
   override def dataType: DataType = LongType
@@ -67,12 +86,16 @@ case class PolyHash(child: Expression)
     nullSafeCodeGen(ctx, ev, c => {
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      val cp = ctx.freshName("cp")
       val acc = ctx.freshName("acc")
       s"""
          |String $s = $c.toString();
          |long $acc = 0L;
-         |for (int $i = 0; $i < $s.length(); $i++) {
-         |  $acc = ($acc * 31L + $s.charAt($i)) % ${P}L;
+         |int $i = 0;
+         |while ($i < $s.length()) {
+         |  int $cp = $s.codePointAt($i);
+         |  $acc = ($acc * 31L + $cp) % ${P}L;
+         |  $i += Character.charCount($cp);
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -82,11 +105,10 @@ case class PolyHash(child: Expression)
     copy(child = newChild)
 }
 
-/** text -> distinct word-3-gram shingle hashes (graft_shingle_hashes).
-  * One JVM pass; equivalent to
-  * transform(array_distinct(shingles(text)), wordHash).
-  */
-case class ShingleHashes(child: Expression)
+/** text -> distinct word-3-gram 64-bit shingle hashes
+  * (graft_shingle_hash64). One JVM pass; set semantics follow
+  * array_distinct over the shingle strings. */
+case class ShingleHash64s(child: Expression)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -103,11 +125,7 @@ case class ShingleHashes(child: Expression)
     val it = seenShingle.iterator()
     var j = 0
     while (it.hasNext) {
-      val s = it.next()
-      var acc = 0L
-      var k = 0
-      while (k < s.length) { acc = (acc * 31 + s.charAt(k)) % P; k += 1 }
-      out(j) = acc
+      out(j) = MinHashExprs.hash64(it.next())
       j += 1
     }
     new GenericArrayData(out)
@@ -117,8 +135,12 @@ case class ShingleHashes(child: Expression)
     copy(child = newChild)
 }
 
-/** shingle-hash array -> LSH band keys (graft_minhash_bands): all
-  * NumPerms permutations in one loop over the hashes.
+/** 64-bit shingle-hash array -> LSH band keys (graft_minhash_bands):
+  * permutes the high 30 bits (h64 div 2^31 = h31) with all NumPerms
+  * permutations in one loop, then fuses each band's mins with the
+  * collision-resistant (acc * P + m) mod Q fold. Returns NULL for an
+  * empty shingle set so shingle-less docs never share a bucket
+  * (mirrors list_min(empty) = NULL in the oracle).
   */
 case class MinHashBandKeys(child: Expression)
     extends UnaryExpression with CodegenFallback {
@@ -127,10 +149,11 @@ case class MinHashBandKeys(child: Expression)
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    if (n == 0) return null
     val mins = Array.fill(NumPerms)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      val h = hs.getLong(i) / Shift // recover h31
       var k = 0
       while (k < NumPerms) {
         val v = (permA(k) * h + permB(k)) % P
@@ -145,7 +168,7 @@ case class MinHashBandKeys(child: Expression)
       var acc = 0L
       var pos = 0
       while (pos < BandSize) {
-        acc += mins(b * BandSize + pos) * BandPow(pos)
+        acc = (acc * P + mins(b * BandSize + pos)) % Q
         pos += 1
       }
       bands(b) = acc

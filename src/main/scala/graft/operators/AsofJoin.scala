@@ -22,10 +22,15 @@ import org.apache.spark.sql.functions._
   *   - one shuffle co-partitions by the `by` keys (the same exchange a
   *     sort-merge join needs); the in-partition sort orders by
   *     (ts, side);
-  *   - `last(value, ignoreNulls)` over (-inf, 0] carries the latest
-  *     right value backward; `first(value, ignoreNulls)` over
-  *     [0, +inf) carries the earliest following right value forward —
-  *     single pass, no per-row probes, no driver state;
+  *   - `last(matchRow, ignoreNulls)` over (-inf, 0] carries the latest
+  *     right ROW backward; `first(matchRow, ignoreNulls)` over
+  *     [0, +inf) carries the earliest following right ROW forward —
+  *     single pass, no per-row probes, no driver state. The fill
+  *     carries ONE struct of (ts, all value columns), not each value
+  *     column independently: pandas merge_asof returns the matched
+  *     row as-is, so a NULL value inside the matched row must
+  *     propagate (not fall back to an older row), and all value
+  *     columns must come from the same matched row;
   *   - `nearest` computes both fills and picks the closer match
   *     (backward wins ties, matching the reference kernel).
   *
@@ -87,47 +92,46 @@ object AsofJoin {
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 
-    def backFill(c: Column): Column =
-      last(when(col("__side") === 0, c), ignoreNulls = true).over(back)
-    def fwdFill(c: Column): Column =
-      first(when(col("__side") === 2, c), ignoreNulls = true).over(fwd)
+    // the whole candidate right row as one value: NULL fields inside a
+    // matched row propagate, and every value column is taken from the
+    // SAME matched row (last/first of a struct is atomic)
+    val matchRow = struct(col("__ts").as("__mts") +: valueCols.map(col): _*)
+    def backFill: Column =
+      last(when(col("__side") === 0, matchRow), ignoreNulls = true).over(back)
+    def fwdFill: Column =
+      first(when(col("__side") === 2, matchRow), ignoreNulls = true).over(fwd)
 
     var df = unioned
-    if (needBack) {
-      df = valueCols.foldLeft(df)((d, c) => d.withColumn(s"__b_$c", backFill(col(c))))
-        .withColumn("__b_ts", backFill(col("__ts")))
-    }
-    if (needFwd) {
-      df = valueCols.foldLeft(df)((d, c) => d.withColumn(s"__f_$c", fwdFill(col(c))))
-        .withColumn("__f_ts", fwdFill(col("__ts")))
-    }
+    if (needBack) df = df.withColumn("__b", backFill)
+    if (needFwd) df = df.withColumn("__f", fwdFill)
 
     // tolerance: the chosen match must be within the window; any other
     // candidate in that direction is farther, so nulling suffices
     toleranceMicros.foreach { tol =>
       if (needBack) {
-        val stale = unix_micros(col("__ts")) - unix_micros(col("__b_ts")) > tol
-        df = valueCols.foldLeft(df)((d, c) =>
-          d.withColumn(s"__b_$c", when(stale, lit(null)).otherwise(col(s"__b_$c"))))
-        df = df.withColumn("__b_ts", when(stale, lit(null)).otherwise(col("__b_ts")))
+        val stale =
+          unix_micros(col("__ts")) - unix_micros(col("__b").getField("__mts")) > tol
+        df = df.withColumn("__b", when(stale, lit(null)).otherwise(col("__b")))
       }
       if (needFwd) {
-        val stale = unix_micros(col("__f_ts")) - unix_micros(col("__ts")) > tol
-        df = valueCols.foldLeft(df)((d, c) =>
-          d.withColumn(s"__f_$c", when(stale, lit(null)).otherwise(col(s"__f_$c"))))
-        df = df.withColumn("__f_ts", when(stale, lit(null)).otherwise(col("__f_ts")))
+        val stale =
+          unix_micros(col("__f").getField("__mts")) - unix_micros(col("__ts")) > tol
+        df = df.withColumn("__f", when(stale, lit(null)).otherwise(col("__f")))
       }
     }
 
     val picked = direction match {
-      case "backward" => valueCols.map(c => col(s"__b_$c").as(c))
-      case "forward"  => valueCols.map(c => col(s"__f_$c").as(c))
+      case "backward" => valueCols.map(c => col("__b").getField(c).as(c))
+      case "forward"  => valueCols.map(c => col("__f").getField(c).as(c))
       case "nearest" =>
-        val distB = unix_micros(col("__ts")) - unix_micros(col("__b_ts"))
-        val distF = unix_micros(col("__f_ts")) - unix_micros(col("__ts"))
-        val useBack = col("__f_ts").isNull ||
-          (col("__b_ts").isNotNull && distB <= distF)
-        valueCols.map(c => when(useBack, col(s"__b_$c")).otherwise(col(s"__f_$c")).as(c))
+        val distB =
+          unix_micros(col("__ts")) - unix_micros(col("__b").getField("__mts"))
+        val distF =
+          unix_micros(col("__f").getField("__mts")) - unix_micros(col("__ts"))
+        val useBack = col("__f").isNull || (col("__b").isNotNull && distB <= distF)
+        valueCols.map(c =>
+          when(useBack, col("__b").getField(c))
+            .otherwise(col("__f").getField(c)).as(c))
     }
 
     df.filter(col("__side") === 1)

@@ -41,10 +41,10 @@ object DedupQueries extends QueryModule {
   private def signatures(df: DataFrame): DataFrame = {
     val withH = df.select(col("doc_id"), shingleHashes.as("hs"), size(shingles).as("n_shingles"))
     val bandCols = (0 until NumBands).map { b =>
-      (0 until BandSize).map { pos =>
+      bandFuse((0 until BandSize).map { pos =>
         val k = b * BandSize + pos
-        array_min(transform(col("hs"), h => perm(k, h))) * lit(BandPow(pos))
-      }.reduce(_ + _).as(s"band$b")
+        array_min(transform(col("hs"), h => perm(k, h)))
+      }).as(s"band$b")
     }
     withH.select(col("doc_id") +: col("n_shingles") +: bandCols: _*)
   }
@@ -61,10 +61,18 @@ object DedupQueries extends QueryModule {
     s"list_transform(sh, g -> ${wordHashSql("g")})"
 
   private def bandSql(b: Int): String =
-    (0 until BandSize).map { pos =>
+    bandFuseSql((0 until BandSize).map { pos =>
       val k = b * BandSize + pos
-      s"list_min(list_transform(hs, h -> (${permA(k)} * h + ${permB(k)}) % $P)) * ${BandPow(pos)}"
-    }.mkString(" + ")
+      s"list_min(list_transform(hs, h -> (${permA(k)} * h + ${permB(k)}) % $P))"
+    })
+
+  /** band key over 64-bit shingle hashes: permute the recovered high
+    * 30 bits (h // 2^31), then the same collision-resistant fuse */
+  private def band64Sql(b: Int): String =
+    bandFuseSql((0 until BandSize).map { pos =>
+      val k = b * BandSize + pos
+      s"list_min(list_transform(hs, h -> (${permA(k)} * (h // $Shift) + ${permB(k)}) % $P))"
+    })
 
   private val sigCte =
     s"""docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
@@ -97,26 +105,25 @@ object DedupQueries extends QueryModule {
       signatures(Tables(s, d, "documents"))
     },
 
-    // MinHash/LSH near-dup pairs: band-bucket candidate join, then
-    // exact shingle-jaccard verification >= 0.5
+    // MinHash/LSH near-dup pairs: ONE exploded (band_idx, band_key)
+    // equi-join generates candidates — a single shuffle instead of one
+    // per band — and the exact jaccard verify intersects 64-bit
+    // shingle-HASH arrays (8 bytes/shingle through the join) instead
+    // of shingle strings. Signatures come from the custom Catalyst
+    // expressions (tight JVM loop) in one scan, cached once.
     "dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
-      // band keys via the custom Catalyst expressions (tight JVM loop,
-      // SCALE.md target #1); shingle STRING arrays kept for the exact
-      // jaccard verify. One cached frame, every join reads the cache.
       graft.functions.MinHashExprs.register(s)
-      val withH = Tables(s, d, "documents")
-        .select($"doc_id", shingles.as("sh"),
-          expr("graft_minhash_bands(graft_shingle_hashes(text))").as("bands"))
-      val bandCols = (0 until NumBands).map { b =>
-        element_at($"bands", b + 1).as(s"band$b")
-      }
-      val sig = withH.select($"doc_id" +: $"sh" +: bandCols: _*).cache()
-      val cands = (0 until NumBands).map { b =>
-        val l = sig.select($"doc_id".as("da"), col(s"band$b").as("bk"))
-        val r = sig.select($"doc_id".as("db"), col(s"band$b").as("bk"))
-        l.join(r, Seq("bk")).filter($"da" < $"db").select($"da", $"db")
-      }.reduce(_ unionByName _).distinct()
+      val sig = Tables(s, d, "documents")
+        .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+        .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
+        .cache()
+      val keys = sig.select($"doc_id", posexplode($"bands"))
+        .toDF("doc_id", "bidx", "bk")
+      val cands = keys.select($"doc_id".as("da"), $"bidx", $"bk")
+        .join(keys.select($"doc_id".as("db"), $"bidx", $"bk"), Seq("bidx", "bk"))
+        .filter($"da" < $"db")
+        .select($"da", $"db").distinct()
       cands
         .join(sig.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
         .join(sig.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
@@ -207,20 +214,23 @@ object DedupQueries extends QueryModule {
             ${(0 until NumBands).map(b => s"band$b").mkString(", ")} FROM sig""",
 
       "dedup_minhash_pairs" ->
-        s"""WITH $sigCte,
+        s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           h64 AS (SELECT doc_id, list_transform(sh, g -> ${hash64Sql("g")}) AS hs FROM docs),
+           sig AS (SELECT doc_id, hs,
+             ${(0 until NumBands).map(b => s"${band64Sql(b)} AS band$b").mkString(", ")}
+             FROM h64),
            cands AS (
              ${(0 until NumBands).map(b =>
                s"SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
-               .mkString(" UNION ")}),
-           tri AS (SELECT doc_id, sh FROM docs)
+               .mkString(" UNION ")})
            SELECT c.da, c.db,
-             ROUND(CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-               / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))), 6) AS jaccard
+             ROUND(CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+               / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))), 6) AS jaccard
            FROM cands c
-           JOIN tri ta ON c.da = ta.doc_id
-           JOIN tri tb ON c.db = tb.doc_id
-           WHERE CAST(len(list_intersect(ta.sh, tb.sh)) AS DOUBLE)
-             / (len(ta.sh) + len(tb.sh) - len(list_intersect(ta.sh, tb.sh))) >= 0.5""",
+           JOIN sig ta ON c.da = ta.doc_id
+           JOIN sig tb ON c.db = tb.doc_id
+           WHERE CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+             / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) >= 0.5""",
 
       "dedup_jaccard_pairs" ->
         s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),

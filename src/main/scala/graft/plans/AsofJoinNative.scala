@@ -119,12 +119,29 @@ case class AsofJoinExec(
         private var candVals: UnsafeRow = _
         private var candRow: InternalRow = _ // copy of the matched right row (key compare)
 
+        // pandas merge_asof raises on null merge keys
+        // (reshape/merge.py _AsOfMerge: "Merge keys contain null
+        // values"); the pointer walk assumes total order, so guard here
+        private def checkKeys(row: InternalRow, byIdx: Array[Int],
+            tsIdx: Int, side: String): Unit = {
+          var i = 0
+          while (i < byIdx.length) {
+            if (row.isNullAt(byIdx(i))) throw new IllegalArgumentException(
+              s"as-of join: null 'by' key on $side side — merge keys must be non-null")
+            i += 1
+          }
+          if (row.isNullAt(tsIdx)) throw new IllegalArgumentException(
+            s"as-of join: null 'on' timestamp on $side side — merge keys must be non-null")
+        }
+
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
+          checkKeys(l, lByIdx, lTsIdx, "left")
           var continue = rHead != null
           while (continue) {
+            checkKeys(rHead, rByIdx, rTsIdx, "right")
             val c = cmpBy(l, rHead)
             if (c > 0) {
               // right key entirely before left key: skip
@@ -180,12 +197,28 @@ object AsofJoinNative {
       out.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"column $name not found"))
 
+    // the merge walk reads timestamps via getLong — admit only
+    // long-backed ordered types (DateType is int-backed; reject it
+    // rather than misread)
+    val lTsAttr = attrOf(lPlan.output, leftTs)
+    val rTsAttr = attrOf(rOut, rightTs)
+    Seq(lTsAttr, rTsAttr).foreach { a =>
+      a.dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType |
+             org.apache.spark.sql.types.LongType => ()
+        case dt => throw new IllegalArgumentException(
+          s"as-of join: 'on' column ${a.name} has type $dt; " +
+            "expected timestamp or long")
+      }
+    }
+
     val node = AsofJoinPlan(
       lPlan, rPlan,
       by.map(attrOf(lPlan.output, _)),
       by.map(attrOf(rOut, _)),
-      attrOf(lPlan.output, leftTs),
-      attrOf(rOut, rightTs),
+      lTsAttr,
+      rTsAttr,
       valueCols.map(attrOf(rOut, _)))
     GraftSqlBridge.ofRows(spark, node)
   }

@@ -69,6 +69,49 @@ class AsofJoinSpec extends SparkSpec {
     assert(tieOut.head.contains(1.0))
   }
 
+  test("NULL right values propagate from the matched row (no fallthrough)") {
+    import spark.implicits._
+    val left = Seq((1L, ts(200), "a"), (1L, ts(300), "b"))
+      .toDF("k", "tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    // matched row at 150 has v=NULL, w=20: pandas returns THAT row's
+    // NaN for v — not the older row's 1.0 — and both value columns
+    // must come from the same matched row
+    val right = Seq(
+      (1L, ts(100), Some(1.0), Some(10.0)),
+      (1L, ts(150), None: Option[Double], Some(20.0)),
+      (1L, ts(250), Some(3.0), None: Option[Double]))
+      .toDF("k", "tsm", "v", "w")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+
+    val out = AsofJoin.backward(left, right, Seq("k"), "t", "t", Seq("v", "w"))
+      .select($"tag", $"v", $"w")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out("a") == (None, Some(20.0)))   // matched row 150 as-is
+    assert(out("b") == (Some(3.0), None))    // matched row 250 as-is
+
+    val fwd = AsofJoin.forward(left, right, Seq("k"), "t", "t", Seq("v", "w"))
+      .select($"tag", $"v", $"w")
+      .as[(String, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(fwd("a") == (Some(3.0), None))    // next row 250 as-is
+  }
+
+  test("native operator rejects null merge keys like pandas") {
+    import spark.implicits._
+    val left = Seq((Some(1L), ts(100), "a"), (None: Option[Long], ts(200), "b"))
+      .toDF("k", "tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = Seq((1L, ts(50), 1.0)).toDF("k", "tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val ex = intercept[Exception] {
+      graft.plans.AsofJoinNative.backward(spark, left, right,
+        Seq("k"), "t", "t", Seq("v")).collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
   test("native operator matches the union+window rewrite") {
     import spark.implicits._
     val ev = Tables(spark, sf(), "events")
