@@ -41,24 +41,32 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
-  /** Backward as-of join: latest right row with rts <= lts. */
+  /** Backward as-of join: latest right row with rts <= lts (rts < lts
+    * when allowExactMatches=false, pandas merge.py:644). */
   def backward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame =
-    asof(left, right, by, leftTs, rightTs, valueCols, "backward", toleranceMicros)
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    asof(left, right, by, leftTs, rightTs, valueCols, "backward",
+      toleranceMicros, allowExactMatches)
 
-  /** Forward as-of join: earliest right row with rts >= lts. */
+  /** Forward as-of join: earliest right row with rts >= lts (strict >
+    * when allowExactMatches=false). */
   def forward(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame =
-    asof(left, right, by, leftTs, rightTs, valueCols, "forward", toleranceMicros)
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    asof(left, right, by, leftTs, rightTs, valueCols, "forward",
+      toleranceMicros, allowExactMatches)
 
   /** Nearest as-of join: right row minimizing |rts - lts|; backward
     * wins ties. */
   def nearest(left: DataFrame, right: DataFrame, by: Seq[String],
       leftTs: String, rightTs: String, valueCols: Seq[String],
-      toleranceMicros: Option[Long] = None): DataFrame =
-    asof(left, right, by, leftTs, rightTs, valueCols, "nearest", toleranceMicros)
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    asof(left, right, by, leftTs, rightTs, valueCols, "nearest",
+      toleranceMicros, allowExactMatches)
 
   private def asof(
       left: DataFrame,
@@ -68,15 +76,30 @@ object AsofJoin {
       rightTs: String,
       valueCols: Seq[String],
       direction: String,
-      toleranceMicros: Option[Long]): DataFrame = {
+      toleranceMicros: Option[Long],
+      allowExactMatches: Boolean = true): DataFrame = {
     val leftCols = left.columns.toSeq
     val leftOther = leftCols.filterNot(by.contains)
     val needBack = direction == "backward" || direction == "nearest"
     val needFwd = direction == "forward" || direction == "nearest"
 
+    // __side is the ROLE (0 = right feeding backward fill, 1 = left,
+    // 2 = right feeding forward fill); __ord is the tiebreak position
+    // at equal timestamps. allow_exact_matches=True sorts candidate
+    // right rows onto the included side of each fill's frame (backward
+    // before left, forward after); =False mirrors them so an equal-ts
+    // right row lands outside the frame — strict < / > with no other
+    // change to the fills.
+    def ordFor(side: Int): Int = side match {
+      case 1 => 1
+      case 0 => if (allowExactMatches) 0 else 2
+      case 2 => if (allowExactMatches) 2 else 0
+    }
+
     def tag(df: DataFrame, ts: String, side: Int, isLeft: Boolean): DataFrame =
       df.select(
-        (by.map(col) :+ col(ts).as("__ts") :+ lit(side).as("__side")) ++
+        (by.map(col) :+ col(ts).as("__ts") :+ lit(side).as("__side") :+
+          lit(ordFor(side)).as("__ord")) ++
           (if (isLeft) leftOther.map(col)
            else leftOther.map(c => lit(null).cast(left.schema(c).dataType).as(c))) ++
           (if (isLeft) valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
@@ -88,7 +111,7 @@ object AsofJoin {
     val unioned = parts.reduce(_ unionByName _)
 
     val ord = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+      .orderBy(col("__ts").asc, col("__ord").asc)
     val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
 

@@ -247,6 +247,22 @@ object JoinQueries extends QueryModule {
         .withColumnRenamed("value", "asof_val")
     },
 
+    // merge_asof allow_exact_matches=False (merge.py:644): strict
+    // rts < lts. The right side is ALL events, so every left click has
+    // an exact-ts candidate (itself) that strict mode must skip —
+    // non-strict would always self-match, making this a real test.
+    "join_asof_strict" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"user_id", $"event_id", $"ts")
+      val all = ev.select($"user_id", $"ts", $"value")
+      AsofJoin.backward(clicks, all,
+        by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        valueCols = Seq("value"), allowExactMatches = false)
+        .withColumnRenamed("value", "asof_val")
+    },
+
     // merge_ordered + group-wise ffill (merge.py:500 _OrderedMerge):
     // full outer on (user, ts), forward-fill each side within user
     "join_merge_ordered" -> { (s, d) =>
@@ -395,6 +411,12 @@ object JoinQueries extends QueryModule {
            FROM a LEFT JOIN b ON a.user_id = b.user_id)
          SELECT user_id, event_id, ts, v AS asof_val
          FROM j WHERE rn = 1""",
+
+    "join_asof_strict" ->
+      """SELECT a.user_id, a.event_id, a.ts, b."value" AS asof_val
+         FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events) b
+         ON a.user_id = b.user_id AND a.ts > b.ts""",
 
     "join_merge_ordered" ->
       """WITH c AS (SELECT user_id, ts, "value" AS click_val FROM events WHERE event_type = 'click'),

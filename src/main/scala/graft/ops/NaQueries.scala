@@ -133,6 +133,42 @@ object NaQueries extends QueryModule {
         .select($"event_id", $"user_id", $"interp_t")
     },
 
+    // interpolate limit / limit_direction / limit_area
+    // (generic.py:8113 params; engine core/missing.py:370): the same
+    // prev/next bracket as na_interpolate plus run-distance gates.
+    // limit counts consecutive NaNs from the fill direction's side;
+    // limit_area='inside' keeps only bracketed gaps, 'outside' only
+    // the leading/trailing runs (direction='both' here, so leading
+    // backfills and trailing forward-fills).
+    "na_interp_limit" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ts")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val df = withHoles(s, d)
+        .withColumn("rn", row_number().over(ord).cast("double"))
+        .withColumn("pv", last($"reading", ignoreNulls = true).over(back))
+        .withColumn("prn", max(when($"reading".isNotNull, $"rn")).over(back))
+        .withColumn("nv", first($"reading", ignoreNulls = true).over(fwd))
+        .withColumn("nrn", min(when($"reading".isNotNull, $"rn")).over(fwd))
+      val blend = $"pv" + ($"nv" - $"pv") * ($"rn" - $"prn") / ($"nrn" - $"prn")
+      df.select($"event_id", $"user_id",
+        when($"reading".isNotNull, $"reading")
+          .when($"pv".isNotNull && $"rn" - $"prn" <= 2,
+            when($"nv".isNotNull, blend).otherwise($"pv")).as("interp_fwd_lim2"),
+        when($"reading".isNotNull, $"reading")
+          .when($"pv".isNotNull && $"nv".isNotNull
+              && ($"rn" - $"prn" <= 1 || $"nrn" - $"rn" <= 1), blend)
+          .when($"pv".isNotNull && $"nv".isNull && $"rn" - $"prn" <= 1, $"pv")
+          .when($"nv".isNotNull && $"pv".isNull && $"nrn" - $"rn" <= 1, $"nv")
+          .as("interp_both_lim1"),
+        when($"reading".isNotNull, $"reading")
+          .when($"pv".isNotNull && $"nv".isNotNull, blend).as("interp_inside"),
+        when($"reading".isNotNull, $"reading")
+          .when($"pv".isNull, $"nv")
+          .when($"nv".isNull, $"pv").as("interp_outside"))
+    },
+
     // replace (generic.py:7600): value map on strings + numeric clip of
     // a sentinel
     "na_replace" -> { (s, d) =>
@@ -247,6 +283,47 @@ object NaQueries extends QueryModule {
                   WHEN pv IS NOT NULL AND nv IS NOT NULL
                     THEN pv + (nv - pv) * (tsu - pt) / (nt - pt)
                   WHEN pv IS NOT NULL THEN pv END AS interp_t
+           FROM t2""",
+
+      "na_interp_limit" ->
+        s"""WITH h AS ($holes),
+           t AS (
+             SELECT event_id, user_id, reading,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS rn,
+               last_value(reading IGNORE NULLS) OVER wb AS pv,
+               first_value(reading IGNORE NULLS) OVER wf AS nv
+             FROM h
+             WINDOW wb AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           t2 AS (
+             SELECT event_id, user_id, reading, rn, pv, nv,
+               MAX(CASE WHEN reading IS NOT NULL THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+               MIN(CASE WHEN reading IS NOT NULL THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+             FROM t)
+           SELECT event_id, user_id,
+             CASE WHEN reading IS NOT NULL THEN reading
+                  WHEN pv IS NOT NULL AND rn - prn <= 2 THEN
+                    CASE WHEN nv IS NOT NULL
+                         THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+                         ELSE pv END
+             END AS interp_fwd_lim2,
+             CASE WHEN reading IS NOT NULL THEN reading
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                       AND (rn - prn <= 1 OR nrn - rn <= 1)
+                    THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+                  WHEN pv IS NOT NULL AND nv IS NULL AND rn - prn <= 1 THEN pv
+                  WHEN nv IS NOT NULL AND pv IS NULL AND nrn - rn <= 1 THEN nv
+             END AS interp_both_lim1,
+             CASE WHEN reading IS NOT NULL THEN reading
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+             END AS interp_inside,
+             CASE WHEN reading IS NOT NULL THEN reading
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+             END AS interp_outside
            FROM t2""",
 
       "na_replace" ->

@@ -92,6 +92,57 @@ object StringQueries extends QueryModule {
           get_json_object($"props", "$.k").cast("int").as("k_val"))
     },
 
+    // extractall (accessor.py:2743): every regex match becomes its own
+    // row with a match index — regexp_extract_all + posexplode. Docs
+    // with no match drop out (both engines: explode/unnest of empty).
+    "str_extractall" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          posexplode(expr(
+            "regexp_extract_all(substring(text, 1, 80), '[a-z]*ata[a-z]*', 0)")))
+        .select($"doc_id", $"pos".as("match_idx"), $"col".as("match_str"))
+    },
+
+    // str.cat (accessor.py:563): cross-row concatenation — a true
+    // aggregation, so per-group sorted collect + join. The sort makes
+    // the result order-deterministic under any partitioning.
+    "str_cat_group" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .groupBy($"lang")
+        .agg(
+          array_join(array_sort(collect_list($"source")), ",").as("sources_cat"),
+          count(lit(1)).as("n"))
+    },
+
+    // zfill (object_array.py:515, sign-aware), wrap (accessor.py:2199,
+    // greedy ≤20-char line breaks via one regex — textwrap's
+    // break_long_words tail is not reproduced), normalize (NFC via the
+    // graft_nfc codegen expression; input constructed with a combining
+    // accent so ASCII testdata doesn't trivialize it), and str
+    // get_dummies (accessor.py:2378) as split + membership flags.
+    "str_zfill_wrap_norm" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.StringExprs.register(s)
+      val tags = split(concat_ws("|", $"lang", $"source"), "\\|")
+      Tables(s, d, "documents")
+        .withColumn("numstr",
+          when($"doc_id" % 2 === 0, concat(lit("-"), $"doc_id".cast("string")))
+            .otherwise($"doc_id".cast("string")))
+        .select($"doc_id",
+          when($"numstr".startsWith("-"),
+            concat(lit("-"), lpad(expr("substring(numstr, 2)"), 7, "0")))
+            .otherwise(lpad($"numstr", 8, "0")).as("zfilled"),
+          regexp_replace(substring($"text", 1, 60), "(.{1,20}) ", "$1\n").as("wrapped"),
+          expr("graft_nfc(concat(lang, 'é'))").as("nfc_str"),
+          length(concat($"lang", lit("é"))).as("len_raw"),
+          length(expr("graft_nfc(concat(lang, 'é'))")).as("len_nfc"),
+          array_contains(tags, "en").cast("int").as("d_en"),
+          array_contains(tags, "de").cast("int").as("d_de"),
+          array_contains(tags, "src1").cast("int").as("d_src1"))
+    },
+
     // translate + instr/locate (object_array.py:396 translate, find :276)
     "str_translate_find" -> { (s, d) =>
       import s.implicits._
@@ -156,6 +207,38 @@ object StringQueries extends QueryModule {
       """SELECT event_id,
          CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
          FROM events WHERE event_id < 2000""",
+
+    "str_extractall" ->
+      """WITH m AS (
+           SELECT doc_id, regexp_extract_all(substr(text, 1, 80), '[a-z]*ata[a-z]*') AS ms
+           FROM documents),
+         u AS (
+           SELECT doc_id, unnest(range(len(ms))) AS match_idx, unnest(ms) AS match_str
+           FROM m)
+         SELECT doc_id, CAST(match_idx AS INT) AS match_idx, match_str FROM u""",
+
+    "str_cat_group" ->
+      """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources_cat,
+         COUNT(*) AS n
+         FROM documents GROUP BY lang""",
+
+    "str_zfill_wrap_norm" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, text,
+             CASE WHEN doc_id % 2 = 0 THEN '-' || CAST(doc_id AS VARCHAR)
+                  ELSE CAST(doc_id AS VARCHAR) END AS numstr
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN numstr LIKE '-%' THEN '-' || LPAD(SUBSTR(numstr, 2), 7, '0')
+                ELSE LPAD(numstr, 8, '0') END AS zfilled,
+           regexp_replace(SUBSTR(text, 1, 60), '(.{1,20}) ', '\1' || chr(10), 'g') AS wrapped,
+           nfc_normalize(lang || 'e' || chr(769)) AS nfc_str,
+           CAST(LENGTH(lang || 'e' || chr(769)) AS INT) AS len_raw,
+           CAST(LENGTH(nfc_normalize(lang || 'e' || chr(769))) AS INT) AS len_nfc,
+           CAST(list_contains(string_split(lang || '|' || source, '|'), 'en') AS INT) AS d_en,
+           CAST(list_contains(string_split(lang || '|' || source, '|'), 'de') AS INT) AS d_de,
+           CAST(list_contains(string_split(lang || '|' || source, '|'), 'src1') AS INT) AS d_src1
+         FROM t""",
 
     "str_translate_find" ->
       """SELECT doc_id,

@@ -72,6 +72,47 @@ object TimeQueries extends QueryModule {
           last($"hr_mean", ignoreNulls = true).over(w).as("ffilled_mean"))
     },
 
+    // upsample fill methods beyond ffill (resample.py:749 bfill, :691
+    // nearest, :851 interpolate): same sequence() spine + left join,
+    // then the mirrored/bracketed windows. `nearest` breaks exact-
+    // midpoint ties toward the following observation, matching
+    // pandas' monotonic get_indexer(method='nearest') (left wins only
+    // on strict <). interpolate keeps pandas' linear default: leading
+    // NaNs stay null, trailing NaNs forward-fill.
+    "ts_upsample_fill" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val hourly = ev
+        .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+        .agg(dmean($"value").as("hr_mean"))
+      val bounds = ev.agg(
+        date_trunc("hour", min($"ts")).as("lo"),
+        date_trunc("hour", max($"ts")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence($"lo", $"hi", expr("interval 1 hour"))).as("hr"))
+        .crossJoin(ev.select($"event_type").distinct())
+      val ord = Window.partitionBy($"event_type").orderBy($"hr")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      spine.join(hourly, Seq("hr", "event_type"), "left")
+        .withColumn("t", unix_seconds($"hr").cast("double"))
+        .withColumn("pv", last($"hr_mean", ignoreNulls = true).over(back))
+        .withColumn("pt", max(when($"hr_mean".isNotNull, $"t")).over(back))
+        .withColumn("nv", first($"hr_mean", ignoreNulls = true).over(fwd))
+        .withColumn("nt", min(when($"hr_mean".isNotNull, $"t")).over(fwd))
+        .select($"hr", $"event_type",
+          $"nv".as("bfilled_mean"),
+          when($"hr_mean".isNotNull, $"hr_mean")
+            .when($"nt".isNull, $"pv")
+            .when($"pt".isNull, $"nv")
+            .when($"t" - $"pt" < $"nt" - $"t", $"pv")
+            .otherwise($"nv").as("nearest_mean"),
+          when($"hr_mean".isNotNull, $"hr_mean")
+            .when($"pv".isNotNull && $"nv".isNotNull,
+              $"pv" + ($"nv" - $"pv") * ($"t" - $"pt") / ($"nt" - $"pt"))
+            .when($"pv".isNotNull, $"pv").as("interp_mean"))
+    },
+
     // .dt accessor fields (accessors.py:271)
     "ts_dt_accessor" -> { (s, d) =>
       import s.implicits._
@@ -195,6 +236,40 @@ object TimeQueries extends QueryModule {
              PARTITION BY s.event_type ORDER BY s.hr
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffilled_mean
          FROM spine s LEFT JOIN hourly h ON s.hr = h.hr AND s.event_type = h.event_type""",
+
+    "ts_upsample_fill" ->
+      """WITH hourly AS (
+           SELECT date_trunc('hour', ts) AS hr, event_type,
+             CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT("value") AS hr_mean
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events),
+         spine AS (
+           SELECT unnest(generate_series(b.lo, b.hi, INTERVAL 1 HOUR)) AS hr, t.event_type
+           FROM b CROSS JOIN (SELECT DISTINCT event_type FROM events) t),
+         j AS (
+           SELECT s.hr, s.event_type, h.hr_mean,
+             CAST(epoch_us(s.hr) / 1000000 AS DOUBLE) AS t,
+             last_value(h.hr_mean IGNORE NULLS) OVER wb AS pv,
+             MAX(CASE WHEN h.hr_mean IS NOT NULL THEN CAST(epoch_us(s.hr) / 1000000 AS DOUBLE) END) OVER wb AS pt,
+             first_value(h.hr_mean IGNORE NULLS) OVER wf AS nv,
+             MIN(CASE WHEN h.hr_mean IS NOT NULL THEN CAST(epoch_us(s.hr) / 1000000 AS DOUBLE) END) OVER wf AS nt
+           FROM spine s LEFT JOIN hourly h ON s.hr = h.hr AND s.event_type = h.event_type
+           WINDOW wb AS (PARTITION BY s.event_type ORDER BY s.hr
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  wf AS (PARTITION BY s.event_type ORDER BY s.hr
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         SELECT hr, event_type,
+           nv AS bfilled_mean,
+           CASE WHEN hr_mean IS NOT NULL THEN hr_mean
+                WHEN nt IS NULL THEN pv
+                WHEN pt IS NULL THEN nv
+                WHEN t - pt < nt - t THEN pv
+                ELSE nv END AS nearest_mean,
+           CASE WHEN hr_mean IS NOT NULL THEN hr_mean
+                WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (t - pt) / (nt - pt)
+                WHEN pv IS NOT NULL THEN pv END AS interp_mean
+         FROM j""",
 
     "ts_dt_accessor" ->
       """SELECT event_id,
