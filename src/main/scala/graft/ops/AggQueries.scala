@@ -184,14 +184,20 @@ object AggQueries extends QueryModule {
           max(when($"rmin" === 1, $"l_orderkey")).as("idxmin_order"))
     },
 
-    // value_counts with normalize (algorithms.py:994, groupby generic.py:1017)
+    // value_counts with normalize (algorithms.py:994, groupby
+    // generic.py:1017). The denominator is a broadcast one-row total,
+    // not a partition-less window: the counts table has one row per
+    // distinct value, which at corpus scale is itself large — a
+    // single-partition WindowExec there would serialize the query.
     "agg_value_counts" -> { (s, d) =>
       import s.implicits._
-      Tables(s, d, "orders")
+      val counts = Tables(s, d, "orders")
         .groupBy($"o_orderstatus", $"o_orderpriority")
         .agg(count(lit(1)).as("cnt"))
-        .withColumn("proportion",
-          $"cnt".cast("double") / sum($"cnt").over(Window.partitionBy()).cast("double"))
+      val total = counts.agg(sum($"cnt").as("total"))
+      counts.crossJoin(broadcast(total))
+        .withColumn("proportion", $"cnt".cast("double") / $"total".cast("double"))
+        .drop("total")
     },
 
     // mode: most frequent value, smallest-value tiebreak (algorithms.py:1149)
@@ -249,6 +255,43 @@ object AggQueries extends QueryModule {
       val corr = ($"n" * $"sxy" - $"sx" * $"sy") /
         (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))
       m.select($"l_returnflag", round(cov, 6).as("cov_qd"), round(corr, 6).as("corr_qd"))
+    },
+
+    // corrwith / full pairwise corr matrix (frame.py:15791 corr,
+    // :16047 corrwith): all pairwise Pearson r over 4 columns from ONE
+    // scan — k sums, k sum-of-squares, k(k-1)/2 cross-products in a
+    // single aggregate, then the long (pair, r) matrix form via
+    // unpivot. corrwith(target) is the subset of rows whose pair
+    // starts with the target column; no per-pair rescans at any scale.
+    "agg_corr_matrix" -> { (s, d) =>
+      import s.implicits._
+      val m = Tables(s, d, "lineitem").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum($"l_quantity").as("s_q"), dsum($"l_extendedprice").as("s_e"),
+        dsum($"l_discount").as("s_d"), dsum($"l_tax").as("s_t"),
+        dsum8(dec($"l_quantity") * dec($"l_quantity")).as("ss_q"),
+        dsum8(dec($"l_extendedprice") * dec($"l_extendedprice")).as("ss_e"),
+        dsum8(dec($"l_discount") * dec($"l_discount")).as("ss_d"),
+        dsum8(dec($"l_tax") * dec($"l_tax")).as("ss_t"),
+        dsum8(dec($"l_quantity") * dec($"l_extendedprice")).as("x_qe"),
+        dsum8(dec($"l_quantity") * dec($"l_discount")).as("x_qd"),
+        dsum8(dec($"l_quantity") * dec($"l_tax")).as("x_qt"),
+        dsum8(dec($"l_extendedprice") * dec($"l_discount")).as("x_ed"),
+        dsum8(dec($"l_extendedprice") * dec($"l_tax")).as("x_et"),
+        dsum8(dec($"l_discount") * dec($"l_tax")).as("x_dt"))
+      def r(sx: org.apache.spark.sql.Column, sy: org.apache.spark.sql.Column,
+          sxx: org.apache.spark.sql.Column, syy: org.apache.spark.sql.Column,
+          sxy: org.apache.spark.sql.Column) =
+        round(($"n" * sxy - sx * sy) /
+          (sqrt($"n" * sxx - sx * sx) * sqrt($"n" * syy - sy * sy)), 6)
+      val wide = m.select(
+        r($"s_q", $"s_e", $"ss_q", $"ss_e", $"x_qe").as("qty_price"),
+        r($"s_q", $"s_d", $"ss_q", $"ss_d", $"x_qd").as("qty_disc"),
+        r($"s_q", $"s_t", $"ss_q", $"ss_t", $"x_qt").as("qty_tax"),
+        r($"s_e", $"s_d", $"ss_e", $"ss_d", $"x_ed").as("price_disc"),
+        r($"s_e", $"s_t", $"ss_e", $"ss_t", $"x_et").as("price_tax"),
+        r($"s_d", $"s_t", $"ss_d", $"ss_t", $"x_dt").as("disc_tax"))
+      wide.unpivot(Array.empty, wide.columns.map(col), "pair", "r")
     },
 
     // cumulative transforms: cumsum/cummax/cumcount over in-group row order
@@ -594,6 +637,36 @@ object AggQueries extends QueryModule {
            ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qd,
            ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qd
          FROM m""",
+
+    "agg_corr_matrix" ->
+      """WITH m AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s_q,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS s_e,
+             CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS s_d,
+             CAST(SUM(CAST(l_tax AS DECIMAL(18,4))) AS DOUBLE) AS s_t,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_quantity AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_q,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_e,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_d,
+             CAST(SUM(CAST(CAST(l_tax AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_t,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_qe,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_qd,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_qt,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_discount AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_ed,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_et,
+             CAST(SUM(CAST(CAST(l_discount AS DECIMAL(19,4)) * CAST(l_tax AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_dt
+           FROM lineitem)
+         SELECT 'qty_price' AS pair, ROUND((n * x_qe - s_q * s_e) / (SQRT(n * ss_q - s_q * s_q) * SQRT(n * ss_e - s_e * s_e)), 6) AS r FROM m
+         UNION ALL
+         SELECT 'qty_disc', ROUND((n * x_qd - s_q * s_d) / (SQRT(n * ss_q - s_q * s_q) * SQRT(n * ss_d - s_d * s_d)), 6) FROM m
+         UNION ALL
+         SELECT 'qty_tax', ROUND((n * x_qt - s_q * s_t) / (SQRT(n * ss_q - s_q * s_q) * SQRT(n * ss_t - s_t * s_t)), 6) FROM m
+         UNION ALL
+         SELECT 'price_disc', ROUND((n * x_ed - s_e * s_d) / (SQRT(n * ss_e - s_e * s_e) * SQRT(n * ss_d - s_d * s_d)), 6) FROM m
+         UNION ALL
+         SELECT 'price_tax', ROUND((n * x_et - s_e * s_t) / (SQRT(n * ss_e - s_e * s_e) * SQRT(n * ss_t - s_t * s_t)), 6) FROM m
+         UNION ALL
+         SELECT 'disc_tax', ROUND((n * x_dt - s_d * s_t) / (SQRT(n * ss_d - s_d * s_d) * SQRT(n * ss_t - s_t * s_t)), 6) FROM m""",
 
     "agg_cumsum" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber,

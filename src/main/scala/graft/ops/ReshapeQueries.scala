@@ -118,6 +118,41 @@ object ReshapeQueries extends QueryModule {
           max($"o_totalprice").as("hi"))
     },
 
+    // wide_to_long (melt.py:287): stubnames {rev, yr} share the suffix
+    // set {2024, 2025}; each suffix contributes one row per id
+    // carrying ALL stubs. pandas melts per stub and joins on
+    // (id, suffix) — composing the suffix rows directly is the Spark
+    // shape: one narrow select per suffix, unioned, zero shuffles.
+    "rs_wide_to_long" -> { (s, d) =>
+      import s.implicits._
+      val wide = Tables(s, d, "orders")
+        .filter($"o_orderkey" < 5000)
+        .select($"o_orderkey",
+          $"o_totalprice".as("rev_2024"),
+          ($"o_totalprice" * 1.1).as("rev_2025"),
+          year($"o_orderdate").as("yr_2024"),
+          (year($"o_orderdate") + 1).as("yr_2025"))
+      val r2024 = wide.select($"o_orderkey", lit(2024).as("year"),
+        $"rev_2024".as("rev"), $"yr_2024".as("yr"))
+      val r2025 = wide.select($"o_orderkey", lit(2025).as("year"),
+        $"rev_2025".as("rev"), $"yr_2025".as("yr"))
+      r2024.unionByName(r2025)
+    },
+
+    // multi-level unstack (reshape.py:571 _Unstacker; VERDICT r1 #8):
+    // two index levels pivot out at once = pivot on the concatenated
+    // level values. Declared pivot values keep it a single shuffle
+    // with no discovery pass — the 100 TB rule for any pivot.
+    "rs_unstack_multi" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem")
+        .withColumn("band", when($"l_quantity" <= 25, "lo").otherwise("hi"))
+        .groupBy($"l_returnflag")
+        .pivot(concat($"l_linestatus", lit("_"), $"band"),
+          Seq("F_lo", "F_hi", "O_lo", "O_hi"))
+        .agg(dsum($"l_extendedprice"))
+    },
+
     // nested struct + array columns (ArrowDtype list/struct surface,
     // arrays/arrow/accessors.py ListAccessor/StructAccessor): struct
     // construction, field access, array slice. Nested values are
@@ -224,6 +259,23 @@ object ReshapeQueries extends QueryModule {
                  NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q4
                FROM orders) t
          GROUP BY q4""",
+
+    "rs_wide_to_long" ->
+      """SELECT o_orderkey, 2024 AS year, o_totalprice AS rev,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr
+         FROM orders WHERE o_orderkey < 5000
+         UNION ALL
+         SELECT o_orderkey, 2025, o_totalprice * 1.1,
+           CAST(EXTRACT(year FROM o_orderdate) + 1 AS INT)
+         FROM orders WHERE o_orderkey < 5000""",
+
+    "rs_unstack_multi" ->
+      """SELECT l_returnflag,
+         CAST(SUM(CASE WHEN l_linestatus = 'F' AND l_quantity <= 25 THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F_lo",
+         CAST(SUM(CASE WHEN l_linestatus = 'F' AND l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F_hi",
+         CAST(SUM(CASE WHEN l_linestatus = 'O' AND l_quantity <= 25 THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O_lo",
+         CAST(SUM(CASE WHEN l_linestatus = 'O' AND l_quantity > 25 THEN CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O_hi"
+         FROM lineitem GROUP BY l_returnflag""",
 
     "rs_nested_struct" ->
       """SELECT doc_id,

@@ -205,6 +205,25 @@ object WindowQueries extends QueryModule {
             count(lit(1)).over(grp)).as("rank_pct"))
     },
 
+    // rank method='max' + na_option='top'/'bottom' (algos.pyx:1067
+    // rank_1d options; VERDICT r1 #9). max-rank = count of non-null
+    // peers at or below the value (a RANGE frame, so ties ahead of the
+    // current row are included); na_option places NULLs first/last in
+    // the rank order instead of pandas-default keep (NULL rank).
+    "win_rank_options" -> { (s, d) =>
+      import s.implicits._
+      val holes = Tables(s, d, "events")
+        .withColumn("reading", when($"event_type" =!= "error", $"value"))
+      val rng = Window.partitionBy($"user_id").orderBy($"reading")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val top = Window.partitionBy($"user_id").orderBy($"reading".asc_nulls_first)
+      val bot = Window.partitionBy($"user_id").orderBy($"reading".asc_nulls_last)
+      holes.select($"event_id", $"user_id",
+        when($"reading".isNotNull, count($"reading").over(rng)).as("rank_max"),
+        rank().over(top).cast("long").as("rank_na_top"),
+        rank().over(bot).cast("long").as("rank_na_bottom"))
+    },
+
     // weighted rolling window (win_type= rolling.py:862): explicit
     // 4-tap dot product over lags
     "win_weighted" -> { (s, d) =>
@@ -449,6 +468,19 @@ object WindowQueries extends QueryModule {
            + (COUNT(*) OVER (PARTITION BY event_type, "value") - 1) / 2.0)
            / COUNT(*) OVER (PARTITION BY event_type) AS rank_pct
          FROM events""",
+
+    "win_rank_options" ->
+      """WITH h AS (
+           SELECT event_id, user_id,
+             CASE WHEN event_type <> 'error' THEN "value" END AS reading
+           FROM events)
+         SELECT event_id, user_id,
+           CASE WHEN reading IS NOT NULL THEN
+             COUNT(reading) OVER (PARTITION BY user_id ORDER BY reading
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) END AS rank_max,
+           RANK() OVER (PARTITION BY user_id ORDER BY reading ASC NULLS FIRST) AS rank_na_top,
+           RANK() OVER (PARTITION BY user_id ORDER BY reading ASC NULLS LAST) AS rank_na_bottom
+         FROM h""",
 
     "win_weighted" ->
       """SELECT user_id, event_id,
