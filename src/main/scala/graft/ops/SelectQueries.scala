@@ -196,6 +196,24 @@ object SelectQueries extends QueryModule {
       Tables(s, d, "orders")
         .filter($"o_orderkey" % 20 === 0)
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // sample(replace=True) (core/sample.py:123): with-replacement =
+    // per-row replication count ~ Poisson(1), the distributed
+    // equivalent of n draws with replacement (no global coordination,
+    // no collect). The count comes from a deterministic Lehmer-style
+    // key hash so the draw is reproducible and oracle-checkable;
+    // sequence+explode materializes the copies with a copy index.
+    "sel_sample_replace" -> { (s, d) =>
+      import s.implicits._
+      val h = ($"o_orderkey" * 48271L) % 65537L % 100L
+      val rep = when(h < 37, 0).when(h < 74, 1).when(h < 92, 2)
+        .when(h < 98, 3).otherwise(4)
+      Tables(s, d, "orders")
+        .withColumn("rep", rep)
+        .filter($"rep" > 0)
+        .select($"o_orderkey", $"o_totalprice",
+          explode(sequence(lit(1L), $"rep".cast("long"))).as("copy_id"))
     }
   )
 
@@ -288,6 +306,19 @@ object SelectQueries extends QueryModule {
 
     "sel_sample_mod" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-         WHERE o_orderkey % 20 = 0"""
+         WHERE o_orderkey % 20 = 0""",
+
+    "sel_sample_replace" ->
+      """WITH t AS (
+           SELECT o_orderkey, o_totalprice,
+             CASE WHEN (o_orderkey * 48271) % 65537 % 100 < 37 THEN 0
+                  WHEN (o_orderkey * 48271) % 65537 % 100 < 74 THEN 1
+                  WHEN (o_orderkey * 48271) % 65537 % 100 < 92 THEN 2
+                  WHEN (o_orderkey * 48271) % 65537 % 100 < 98 THEN 3
+                  ELSE 4 END AS rep
+           FROM orders)
+         SELECT o_orderkey, o_totalprice,
+           unnest(generate_series(1, rep)) AS copy_id
+         FROM t WHERE rep > 0"""
   )
 }

@@ -38,6 +38,34 @@ object SetQueries extends QueryModule {
         .select($"o_orderkey", $"o_totalprice")
     },
 
+    // nlargest(keep='all') (methods/selectn.py:140): all boundary ties
+    // survive, so the result can exceed n. Distributed shape: top-n
+    // pass (TakeOrderedAndProject) finds the nth value, broadcast it,
+    // filter >= — two cheap jobs, no global sort. l_quantity has 50
+    // distinct values so the boundary tie group is real.
+    "set_nlargest_keepall" -> { (s, d) =>
+      import s.implicits._
+      val sub = Tables(s, d, "lineitem").filter($"l_orderkey" < 3000)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+      val nth = sub.orderBy($"l_quantity".desc).limit(100)
+        .agg(min($"l_quantity").as("th"))
+      sub.crossJoin(broadcast(nth))
+        .filter($"l_quantity" >= $"th")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    },
+
+    // concat axis=1 (reshape/concat.py:78, axis=1 path): column-wise
+    // concat aligns on the index = full outer join on the key, columns
+    // from both sides, nulls where a side is absent.
+    "set_concat_axis1" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables(s, d, "orders").filter($"o_orderstatus" === "O")
+        .select($"o_orderkey", $"o_totalprice".as("px"))
+      val b = Tables(s, d, "orders").filter($"o_totalprice" > 200000)
+        .select($"o_orderkey", $"o_orderpriority".as("pr"))
+      a.join(b, Seq("o_orderkey"), "full")
+    },
+
     // multi-key sort with per-key direction + nulls placement, top 200
     // (sort_values frame.py:8454; stability via unique tiebreak)
     "set_sort_multi" -> { (s, d) =>
@@ -164,6 +192,24 @@ object SetQueries extends QueryModule {
     "set_nsmallest" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 50""",
+
+    "set_nlargest_keepall" ->
+      """WITH sub AS (
+           SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+           WHERE l_orderkey < 3000),
+         th AS (
+           SELECT MIN(l_quantity) AS th FROM (
+             SELECT l_quantity FROM sub ORDER BY l_quantity DESC LIMIT 100) t)
+         SELECT l_orderkey, l_linenumber, l_quantity
+         FROM sub, th WHERE l_quantity >= th.th""",
+
+    "set_concat_axis1" ->
+      """SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey, a.px, b.pr
+         FROM (SELECT o_orderkey, o_totalprice AS px FROM orders
+               WHERE o_orderstatus = 'O') a
+         FULL JOIN (SELECT o_orderkey, o_orderpriority AS pr FROM orders
+               WHERE o_totalprice > 200000) b
+         ON a.o_orderkey = b.o_orderkey""",
 
     "set_sort_multi" ->
       """SELECT o_orderstatus, o_orderkey, o_totalprice FROM orders
