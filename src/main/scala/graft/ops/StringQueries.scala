@@ -143,6 +143,32 @@ object StringQueries extends QueryModule {
           array_contains(tags, "src1").cast("int").as("d_src1"))
     },
 
+    // case transforms + character-class predicates + slice_replace
+    // (accessor.py capitalize :3105 / swapcase :3163, isalpha/isdigit/
+    // isspace :3306 family, slice_replace :2024). swapcase is an
+    // ASCII translate (both engines agree); predicates are anchored
+    // character-class regexes; slice_replace(2,5) = concat of the
+    // outside slices around the replacement.
+    "str_case_preds" -> { (s, d) =>
+      import s.implicits._
+      val lcAlpha = "abcdefghijklmnopqrstuvwxyz"
+      val ucAlpha = lcAlpha.toUpperCase
+      val w1 = expr("split_part(text, ' ', 1)")
+      Tables(s, d, "documents")
+        .withColumn("w1", w1)
+        .select($"doc_id",
+          concat(upper(substring($"w1", 1, 1)), lower(expr("substring(w1, 2)")))
+            .as("capitalized"),
+          translate(concat($"lang", upper($"source")), lcAlpha + ucAlpha, ucAlpha + lcAlpha)
+            .as("swapped"),
+          $"w1".rlike("^[a-z]+$").as("is_alpha_lower"),
+          $"source".rlike("^[0-9]+$").as("is_digit"),
+          regexp_extract($"source", "([0-9]+)", 1).rlike("^[0-9]+$").as("num_part_is_digit"),
+          (lit(" \t ").rlike("^\\s+$")).as("ws_is_space"),
+          concat(substring($"w1", 1, 2), lit("XX"), expr("substring(w1, 6)"))
+            .as("slice_replaced"))
+    },
+
     // translate + instr/locate (object_array.py:396 translate, find :276)
     "str_translate_find" -> { (s, d) =>
       import s.implicits._
@@ -238,6 +264,22 @@ object StringQueries extends QueryModule {
            CAST(list_contains(string_split(lang || '|' || source, '|'), 'en') AS INT) AS d_en,
            CAST(list_contains(string_split(lang || '|' || source, '|'), 'de') AS INT) AS d_de,
            CAST(list_contains(string_split(lang || '|' || source, '|'), 'src1') AS INT) AS d_src1
+         FROM t""",
+
+    "str_case_preds" ->
+      """WITH t AS (
+           SELECT doc_id, lang, source, split_part(text, ' ', 1) AS w1
+           FROM documents)
+         SELECT doc_id,
+           UPPER(SUBSTR(w1, 1, 1)) || LOWER(SUBSTR(w1, 2)) AS capitalized,
+           translate(lang || UPPER(source),
+             'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+             'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+           regexp_matches(w1, '^[a-z]+$') AS is_alpha_lower,
+           regexp_matches(source, '^[0-9]+$') AS is_digit,
+           regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[0-9]+$') AS num_part_is_digit,
+           regexp_matches(' 	 ', '^\s+$') AS ws_is_space,
+           SUBSTR(w1, 1, 2) || 'XX' || SUBSTR(w1, 6) AS slice_replaced
          FROM t""",
 
     "str_translate_find" ->

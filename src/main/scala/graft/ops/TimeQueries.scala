@@ -153,17 +153,53 @@ object TimeQueries extends QueryModule {
           datediff($"ts", lit("2024-01-01").cast("timestamp")).as("days_since_start"))
     },
 
-    // business-day roll-forward (BDay offsets.pyx; Spark has no
-    // calendar module — explicit weekday formula, SURVEY §7.4)
+    // business-day roll-forward + n-BDay arithmetic (BDay
+    // offsets.pyx; Spark has no calendar module — explicit weekday
+    // formulas, SURVEY §7.4). plus_3bday = roll to a business day,
+    // then add 3 plus a weekend skip when the hop crosses Friday.
+    // Holiday calendars would subtract a broadcast holiday-set count
+    // per span; not modeled here (no calendar data in env).
     "ts_business_day" -> { (s, d) =>
       import s.implicits._
       val wd = expr("weekday(ts)") // 0=Mon .. 6=Sun
+      val rolled = when(wd === 5, date_trunc("day", $"ts") + expr("interval 2 days"))
+        .when(wd === 6, date_trunc("day", $"ts") + expr("interval 1 day"))
+        .otherwise(date_trunc("day", $"ts"))
+      val rolledWd = when(wd >= 5, lit(0)).otherwise(wd) // Sat/Sun roll to Mon
       Tables(s, d, "events")
         .filter($"event_id" < 2000)
+        .withColumn("rolled", rolled)
+        .withColumn("extra", when(rolledWd + 3 > 4, lit(5)).otherwise(lit(3)))
         .select($"event_id",
-          when(wd === 5, date_trunc("day", $"ts") + expr("interval 2 days"))
-            .when(wd === 6, date_trunc("day", $"ts") + expr("interval 1 day"))
-            .otherwise(date_trunc("day", $"ts")).as("next_bday"))
+          $"rolled".as("next_bday"),
+          expr("rolled + make_interval(0, 0, 0, extra)").as("plus_3bday"))
+    },
+
+    // tz_localize/tz_convert (tslibs/tzconversion.pyx; Series.dt
+    // .tz_convert): UTC wall -> zone wall including DST. The oracle
+    // uses nested timezone('zone', timezone('UTC', ts)) which pins the
+    // naive-timestamp interpretation to UTC regardless of DuckDB's
+    // session zone — the same instant arithmetic as from_utc_timestamp.
+    "ts_tz_convert" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .filter($"event_id" < 2000)
+        .select($"event_id", $"ts",
+          from_utc_timestamp($"ts", "America/New_York").as("ny_wall"),
+          from_utc_timestamp($"ts", "Asia/Kolkata").as("ist_wall"),
+          (hour(from_utc_timestamp($"ts", "America/New_York"))).as("ny_hour"))
+    },
+
+    // resample closed='right', label='right' (resample.py TimeGrouper
+    // closed/label params): the bin (t0, t0+6h] labeled by its right
+    // edge — integer-ceil on the epoch, exact boundaries staying put.
+    "ts_resample_closed" -> { (s, d) =>
+      import s.implicits._
+      val bucketRight = timestamp_seconds(
+        expr("((unix_micros(ts) + 21599999999) div 21600000000) * 21600"))
+      Tables(s, d, "events")
+        .groupBy(bucketRight.as("bucket_right"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_val"))
     },
 
     // Period dtype representation (PeriodDtype dtypes.py:1000, SURVEY
@@ -304,11 +340,31 @@ object TimeQueries extends QueryModule {
          FROM events WHERE event_id < 500""",
 
     "ts_business_day" ->
-      """SELECT event_id,
-         CASE WHEN isodow(ts) = 6 THEN date_trunc('day', ts) + INTERVAL 2 DAY
-              WHEN isodow(ts) = 7 THEN date_trunc('day', ts) + INTERVAL 1 DAY
-              ELSE date_trunc('day', ts) END AS next_bday
+      """WITH t AS (
+           SELECT event_id,
+             CASE WHEN isodow(ts) = 6 THEN date_trunc('day', ts) + INTERVAL 2 DAY
+                  WHEN isodow(ts) = 7 THEN date_trunc('day', ts) + INTERVAL 1 DAY
+                  ELSE date_trunc('day', ts) END AS rolled,
+             CASE WHEN isodow(ts) >= 6 THEN 0 ELSE isodow(ts) - 1 END AS rolled_wd
+           FROM events WHERE event_id < 2000)
+         SELECT event_id, rolled AS next_bday,
+           rolled + (CASE WHEN rolled_wd + 3 > 4 THEN 5 ELSE 3 END) * INTERVAL 1 DAY
+             AS plus_3bday
+         FROM t""",
+
+    "ts_tz_convert" ->
+      """SELECT event_id, ts,
+         CAST(timezone('America/New_York', timezone('UTC', ts)) AS TIMESTAMP) AS ny_wall,
+         CAST(timezone('Asia/Kolkata', timezone('UTC', ts)) AS TIMESTAMP) AS ist_wall,
+         CAST(EXTRACT(hour FROM CAST(timezone('America/New_York', timezone('UTC', ts)) AS TIMESTAMP)) AS INT) AS ny_hour
          FROM events WHERE event_id < 2000""",
+
+    "ts_resample_closed" ->
+      """SELECT TIMESTAMP '1970-01-01 00:00:00'
+           + INTERVAL 1 SECOND * (((epoch_us(ts) + 21599999999) // 21600000000) * 21600) AS bucket_right,
+         COUNT(*) AS n,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM events GROUP BY 1""",
 
     "ts_period_struct" ->
       """SELECT o_orderkey,

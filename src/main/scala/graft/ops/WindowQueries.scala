@@ -205,6 +205,41 @@ object WindowQueries extends QueryModule {
             count(lit(1)).over(grp)).as("rank_pct"))
     },
 
+    // rolling pairwise cov/corr (rolling.py cov :1643 / corr :1708,
+    // kernel aggregations.pyx:2143 family): the bivariate extension of
+    // the rolling-std moment trick — decimal-exact frame sums of x, y,
+    // x², y², xy, then the sample-cov / Pearson formulas, min_periods
+    // gating on the frame count. One window spec, six running sums,
+    // zero extra shuffles.
+    "win_rolling_cov" -> { (s, d) =>
+      import s.implicits._
+      // (l_orderkey, l_linenumber) is not unique in the synthetic
+      // lineitem — the quantity/price tiebreak makes the frame order
+      // total (same discipline as agg_cumsum)
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice")
+        .rowsBetween(-4, 0)
+      val x = $"l_quantity".cast("decimal(9,4)")
+      val y = $"l_extendedprice".cast("decimal(19,4)")
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 2000)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          $"l_quantity",
+          count(lit(1)).over(w).cast("double").as("n"),
+          sum(x).over(w).cast("double").as("sx"),
+          sum(y).over(w).cast("double").as("sy"),
+          sum(x * x).over(w).cast("double").as("sxx"),
+          sum(y * y).over(w).cast("double").as("syy"),
+          sum(x * y).over(w).cast("double").as("sxy"))
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_quantity",
+          when($"n" >= 5,
+            round(($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1), 6)).as("roll_cov"),
+          when($"n" >= 5,
+            round(($"n" * $"sxy" - $"sx" * $"sy") /
+              (sqrt($"n" * $"sxx" - $"sx" * $"sx") *
+               sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)).as("roll_corr"))
+    },
+
     // rank method='max' + na_option='top'/'bottom' (algos.pyx:1067
     // rank_1d options; VERDICT r1 #9). max-rank = count of non-null
     // peers at or below the value (a RANGE frame, so ties ahead of the
@@ -468,6 +503,25 @@ object WindowQueries extends QueryModule {
            + (COUNT(*) OVER (PARTITION BY event_type, "value") - 1) / 2.0)
            / COUNT(*) OVER (PARTITION BY event_type) AS rank_pct
          FROM events""",
+
+    "win_rolling_cov" ->
+      """WITH t AS (
+           SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,4))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,4)) * CAST(l_quantity AS DECIMAL(9,4))) OVER w AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(9,4)) * CAST(l_extendedprice AS DECIMAL(19,4))) OVER w AS DOUBLE) AS sxy
+           FROM lineitem WHERE l_orderkey < 2000
+           WINDOW w AS (PARTITION BY l_returnflag
+                        ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+         SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+           CASE WHEN n >= 5 THEN ROUND((sxy - sx * sy / n) / (n - 1), 6) END AS roll_cov,
+           CASE WHEN n >= 5 THEN ROUND((n * sxy - sx * sy) /
+             (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) END AS roll_corr
+         FROM t""",
 
     "win_rank_options" ->
       """WITH h AS (
