@@ -79,6 +79,45 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
   def nlargest(n: Int, by: String, tiebreak: String): PFrame =
     copy(df = df.orderBy(col(by).desc, col(tiebreak).asc).limit(n))
 
+  /** df.nlargest(n, col, keep='all'): every row tied with the nth
+    * value survives. Top-n pass finds the threshold, broadcast, filter
+    * — no global sort. */
+  def nlargestAll(n: Int, by: String): PFrame = {
+    val th = df.orderBy(col(by).desc).limit(n).agg(min(col(by)).as("__th"))
+    copy(df = df.crossJoin(broadcast(th)).filter(col(by) >= col("__th")).drop("__th"))
+  }
+
+  /** df.sample(frac) — deterministic Bernoulli draw on a key hash;
+    * reproducible with no global seed state (core/sample.py). */
+  def sample(keyCol: String, frac: Double): PFrame =
+    copy(df = df.filter(
+      (col(keyCol) * 2654435761L % 1000000L).cast("double") / 1000000.0 < frac))
+
+  /** df.sample(replace=True): per-row replication count ~ Poisson(1)
+    * from a deterministic Lehmer hash, expanded with sequence+explode
+    * — the distributed with-replacement shape (core/sample.py:123). */
+  def sampleWithReplacement(keyCol: String, copyIdx: String = "__copy"): PFrame = {
+    val h = col(keyCol) * 48271L % 65537L % 100L
+    val rep = when(h < 37, 0).when(h < 74, 1).when(h < 92, 2)
+      .when(h < 98, 3).otherwise(4)
+    copy(df = df.withColumn("__rep", rep).filter(col("__rep") > 0)
+      .withColumn(copyIdx, explode(sequence(lit(1L), col("__rep").cast("long"))))
+      .drop("__rep"))
+  }
+
+  /** pd.wide_to_long(stubnames, i, j): each suffix contributes one row
+    * per id carrying all stubs — one narrow select per suffix unioned,
+    * zero shuffles (vs pandas' melt-per-stub + join, melt.py:287).
+    * Columns must be named `stub<sep>suffix`. */
+  def wideToLong(stubs: Seq[String], suffixes: Seq[String], i: Seq[String],
+      j: String, sep: String = "_"): PFrame = {
+    val parts = suffixes.map { suf =>
+      df.select((i.map(col) :+ lit(suf).as(j)) ++
+        stubs.map(st => col(s"$st$sep$suf").as(st)): _*)
+    }
+    copy(df = parts.reduce(_ unionByName _))
+  }
+
   def fillna(value: Any, cols: Seq[String] = Nil): PFrame = {
     val target = if (cols.isEmpty) df.columns.toSeq else cols
     val filled = value match {
@@ -136,20 +175,26 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
       on: String,
       valueCols: Seq[String],
       direction: String = "backward",
-      toleranceMicros: Option[Long] = None): PFrame = {
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): PFrame = {
     val out = direction match {
       case "backward" =>
-        graft.operators.AsofJoin.backward(df, right.df, by, on, on, valueCols, toleranceMicros)
+        graft.operators.AsofJoin.backward(df, right.df, by, on, on, valueCols,
+          toleranceMicros, allowExactMatches)
       case "forward" =>
-        graft.operators.AsofJoin.forward(df, right.df, by, on, on, valueCols, toleranceMicros)
+        graft.operators.AsofJoin.forward(df, right.df, by, on, on, valueCols,
+          toleranceMicros, allowExactMatches)
       case "nearest" =>
-        graft.operators.AsofJoin.nearest(df, right.df, by, on, on, valueCols, toleranceMicros)
+        graft.operators.AsofJoin.nearest(df, right.df, by, on, on, valueCols,
+          toleranceMicros, allowExactMatches)
       case other => throw new IllegalArgumentException(s"direction: $other")
     }
     copy(df = out)
   }
 
-  /** df.ewm(alpha).mean()/var() per key over an explicit time order */
+  /** df.ewm(alpha).mean()/var() per key over an explicit time order.
+    * span/com/halflife parameterizations: pass
+    * Ewm.alphaFromSpan/Com/Halflife (window/ewm.py:127). */
   def ewm(key: String, order: String, value: String, alpha: Double): PFrame =
     copy(df = graft.functions.Ewm.ewmMean(df.sparkSession, df, key, order, value, alpha))
 
@@ -266,10 +311,19 @@ final case class PGroupBy(df: DataFrame, keys: Seq[String]) {
     PFrame(df.withColumn(as, F.sum(col(colName)).over(w)))
   }
 
-  /** gb.rank(method='min'|'dense'|'first', pct) */
+  /** gb.rank(method='min'|'dense'|'first'|'average'|'max',
+    * na_option='keep'|'top'|'bottom') — pandas rank_1d options
+    * (algos.pyx:1067). 'max' = count of peers at or below the value
+    * (a RANGE frame); na_option places NULLs first/last in the order
+    * instead of giving them NULL ranks. */
   def rank(colName: String, method: String = "min", pct: Boolean = false,
-      as: String = "rank"): PFrame = {
-    val ord = Window.partitionBy(keys.map(col): _*).orderBy(col(colName))
+      naOption: String = "keep", as: String = "rank"): PFrame = {
+    val orderCol = naOption match {
+      case "keep" | "bottom" => col(colName).asc_nulls_last
+      case "top"             => col(colName).asc_nulls_first
+      case other => throw new IllegalArgumentException(s"na_option: $other")
+    }
+    val ord = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
     val grp = Window.partitionBy(keys.map(col): _*)
     val r: Column = method match {
       case "min"   => F.rank().over(ord)
@@ -278,9 +332,14 @@ final case class PGroupBy(df: DataFrame, keys: Seq[String]) {
       case "average" =>
         F.rank().over(ord) +
           (F.count(lit(1)).over(Window.partitionBy((keys :+ colName).map(col): _*)) - 1) / lit(2.0)
+      case "max" =>
+        F.count(col(colName)).over(
+          Window.partitionBy(keys.map(col): _*).orderBy(col(colName))
+            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
       case other => throw new IllegalArgumentException(s"rank method: $other")
     }
-    val out = if (pct) r.cast("double") / F.count(lit(1)).over(grp) else r
+    val gated = if (naOption == "keep") when(col(colName).isNotNull, r) else r
+    val out = if (pct) gated.cast("double") / F.count(lit(1)).over(grp) else gated
     PFrame(df.withColumn(as, out))
   }
 }
@@ -305,4 +364,28 @@ final case class PRolling(df: DataFrame, partition: Seq[String], order: String,
     PFrame(df.withColumn(as, gated(F.max(col(colName)).over(w), colName)))
   def count(colName: String, as: String): PFrame =
     PFrame(df.withColumn(as, F.count(col(colName)).over(w)))
+
+  def variance(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, gated(var_samp(col(colName)).over(w), colName)))
+  def std(colName: String, as: String): PFrame =
+    PFrame(df.withColumn(as, gated(stddev_samp(col(colName)).over(w), colName)))
+
+  /** rolling.cov/corr(other) — pairwise over the same frame
+    * (rolling.py:1643/:1708); sample covariance and Pearson r from
+    * running frame moments. */
+  def cov(xCol: String, yCol: String, as: String): PFrame = {
+    val n = F.count(lit(1)).over(w).cast("double")
+    val c = (F.sum(col(xCol) * col(yCol)).over(w) -
+      F.sum(col(xCol)).over(w) * F.sum(col(yCol)).over(w) / n) / (n - 1)
+    PFrame(df.withColumn(as, when(n >= minPeriods, c)))
+  }
+  def corr(xCol: String, yCol: String, as: String): PFrame = {
+    val n = F.count(lit(1)).over(w).cast("double")
+    val sx = F.sum(col(xCol)).over(w); val sy = F.sum(col(yCol)).over(w)
+    val sxx = F.sum(col(xCol) * col(xCol)).over(w)
+    val syy = F.sum(col(yCol) * col(yCol)).over(w)
+    val sxy = F.sum(col(xCol) * col(yCol)).over(w)
+    val r = (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+    PFrame(df.withColumn(as, when(n >= minPeriods, r)))
+  }
 }

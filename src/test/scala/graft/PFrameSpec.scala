@@ -93,4 +93,76 @@ class PFrameSpec extends SparkSpec {
     // pandas: [1.5, 1.5, 3.0]
     assert(out.map(_._2).toSeq == Seq(1.5, 1.5, 3.0))
   }
+
+  test("groupby rank method=max and na_option placement") {
+    import spark.implicits._
+    val df = Seq((1, Some(10.0)), (1, Some(10.0)), (1, Some(20.0)), (1, None))
+      .toDF("k", "x")
+    // method='max': ties get the max rank among peers; NULL keeps NULL
+    val mx = PFrame(df).groupby("k").rank("x", method = "max", as = "r")
+      .toDF.select($"x", $"r").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(mx.contains((Some(10.0), Some(2L))) && mx.contains((Some(20.0), Some(3L))))
+    assert(mx.contains((None, None)))
+    // na_option='top': NULL ranks first
+    val top = PFrame(df).groupby("k").rank("x", method = "min", naOption = "top", as = "r")
+      .toDF.filter($"x".isNull).select($"r").as[Int].collect()
+    assert(top.toSeq == Seq(1))
+  }
+
+  test("nlargestAll keeps boundary ties") {
+    import spark.implicits._
+    val df = Seq((1, 5.0), (2, 5.0), (3, 4.0), (4, 3.0)).toDF("id", "x")
+    // n=1 but two rows tie at the max
+    val out = PFrame(df).nlargestAll(1, "x").toDF.select($"id").as[Int].collect()
+    assert(out.toSet == Set(1, 2))
+  }
+
+  test("sampleWithReplacement replicates deterministically") {
+    import spark.implicits._
+    val df = (1L to 2000L).toDF("k")
+    val out = PFrame(df).sampleWithReplacement("k").toDF
+    val n = out.count()
+    // Poisson(1)-ish: ~63% of keys kept, ~1 copy per input row overall
+    assert(n > 1500 && n < 2500)
+    val again = PFrame(df).sampleWithReplacement("k").toDF.count()
+    assert(n == again)
+  }
+
+  test("wideToLong composes suffix rows without a join") {
+    import spark.implicits._
+    val wide = Seq((1, 10.0, 11.0, 100L, 101L))
+      .toDF("id", "rev_2024", "rev_2025", "cnt_2024", "cnt_2025")
+    val out = PFrame(wide)
+      .wideToLong(Seq("rev", "cnt"), Seq("2024", "2025"), Seq("id"), "year")
+      .toDF.orderBy($"year").as[(Int, String, Double, Long)].collect()
+    assert(out.toSeq == Seq((1, "2024", 10.0, 100L), (1, "2025", 11.0, 101L)))
+  }
+
+  test("mergeAsof allowExactMatches=false skips the equal-ts row") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "q")).toDF("k", "ts", "tag")
+      .select($"k", timestamp_seconds($"ts").as("ts"), $"tag")
+    val right = Seq((1L, 50L, 5.0), (1L, 100L, 9.0)).toDF("k", "ts", "v")
+      .select($"k", timestamp_seconds($"ts").as("ts"), $"v")
+    val strict = PFrame(left).mergeAsof(PFrame(right), by = Seq("k"), on = "ts",
+      valueCols = Seq("v"), allowExactMatches = false)
+      .toDF.select($"v").as[Double].collect()
+    assert(strict.toSeq == Seq(5.0))
+    val loose = PFrame(left).mergeAsof(PFrame(right), by = Seq("k"), on = "ts",
+      valueCols = Seq("v"))
+      .toDF.select($"v").as[Double].collect()
+    assert(loose.toSeq == Seq(9.0))
+  }
+
+  test("rolling cov/corr match the bivariate formulas") {
+    import spark.implicits._
+    val df = Seq((1, 1, 1.0, 2.0), (1, 2, 2.0, 4.0), (1, 3, 3.0, 6.0))
+      .toDF("k", "o", "x", "y")
+    val out = PFrame(df).rolling(3, order = "o", partition = Seq("k"), minPeriods = 3)
+      .corr("x", "y", "r")
+      .toDF.orderBy($"o").select($"r").as[Option[Double]].collect()
+    assert(out.take(2).forall(_.isEmpty))
+    assert(math.abs(out.last.get - 1.0) < 1e-9) // y = 2x exactly
+  }
 }
