@@ -78,6 +78,53 @@ object SourceQueries extends QueryModule {
       s.read.parquet(path)
         .filter($"o_orderstatus" === "F") // partition-pruned scan
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+    },
+
+    // read_sql/to_sql (io/sql.py read_sql_table:400, to_sql:841) ->
+    // spark.read/write.jdbc against an embedded Derby DB (driver jars
+    // ship with Spark). The read uses (partitionColumn, bounds,
+    // numPartitions) so the scan fans out as N range-predicate queries
+    // — the shape that parallelizes a big table across executors; at
+    // cluster scale you'd size numPartitions to the table, not 8.
+    "src_jdbc_roundtrip" -> { (s, d) =>
+      System.setProperty("derby.system.home", "/tmp/graft_src/derby_home")
+      val url = s"jdbc:derby:${tmpDir(d, "derby")}/db;create=true"
+      val props = new java.util.Properties()
+      props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      val src = Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("o_date_str"))
+      src.write.mode("overwrite").jdbc(url, "orders_rt", props)
+      agg(s.read
+        .option("partitionColumn", "o_orderkey")
+        .option("lowerBound", "1")
+        .option("upperBound", "6000000")
+        .option("numPartitions", "8")
+        .jdbc(url, "orders_rt", props))
+    },
+
+    // read_fwf (io/parsers/readers.py:1210) -> text scan + substring
+    // projection. No fixed-width reader exists in Spark; the idiomatic
+    // mapping is a line scan with per-field substring/cast — all
+    // codegen'd, pushdown-friendly on the line length, and trivially
+    // splittable (each line independent), so it scales like CSV.
+    "src_fwf" -> { (s, d) =>
+      val path = tmpDir(d, "fwf")
+      Tables(s, d, "orders")
+        .select(format_string("%10d%10d%-2s%16s%19s",
+          col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,4)"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss")).as("value"))
+        .write.mode("overwrite").text(path)
+      val parsed = s.read.text(path).select(
+        substring(col("value"), 1, 10).cast("long").as("o_orderkey"),
+        substring(col("value"), 11, 10).cast("long").as("o_custkey"),
+        trim(substring(col("value"), 21, 2)).as("o_orderstatus"),
+        substring(col("value"), 23, 16).cast("decimal(18,4)").cast("double")
+          .as("o_totalprice"),
+        substring(col("value"), 39, 19).as("o_date_str"))
+      agg(parsed)
     }
   )
 
@@ -88,6 +135,8 @@ object SourceQueries extends QueryModule {
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
-         FROM orders WHERE o_orderstatus = 'F'"""
+         FROM orders WHERE o_orderstatus = 'F'""",
+    "src_jdbc_roundtrip" -> oracleAgg,
+    "src_fwf" -> oracleAgg
   )
 }
