@@ -74,12 +74,60 @@ object DedupQueries extends QueryModule {
       s"list_min(list_transform(hs, h -> (${permA(k)} * (h // $Shift) + ${permB(k)}) % $P))"
     })
 
+  /** CTE chain ending in `pairs(da, db, jac)` — the verified near-dup
+    * pair set over 64-bit shingle hashes, mirroring `verifiedPairs` */
+  private val pairs64Cte =
+    s"""docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+       h64 AS (SELECT doc_id, list_transform(sh, g -> ${hash64Sql("g")}) AS hs FROM docs),
+       sig AS (SELECT doc_id, hs,
+         ${(0 until NumBands).map(b => s"${band64Sql(b)} AS band$b").mkString(", ")}
+         FROM h64),
+       cands AS (
+         ${(0 until NumBands).map(b =>
+           s"SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+           .mkString(" UNION ")}),
+       pairs AS (
+         SELECT c.da, c.db,
+           CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+             / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) AS jac
+         FROM cands c
+         JOIN sig ta ON c.da = ta.doc_id
+         JOIN sig tb ON c.db = tb.doc_id
+         WHERE CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+           / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) >= 0.5)"""
+
   private val sigCte =
     s"""docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
        hsh AS (SELECT doc_id, $hashesSql AS hs, len(sh) AS n_shingles FROM docs),
        sig AS (SELECT doc_id, n_shingles,
                  ${(0 until NumBands).map(b => s"${bandSql(b)} AS band$b").mkString(", ")}
                FROM hsh)"""
+
+  /** verified near-dup pairs (da < db, jaccard >= 0.5) with the exact
+    * jaccard in `jac` — shared pipeline for the pair query and the
+    * cluster query */
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.MinHashExprs.register(s)
+    val sig = Tables(s, d, "documents")
+      .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+      .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
+      .cache()
+    val keys = sig.select($"doc_id", posexplode($"bands"))
+      .toDF("doc_id", "bidx", "bk")
+    val cands = keys.select($"doc_id".as("da"), $"bidx", $"bk")
+      .join(keys.select($"doc_id".as("db"), $"bidx", $"bk"), Seq("bidx", "bk"))
+      .filter($"da" < $"db")
+      .select($"da", $"db").distinct()
+    cands
+      .join(sig.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
+      .join(sig.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
+      .withColumn("shared", size(array_intersect($"sha", $"shb")))
+      .withColumn("jac", $"shared".cast("double") /
+        (size($"sha") + size($"shb") - $"shared"))
+      .filter($"jac" >= 0.5)
+      .select($"da", $"db", $"jac")
+  }
 
   def queries: Map[String, Q] = Map(
     // exact full-row dedup via hash aggregate (the testdata's lineitem
@@ -113,25 +161,23 @@ object DedupQueries extends QueryModule {
     // expressions (tight JVM loop) in one scan, cached once.
     "dedup_minhash_pairs" -> { (s, d) =>
       import s.implicits._
-      graft.functions.MinHashExprs.register(s)
-      val sig = Tables(s, d, "documents")
-        .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
-        .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
-        .cache()
-      val keys = sig.select($"doc_id", posexplode($"bands"))
-        .toDF("doc_id", "bidx", "bk")
-      val cands = keys.select($"doc_id".as("da"), $"bidx", $"bk")
-        .join(keys.select($"doc_id".as("db"), $"bidx", $"bk"), Seq("bidx", "bk"))
-        .filter($"da" < $"db")
-        .select($"da", $"db").distinct()
-      cands
-        .join(sig.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
-        .join(sig.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
-        .withColumn("shared", size(array_intersect($"sha", $"shb")))
-        .withColumn("jac", $"shared".cast("double") /
-          (size($"sha") + size($"shb") - $"shared"))
-        .filter($"jac" >= 0.5)
-        .select($"da", $"db", round($"jac", 6).as("jaccard"))
+      verifiedPairs(s, d).select($"da", $"db", round($"jac", 6).as("jaccard"))
+    },
+
+    // near-dup CLUSTER assignment: connected components over the
+    // verified LSH pair edges. This is the step that turns pairwise
+    // near-dups into "keep one doc per cluster" — min-label
+    // propagation, O(component diameter) rounds, no driver state
+    // (operators/ConnectedComponents.scala has the scale analysis).
+    "dedup_clusters" -> { (s, d) =>
+      import s.implicits._
+      val edges = verifiedPairs(s, d).select($"da".as("src"), $"db".as("dst"))
+      val verts = Tables(s, d, "documents").select($"doc_id".as("id"))
+      val comp = graft.operators.ConnectedComponents.labels(verts, edges)
+      val sizes = comp.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, Seq("label"))
+        .select($"id".as("doc_id"), $"label".as("cluster_id"),
+          $"cluster_size", ($"id" === $"label").as("is_canonical"))
     },
 
     // brute-force shingle-jaccard near-dups (oracle path for MinHash
@@ -214,23 +260,22 @@ object DedupQueries extends QueryModule {
             ${(0 until NumBands).map(b => s"band$b").mkString(", ")} FROM sig""",
 
       "dedup_minhash_pairs" ->
-        s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
-           h64 AS (SELECT doc_id, list_transform(sh, g -> ${hash64Sql("g")}) AS hs FROM docs),
-           sig AS (SELECT doc_id, hs,
-             ${(0 until NumBands).map(b => s"${band64Sql(b)} AS band$b").mkString(", ")}
-             FROM h64),
-           cands AS (
-             ${(0 until NumBands).map(b =>
-               s"SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
-               .mkString(" UNION ")})
-           SELECT c.da, c.db,
-             ROUND(CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
-               / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))), 6) AS jaccard
-           FROM cands c
-           JOIN sig ta ON c.da = ta.doc_id
-           JOIN sig tb ON c.db = tb.doc_id
-           WHERE CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
-             / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) >= 0.5""",
+        s"""WITH $pairs64Cte
+           SELECT da, db, ROUND(jac, 6) AS jaccard FROM pairs""",
+
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE $pairs64Cte,
+           edges AS (SELECT da AS s, db AS t FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(doc, root) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.t, r.root FROM reach r JOIN edges e ON e.s = r.doc),
+           comp AS (SELECT doc, MIN(root) AS cluster_id FROM reach GROUP BY doc)
+           SELECT doc AS doc_id, cluster_id,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+             (doc = cluster_id) AS is_canonical
+           FROM comp""",
 
       "dedup_jaccard_pairs" ->
         s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),

@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.ConnectedComponents
+import org.apache.spark.sql.functions._
+
+/** Min-label propagation finds the same components as a hand-computed
+  * union-find on small graphs, including chains longer than one hop
+  * (the case a single propagation round would get wrong).
+  */
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def run(n: Long, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    val verts = spark.range(1, n + 1).toDF("id")
+    val e = edges.toDF("src", "dst")
+    ConnectedComponents.labels(verts, e)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain propagates the min label end to end") {
+    // 1-2-3-4-5 chain plus isolated 6
+    val got = run(6, Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)))
+    assert((1L to 5L).forall(got(_) == 1L))
+    assert(got(6L) == 6L)
+  }
+
+  test("two components and a reversed-direction edge") {
+    // edges arrive in arbitrary direction; 7-6 written high-to-low
+    val got = run(8, Seq((1L, 3L), (3L, 5L), (7L, 6L), (8L, 6L)))
+    assert(got(1L) == 1L && got(3L) == 1L && got(5L) == 1L)
+    assert(got(6L) == 6L && got(7L) == 6L && got(8L) == 6L)
+    assert(got(2L) == 2L && got(4L) == 4L)
+  }
+
+  test("clique converges and keeps every vertex") {
+    val clique = for (a <- 1L to 5L; b <- (a + 1) to 5L) yield (a, b)
+    val got = run(5, clique)
+    assert(got.size == 5 && got.values.forall(_ == 1L))
+  }
+}
