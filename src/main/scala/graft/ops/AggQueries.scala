@@ -154,6 +154,21 @@ object AggQueries extends QueryModule {
         .select($"l_returnflag", $"l_orderkey", $"l_linenumber", $"l_extendedprice")
     },
 
+    // gb.head(n)/tail(n) (groupby.py:5232/:5297): first/last n rows of
+    // each group in table order — one hash partition on the key, two
+    // row_number orderings inside it (no extra shuffle for the second)
+    "agg_group_head" -> { (s, d) =>
+      import s.implicits._
+      val fwd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      val bwd = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables(s, d, "orders")
+        .withColumn("rn_head", row_number().over(fwd))
+        .withColumn("rn_tail", row_number().over(bwd))
+        .filter($"rn_head" <= 2 || $"rn_tail" <= 2)
+        .select($"o_custkey", $"o_orderkey", $"o_orderdate",
+          ($"rn_head" <= 2).as("in_head"), ($"rn_tail" <= 2).as("in_tail"))
+    },
+
     // any/all -> Kleene bool_or/bool_and (group_any_all groupby.pyx:613)
     "agg_any_all" -> { (s, d) =>
       import s.implicits._
@@ -579,6 +594,16 @@ object AggQueries extends QueryModule {
            SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity) AS rn
            FROM lineitem) t WHERE rn = 3""",
+
+    "agg_group_head" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+           (rn_head <= 2) AS in_head, (rn_tail <= 2) AS in_tail
+         FROM (
+           SELECT o_custkey, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn_head,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn_tail
+           FROM orders) t
+         WHERE rn_head <= 2 OR rn_tail <= 2""",
 
     "agg_any_all" ->
       """SELECT o_orderpriority,

@@ -226,6 +226,27 @@ object TimeQueries extends QueryModule {
           $"period_ordinal", $"next_period_start")
     },
 
+    // anchored offsets (tseries/offsets.py MonthEnd/QuarterEnd/
+    // YearBegin/BMonthEnd): pure calendar arithmetic, map-side,
+    // codegen'd — rollforward semantics (an anchor date maps to
+    // itself for YearBegin, matching pandas' rollforward).
+    "ts_anchored_offsets" -> { (s, d) =>
+      import s.implicits._
+      val dt = to_date($"o_orderdate")
+      val me = last_day(dt)
+      val dow = dayofweek(me) // Spark: 1=Sun .. 7=Sat
+      Tables(s, d, "orders")
+        .filter($"o_orderkey" < 4000)
+        .select($"o_orderkey", dt.as("dt"),
+          me.as("month_end"),
+          last_day(add_months(trunc(dt, "quarter"), 2)).as("quarter_end"),
+          when(trunc(dt, "year") === dt, dt)
+            .otherwise(add_months(trunc(dt, "year"), 12)).as("year_begin_roll"),
+          when(dow === 7, date_sub(me, 1))   // Sat -> Fri
+            .when(dow === 1, date_sub(me, 2)) // Sun -> Fri
+            .otherwise(me).as("bmonth_end"))
+    },
+
     // to_datetime parsing round-trip (tools/datetimes.py:767)
     "ts_parse_roundtrip" -> { (s, d) =>
       import s.implicits._
@@ -374,6 +395,22 @@ object TimeQueries extends QueryModule {
            + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS period_ordinal,
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 1 MONTH AS next_period_start
          FROM orders WHERE o_orderkey < 2000""",
+
+    "ts_anchored_offsets" ->
+      """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt
+                    FROM orders WHERE o_orderkey < 4000),
+         m AS (SELECT o_orderkey, dt, last_day(dt) AS me FROM t)
+         SELECT o_orderkey, dt,
+           me AS month_end,
+           last_day(CAST(date_trunc('quarter', dt) AS DATE) + INTERVAL 2 MONTH)
+             AS quarter_end,
+           CASE WHEN CAST(date_trunc('year', dt) AS DATE) = dt THEN dt
+                ELSE CAST(CAST(date_trunc('year', dt) AS DATE) + INTERVAL 12 MONTH AS DATE)
+           END AS year_begin_roll,
+           CASE WHEN dayofweek(me) = 6 THEN CAST(me - INTERVAL 1 DAY AS DATE)
+                WHEN dayofweek(me) = 0 THEN CAST(me - INTERVAL 2 DAY AS DATE)
+                ELSE me END AS bmonth_end
+         FROM m""",
 
     "ts_parse_roundtrip" ->
       """SELECT event_id,

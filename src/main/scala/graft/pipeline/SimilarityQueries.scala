@@ -147,6 +147,42 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"vc", $"cos")
     },
 
+    // IVF-style ANN: coarse-quantize every vector to its nearest
+    // centroid cell map-side (centroids = one broadcast array row;
+    // the argmax is array_position(cl, array_max(cl)) — no shuffle,
+    // no struct ordering), then search only the query's best cell and
+    // its runner-up (2-probe). The "trained" quantizer is stubbed as
+    // the first K vectors — k-means would drop in without changing the
+    // Spark shape, which is the point: broadcast centroid array, one
+    // cell-equi-join shuffle, candidates ~ n/K per probe. BitsPerTable
+    // LSH (above) and IVF are the two standard ANN scale paths; IVF
+    // wins when the corpus clusters well, LSH when it doesn't.
+    "sim_ivf_ann" -> { (s, d) =>
+      import s.implicits._
+      val K = 8
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < K)
+        .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
+        .select(transform($"cs", c => c.getField("embedding")).as("cs"))
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("cl", transform($"cs", ce => cosine($"embedding", ce)))
+        .withColumn("cell", array_position($"cl", array_max($"cl")))
+      val c = asg.select($"vec_id".as("vc"), $"embedding".as("ec"), $"cell")
+      val q = asg.filter($"vec_id" < 50)
+        .withColumn("cl2", transform(sequence(lit(1), lit(K)),
+          i => when(i.cast("long") === $"cell", lit(-9e9))
+            .otherwise(element_at($"cl", i))))
+        .withColumn("cell2", array_position($"cl2", array_max($"cl2")))
+        .select($"vec_id".as("vq"), $"embedding".as("eq"),
+          explode(array($"cell", $"cell2")).as("cell"))
+      val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      q.join(c, Seq("cell")).filter($"vq" =!= $"vc")
+        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vq", $"vc", $"cos")
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -214,6 +250,39 @@ object SimilarityQueries extends QueryModule {
            SELECT vq, vc, cos,
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
            FROM dedup)
+         SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+    },
+
+    "sim_ivf_ann" -> {
+      val K = 8
+      s"""WITH cent AS (
+           SELECT list(embedding ORDER BY vec_id) AS cs
+           FROM embeddings WHERE vec_id < $K),
+         asg AS (
+           SELECT e.vec_id, e.embedding,
+             list_transform(c.cs, ce -> ${cosineSql("e.embedding", "ce")}) AS cl
+           FROM embeddings e, cent c),
+         asg2 AS (
+           SELECT vec_id, embedding, cl,
+             CAST(list_indexof(cl, list_aggregate(cl, 'max')) AS BIGINT) AS cell
+           FROM asg),
+         q AS (
+           SELECT vec_id AS vq, embedding AS eq, cell,
+             list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN i = cell THEN -9e9 ELSE cl[i] END) AS cl2
+           FROM asg2 WHERE vec_id < 50),
+         q2 AS (
+           SELECT vq, eq, unnest([cell,
+             CAST(list_indexof(cl2, list_aggregate(cl2, 'max')) AS BIGINT)]) AS cell
+           FROM q),
+         cand AS (
+           SELECT q2.vq, a.vec_id AS vc,
+             ROUND(${cosineSql("q2.eq", "a.embedding")}, 6) AS cos
+           FROM q2 JOIN asg2 a ON q2.cell = a.cell AND q2.vq <> a.vec_id),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM cand)
          SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
     },
 

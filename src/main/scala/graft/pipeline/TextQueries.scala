@@ -79,6 +79,28 @@ object TextQueries extends QueryModule {
             .as("ttr"))
     },
 
+    // stratified sampling for training-data balancing: cap each
+    // language at ~Cap docs via a per-group Bernoulli rate
+    // (rate = Cap/n_lang). The per-lang counts are one tiny aggregate
+    // broadcast back; the keep decision is then a pure map-side
+    // integer predicate on a deterministic hash — no per-group window,
+    // no skewed lang partitions, reproducible run to run. (The exact-
+    // cap variant is the agg_group_head window shape; at 100 TB this
+    // rate form is the one that scales, and the cap is honored in
+    // expectation.)
+    "txt_stratified_sample" -> { (s, d) =>
+      import s.implicits._
+      val Cap = 60L
+      val M = 1000000L
+      val counts = Tables(s, d, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+      Tables(s, d, "documents")
+        .join(broadcast(counts), Seq("lang"))
+        .withColumn("h", ($"doc_id" * 48271L) % M)
+        .filter($"h" * $"n_lang" < Cap * M)
+        .select($"doc_id", $"lang", $"n_lang", $"h")
+    },
+
     // document fingerprint: portable rolling hash of the whole text +
     // md5 digest (both engine-portable)
     "txt_fingerprint" -> { (s, d) =>
@@ -130,6 +152,12 @@ object TextQueries extends QueryModule {
            ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS ttr
            FROM documents""",
+
+      "txt_stratified_sample" ->
+        """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1)
+           SELECT d.doc_id, d.lang, c.n_lang, (d.doc_id * 48271) % 1000000 AS h
+           FROM documents d JOIN c USING (lang)
+           WHERE ((d.doc_id * 48271) % 1000000) * c.n_lang < 60 * 1000000""",
 
       "txt_fingerprint" ->
         s"""SELECT doc_id,
