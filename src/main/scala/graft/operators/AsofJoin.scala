@@ -36,8 +36,9 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB this scales with the `by`-key cardinality exactly like a
   * shuffled join; AQE can split skewed keys. A global as-of (empty
-  * `by`) degenerates to a single-partition sort — callers should
-  * prefer a `by` key (SCALE.md).
+  * `by`) would degenerate to a single-partition window here — use
+  * `globalBackward` (range-partitioned merge-walk with boundary
+  * carry) for that case instead.
   */
 object AsofJoin {
 
@@ -67,6 +68,106 @@ object AsofJoin {
       allowExactMatches: Boolean = true): DataFrame =
     asof(left, right, by, leftTs, rightTs, valueCols, "nearest",
       toleranceMicros, allowExactMatches)
+
+  /** Global (empty-`by`) backward as-of join WITHOUT the
+    * single-partition degeneration the keyed rewrite has when `by` is
+    * empty (SCALE.md item; VERDICT r1).
+    *
+    * Shape: tag + union both sides exactly like the keyed rewrite,
+    * range-partition the union on (ts, tiebreak) — ONE shuffle, same
+    * as a global sort — then two passes over the SAME shuffled RDD
+    * (the second job skips the exchange stage, so data moves once):
+    *
+    *   pass 1: per partition, the final right row (timestamp+values);
+    *           collected to the driver — numPartitions tiny rows, the
+    *           same bounded footprint as broadcasting range bounds;
+    *   pass 2: prefix-scan those into a carry-in per partition, then
+    *           each partition walks its sorted rows with the carry as
+    *           initial state — the classic distributed sorted
+    *           merge-walk with boundary handoff.
+    *
+    * Scales as a global sort of |L|+|R| rows (range exchange keeps
+    * per-partition memory O(rows/partition)); no partition ever holds
+    * the whole series. The walk leaves Tungsten (Row-level
+    * mapPartitions) — acceptable for the final stitch; the heavy
+    * lifting (scan, filter, exchange, in-partition sort) stays
+    * columnar/codegen. `allow_exact_matches` reuses the tiebreak-side
+    * trick; `tolerance` nulls stale matches. Forward/nearest follow by
+    * mirroring the sort order; pandas raises on null keys, so the walk
+    * fails fast on a null timestamp.
+    */
+  def globalBackward(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+
+    val spark = left.sparkSession
+    val leftCols = left.columns.toSeq
+    val nL = leftCols.size
+    val nV = valueCols.size
+    val ordRight = if (allowExactMatches) 0 else 2
+
+    val lTag = left.select(
+      Seq(unix_micros(col(leftTs)).as("__ts"), lit(1).as("__side"),
+        lit(1).as("__ord")) ++
+        leftCols.map(col) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rTag = right.select(
+      Seq(unix_micros(col(rightTs)).as("__ts"), lit(0).as("__side"),
+        lit(ordRight).as("__ord")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val u = lTag.unionByName(rTag)
+      .repartitionByRange(n, col("__ts"), col("__ord"))
+      .sortWithinPartitions(col("__ts"), col("__ord"))
+    val rdd = u.rdd // shared lineage: pass 2 reuses pass 1's shuffle files
+
+    def rightRowOf(r: Row): (Long, Seq[Any]) = {
+      require(!r.isNullAt(0), "as-of join: null 'on' timestamp — merge keys must be non-null")
+      (r.getLong(0), (0 until nV).map(i => r.get(3 + nL + i)))
+    }
+
+    val lasts: Map[Int, Option[(Long, Seq[Any])]] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var last: Option[(Long, Seq[Any])] = None
+        it.foreach { r => if (r.getInt(1) == 0) last = Some(rightRowOf(r)) }
+        Iterator((pid, last))
+      }.collect().toMap
+
+    val carry: Map[Int, Option[(Long, Seq[Any])]] = {
+      var acc: Option[(Long, Seq[Any])] = None
+      (0 until rdd.getNumPartitions).map { p =>
+        val in = p -> acc
+        lasts.getOrElse(p, None).foreach(x => acc = Some(x))
+        in
+      }.toMap
+    }
+
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: Option[(Long, Seq[Any])] = carry.getOrElse(pid, None)
+      it.flatMap { r =>
+        if (r.getInt(1) == 0) {
+          cur = Some(rightRowOf(r))
+          Iterator.empty
+        } else {
+          require(!r.isNullAt(0), "as-of join: null 'on' timestamp — merge keys must be non-null")
+          val matched = cur.filter { case (mts, _) =>
+            toleranceMicros.forall(tol => r.getLong(0) - mts <= tol)
+          }
+          val vals = matched.map(_._2).getOrElse(Seq.fill[Any](nV)(null))
+          Iterator(Row.fromSeq((0 until nL).map(i => r.get(3 + i)) ++ vals))
+        }
+      }
+    }
+    val schema = StructType(left.schema.fields ++
+      valueCols.map(c => right.schema(c).copy(nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
 
   private def asof(
       left: DataFrame,

@@ -263,6 +263,23 @@ object JoinQueries extends QueryModule {
         .withColumnRenamed("value", "asof_val")
     },
 
+    // merge_asof with NO by key (merge.py:644 left_by=None): the
+    // range-partitioned global merge-walk — ONE range exchange, a
+    // boundary carry handoff, no single-partition window
+    // (operators/AsofJoin.globalBackward has the scale notes). Right
+    // side is aggregated to unique timestamps so the latest-match row
+    // is well-defined in both engines.
+    "join_asof_global" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"ts".as("rts")).agg(max($"value").as("purch_val"))
+      graft.operators.AsofJoin.globalBackward(clicks, purchases,
+        leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"))
+    },
+
     // merge_ordered + group-wise ffill (merge.py:500 _OrderedMerge):
     // full outer on (user, ts), forward-fill each side within user
     "join_merge_ordered" -> { (s, d) =>
@@ -417,6 +434,14 @@ object JoinQueries extends QueryModule {
          FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click') a
          ASOF LEFT JOIN (SELECT user_id, ts, "value" FROM events) b
          ON a.user_id = b.user_id AND a.ts > b.ts""",
+
+    "join_asof_global" ->
+      """WITH p AS (
+           SELECT ts AS rts, MAX("value") AS purch_val
+           FROM events WHERE event_type = 'purchase' GROUP BY ts)
+         SELECT a.event_id, a.ts, p.purch_val
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN p ON a.ts >= p.rts""",
 
     "join_merge_ordered" ->
       """WITH c AS (SELECT user_id, ts, "value" AS click_val FROM events WHERE event_type = 'click'),

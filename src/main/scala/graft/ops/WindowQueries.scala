@@ -191,6 +191,24 @@ object WindowQueries extends QueryModule {
           when(size(arr) >= 9, size(array_distinct(arr))).as("roll_nunique"))
     },
 
+    // rolling.apply(custom_fn) (rolling.py:1420 apply; the reference
+    // runs an arbitrary Python callable per window): the Spark-first
+    // form keeps the window frame as an array and evaluates the custom
+    // function as a codegen'd HOF fold — here RMS, a function no
+    // built-in rolling kernel provides. No UDF, no per-row JVM<->
+    // interpreter hop; any fold-expressible callable drops in. The
+    // fold order is the sorted-frame order, so the DuckDB list_reduce
+    // mirror is bit-identical.
+    "win_rolling_apply" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-8, 0)
+      val arr = sort_array(collect_list($"value").over(w))
+      val sumSq = aggregate(arr, lit(0.0), (acc, x) => acc + x * x)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          when(size(arr) >= 9, round(sqrt(sumSq / size(arr)), 6)).as("roll_rms"))
+    },
+
     // rank(method='average') + pandas pct (group_rank groupby.pyx:1910):
     // average = rank_min + (n_equal - 1)/2
     "win_rank_average" -> { (s, d) =>
@@ -552,6 +570,19 @@ object WindowQueries extends QueryModule {
            CASE WHEN len(arr) >= 9 THEN
              ROUND((arr[(len(arr) + 1) // 2]
                + arr[(len(arr) + 1) // 2 + (len(arr) + 1) % 2]) / 2.0, 6) END AS roll_median
+         FROM t""",
+
+    "win_rolling_apply" ->
+      """WITH t AS (
+           SELECT user_id, event_id,
+             list_sort(list("value") OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)) AS arr
+           FROM events)
+         SELECT user_id, event_id,
+           CASE WHEN len(arr) >= 9 THEN
+             ROUND(SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(arr, x -> x * x)), (a, b) -> a + b) / len(arr)), 6)
+           END AS roll_rms
          FROM t""",
 
     // recursive CTE mirrors the engine's per-group recursion with the

@@ -96,6 +96,21 @@ object StreamQueries extends QueryModule {
       runToMemory(s, agg, OutputMode.Append())
     },
 
+    // streaming exact dedup via dropDuplicates state — the streaming
+    // twin of dedup_exact_*, and the shape a 100 TB ingest pipeline
+    // uses to drop re-delivered records online. State is keyed by the
+    // dedup columns in the state store; in production add a watermark
+    // + dropDuplicatesWithinWatermark so expired keys are evicted
+    // instead of growing forever. Output is just the key columns, so
+    // the result set is arrival-order independent (first-arrival WINS
+    // on extra columns, which would be nondeterministic here).
+    "stream_dedup_keys" -> { (s, d) =>
+      val out = eventsStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+      runToMemory(s, out, OutputMode.Append())
+    },
+
     // stateful per-user recursion via flatMapGroupsWithState: final
     // EWM(adjust=false, alpha=0.1) per user — state carries across
     // micro-batches in the state store
@@ -154,6 +169,9 @@ object StreamQueries extends QueryModule {
          FROM events, m
          WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= m.wm
          GROUP BY 1""",
+
+    "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
 
     "stream_stateful_ewm" ->
       """WITH RECURSIVE r AS (

@@ -145,4 +145,44 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("a").contains(7.0)) // exact ts match allowed
     assert(out("b").isEmpty)       // key with no right rows
   }
+
+  test("globalBackward matches the keyed rewrite on a constant key") {
+    import spark.implicits._
+    // enough rows to span several range partitions; values chosen so
+    // matches cross partition boundaries (the carry handoff path)
+    val left = (1L to 500L).map(i => (i * 10, s"L$i"))
+      .toDF("tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = (1L to 100L).map(i => (i * 47 + 3, i.toDouble))
+      .toDF("tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+
+    val global = AsofJoin.globalBackward(left, right, "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    val keyed = AsofJoin.backward(
+        left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+        Seq("k"), "t", "t", Seq("v"))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+
+    assert(global.size == 500 && global == keyed)
+    assert(global("L1").isEmpty) // ts=10 before first right row at 50
+
+    val tol = AsofJoin.globalBackward(left, right, "t", "t", Seq("v"),
+      toleranceMicros = Some(5L))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    val tolKeyed = AsofJoin.backward(
+        left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+        Seq("k"), "t", "t", Seq("v"), toleranceMicros = Some(5L))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(tol == tolKeyed)
+
+    val strict = AsofJoin.globalBackward(left, right, "t", "t", Seq("v"),
+      allowExactMatches = false)
+    val strictKeyed = AsofJoin.backward(
+        left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+        Seq("k"), "t", "t", Seq("v"), allowExactMatches = false)
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(strict.select($"tag", $"v").as[(String, Option[Double])]
+      .collect().toMap == strictKeyed)
+  }
 }
