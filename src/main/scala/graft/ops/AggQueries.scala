@@ -1,6 +1,7 @@
 package graft.ops
 
 import graft.{OracleNum, QueryModule, Tables}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import OracleNum._
@@ -278,6 +279,42 @@ object AggQueries extends QueryModule {
     // single aggregate, then the long (pair, r) matrix form via
     // unpivot. corrwith(target) is the subset of rows whose pair
     // starts with the target column; no per-pair rescans at any scale.
+    // df.corrwith(other) (frame.py:16047): per-column Pearson r
+    // between row-aligned frames sharing column names. Alignment is
+    // the index equi-join; the correlations then come from ONE moment
+    // aggregate over the joined frame (no per-column passes) — same
+    // exact-decimal moment machinery as agg_corr_matrix.
+    "agg_corrwith" -> { (s, d) =>
+      import s.implicits._
+      // frame A: per-order lineitem totals; frame B: orders — aligned
+      // on the unique order key, correlating the columns they share
+      val a = Tables(s, d, "lineitem").groupBy($"l_orderkey")
+        .agg(dsum($"l_quantity").as("qty"), dsum($"l_extendedprice").as("price"))
+      val b = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey".cast("double").as("qty"),
+          $"o_totalprice".as("price"))
+      val j = a.as("a").join(b.as("b"), $"l_orderkey" === $"o_orderkey")
+        .select($"a.qty".as("qa"), $"b.qty".as("qb"),
+          $"a.price".as("pa"), $"b.price".as("pb"))
+      val m = j.agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum($"qa").as("s_qa"), dsum($"qb").as("s_qb"),
+        dsum($"pa").as("s_pa"), dsum($"pb").as("s_pb"),
+        dsum8(dec($"qa") * dec($"qa")).as("ss_qa"),
+        dsum8(dec($"qb") * dec($"qb")).as("ss_qb"),
+        dsum8(dec($"pa") * dec($"pa")).as("ss_pa"),
+        dsum8(dec($"pb") * dec($"pb")).as("ss_pb"),
+        dsum8(dec($"qa") * dec($"qb")).as("x_q"),
+        dsum8(dec($"pa") * dec($"pb")).as("x_p"))
+      def r(sx: Column, sy: Column, sxx: Column, syy: Column, sxy: Column) =
+        round(($"n" * sxy - sx * sy) /
+          (sqrt($"n" * sxx - sx * sx) * sqrt($"n" * syy - sy * sy)), 6)
+      val wide = m.select(
+        r($"s_qa", $"s_qb", $"ss_qa", $"ss_qb", $"x_q").as("qty"),
+        r($"s_pa", $"s_pb", $"ss_pa", $"ss_pb", $"x_p").as("price"))
+      wide.unpivot(Array.empty, wide.columns.map(col), "column", "r")
+    },
+
     "agg_corr_matrix" -> { (s, d) =>
       import s.implicits._
       val m = Tables(s, d, "lineitem").agg(
@@ -662,6 +699,40 @@ object AggQueries extends QueryModule {
            ROUND((sxy - sx * sy / n) / (n - 1), 6) AS cov_qd,
            ROUND((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS corr_qd
          FROM m""",
+
+    "agg_corrwith" ->
+      """WITH a AS (
+           SELECT l_orderkey,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS price
+           FROM lineitem GROUP BY 1),
+         b AS (
+           SELECT o_orderkey, CAST(o_custkey AS DOUBLE) AS qty,
+             o_totalprice AS price
+           FROM orders),
+         j AS (
+           SELECT a.qty AS qa, b.qty AS qb, a.price AS pa, b.price AS pb
+           FROM a JOIN b ON a.l_orderkey = b.o_orderkey),
+         m AS (
+           SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(qa AS DECIMAL(18,4))) AS DOUBLE) AS s_qa,
+             CAST(SUM(CAST(qb AS DECIMAL(18,4))) AS DOUBLE) AS s_qb,
+             CAST(SUM(CAST(pa AS DECIMAL(18,4))) AS DOUBLE) AS s_pa,
+             CAST(SUM(CAST(pb AS DECIMAL(18,4))) AS DOUBLE) AS s_pb,
+             CAST(SUM(CAST(CAST(qa AS DECIMAL(19,4)) * CAST(qa AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_qa,
+             CAST(SUM(CAST(CAST(qb AS DECIMAL(19,4)) * CAST(qb AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_qb,
+             CAST(SUM(CAST(CAST(pa AS DECIMAL(19,4)) * CAST(pa AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_pa,
+             CAST(SUM(CAST(CAST(pb AS DECIMAL(19,4)) * CAST(pb AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS ss_pb,
+             CAST(SUM(CAST(CAST(qa AS DECIMAL(19,4)) * CAST(qb AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_q,
+             CAST(SUM(CAST(CAST(pa AS DECIMAL(19,4)) * CAST(pb AS DECIMAL(19,4)) AS DECIMAL(38,8))) AS DOUBLE) AS x_p
+           FROM j),
+         wide AS (
+           SELECT
+             ROUND((n * x_q - s_qa * s_qb) / (SQRT(n * ss_qa - s_qa * s_qa) * SQRT(n * ss_qb - s_qb * s_qb)), 6) AS qty,
+             ROUND((n * x_p - s_pa * s_pb) / (SQRT(n * ss_pa - s_pa * s_pa) * SQRT(n * ss_pb - s_pb * s_pb)), 6) AS price
+           FROM m)
+         SELECT 'qty' AS "column", qty AS r FROM wide
+         UNION ALL SELECT 'price', price FROM wide""",
 
     "agg_corr_matrix" ->
       """WITH m AS (
