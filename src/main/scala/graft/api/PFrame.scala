@@ -178,6 +178,11 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
       toleranceMicros: Option[Long] = None,
       allowExactMatches: Boolean = true): PFrame = {
     val out = direction match {
+      case "backward" if by.isEmpty =>
+        // keyless as-of: the keyed rewrite would collapse to one
+        // window partition — route to the range-partitioned merge-walk
+        graft.operators.AsofJoin.globalBackward(df, right.df, on, on, valueCols,
+          toleranceMicros, allowExactMatches)
       case "backward" =>
         graft.operators.AsofJoin.backward(df, right.df, by, on, on, valueCols,
           toleranceMicros, allowExactMatches)
