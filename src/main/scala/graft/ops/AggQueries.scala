@@ -216,6 +216,20 @@ object AggQueries extends QueryModule {
         .drop("total")
     },
 
+    // value_counts(bins=5) (base.py:961 value_counts with bins -> cut
+    // + count): equal-width bins over [min, max]; the global min/max
+    // is one tiny broadcast aggregate, binning is then map-side
+    "agg_value_counts_bins" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      val mm = li.agg(min($"l_quantity").as("lo"), max($"l_quantity").as("hi"))
+      li.crossJoin(broadcast(mm))
+        .withColumn("bin",
+          least(floor(($"l_quantity" - $"lo") * 5 / ($"hi" - $"lo")), lit(4)).cast("int"))
+        .groupBy($"bin", round($"lo" + $"bin" * ($"hi" - $"lo") / 5, 6).as("bin_lo"))
+        .agg(count(lit(1)).as("cnt"))
+    },
+
     // mode: most frequent value, smallest-value tiebreak (algorithms.py:1149)
     "agg_mode" -> { (s, d) =>
       import s.implicits._
@@ -659,6 +673,15 @@ object AggQueries extends QueryModule {
            MAX(CASE WHEN rmax = 1 THEN l_orderkey END) AS idxmax_order,
            MAX(CASE WHEN rmin = 1 THEN l_orderkey END) AS idxmin_order
          FROM r WHERE rmax = 1 OR rmin = 1 GROUP BY l_returnflag""",
+
+    "agg_value_counts_bins" ->
+      """WITH mm AS (SELECT MIN(l_quantity) AS lo, MAX(l_quantity) AS hi FROM lineitem),
+         b AS (
+           SELECT CAST(LEAST(FLOOR((l_quantity - lo) * 5 / (hi - lo)), 4) AS INT) AS bin,
+             lo, hi
+           FROM lineitem, mm)
+         SELECT bin, ROUND(lo + bin * (hi - lo) / 5, 6) AS bin_lo, COUNT(*) AS cnt
+         FROM b GROUP BY 1, 2""",
 
     "agg_value_counts" ->
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,

@@ -226,6 +226,21 @@ object TimeQueries extends QueryModule {
           $"period_ordinal", $"next_period_start")
     },
 
+    // pd.date_range(start, end, freq='6h') (tseries/frequencies;
+    // core/indexes/datetimes.py date_range): range generation is
+    // `sequence` + explode — generated distributed, not driver-side;
+    // at scale Spark splits the exploded range across partitions.
+    "ts_date_range" -> { (s, d) =>
+      import s.implicits._
+      s.range(1).select(explode(sequence(
+          lit("2024-01-01 00:00:00").cast("timestamp"),
+          lit("2024-01-30 00:00:00").cast("timestamp"),
+          expr("interval 6 hours"))).as("ts"))
+        .select($"ts",
+          dayofweek($"ts").as("dow"),
+          date_format($"ts", "yyyy-MM-dd").as("day_str"))
+    },
+
     // anchored offsets (tseries/offsets.py MonthEnd/QuarterEnd/
     // YearBegin/BMonthEnd): pure calendar arithmetic, map-side,
     // codegen'd — rollforward semantics (an anchor date maps to
@@ -395,6 +410,13 @@ object TimeQueries extends QueryModule {
            + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS period_ordinal,
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 1 MONTH AS next_period_start
          FROM orders WHERE o_orderkey < 2000""",
+
+    "ts_date_range" ->
+      """SELECT ts,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           strftime(ts, '%Y-%m-%d') AS day_str
+         FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+           INTERVAL 6 HOUR) t(ts)""",
 
     "ts_anchored_offsets" ->
       """WITH t AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS dt

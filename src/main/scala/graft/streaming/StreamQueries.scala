@@ -96,6 +96,32 @@ object StreamQueries extends QueryModule {
       runToMemory(s, agg, OutputMode.Append())
     },
 
+    // stream-stream interval join (no pandas analogue; Spark-native
+    // capability): clicks joined to same-user purchases that happen
+    // within the following hour. Both sides are watermarked so the
+    // join state for expired event-time ranges is evicted — the shape
+    // that bounds state at unbounded-stream scale; the time-range
+    // predicate is what makes state finite per key.
+    "stream_stream_join" -> { (s, d) =>
+      val clicks = eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+        .withWatermark("click_ts", "1 hour")
+      val purchases = eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("purch_ts"),
+          col("value").as("purch_val"))
+        .withWatermark("purch_ts", "1 hour")
+      val j = clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("purch_ts") >= col("click_ts") &&
+          col("purch_ts") <= col("click_ts") + expr("interval 1 hour"))
+        .select(col("user_id"), col("click_id"), col("click_ts"),
+          col("purch_ts"), col("purch_val"))
+      runToMemory(s, j, OutputMode.Append())
+    },
+
     // streaming exact dedup via dropDuplicates state — the streaming
     // twin of dedup_exact_*, and the shape a 100 TB ingest pipeline
     // uses to drop re-delivered records online. State is keyed by the
@@ -169,6 +195,14 @@ object StreamQueries extends QueryModule {
          FROM events, m
          WHERE CAST(date_trunc('day', ts) AS TIMESTAMP) + INTERVAL 1 DAY <= m.wm
          GROUP BY 1""",
+
+    "stream_stream_join" ->
+      """SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+           p.ts AS purch_ts, p."value" AS purch_val
+         FROM events c JOIN events p
+           ON c.user_id = p.user_id
+          AND c.event_type = 'click' AND p.event_type = 'purchase'
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
 
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
