@@ -226,6 +226,23 @@ object TimeQueries extends QueryModule {
           $"period_ordinal", $"next_period_start")
     },
 
+    // Timedelta arithmetic (timedeltas.pyx; Series.dt.total_seconds):
+    // inter-event gaps per user as exact integer microsecond deltas,
+    // aggregated to per-user gap statistics — timestamp subtraction on
+    // the epoch-micros integer domain keeps both engines exact.
+    "ts_timedelta_stats" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      Tables(s, d, "events")
+        .withColumn("gap_us", unix_micros($"ts") - unix_micros(lag($"ts", 1).over(w)))
+        .filter($"gap_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          sum($"gap_us").as("total_gap_us"),
+          max($"gap_us").as("max_gap_us"),
+          round((sum($"gap_us") / count(lit(1)) / 1000000.0), 6).as("mean_gap_sec"))
+    },
+
     // pd.date_range(start, end, freq='6h') (tseries/frequencies;
     // core/indexes/datetimes.py date_range): range generation is
     // `sequence` + explode — generated distributed, not driver-side;
@@ -410,6 +427,17 @@ object TimeQueries extends QueryModule {
            + EXTRACT(month FROM o_orderdate) - 1 AS INT) AS period_ordinal,
          CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) + INTERVAL 1 MONTH AS next_period_start
          FROM orders WHERE o_orderkey < 2000""",
+
+    "ts_timedelta_stats" ->
+      """WITH g AS (
+           SELECT user_id,
+             epoch_us(ts) - epoch_us(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) AS gap_us
+           FROM events)
+         SELECT user_id, COUNT(*) AS n_gaps,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           ROUND(SUM(gap_us) / COUNT(*) / 1000000.0, 6) AS mean_gap_sec
+         FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
 
     "ts_date_range" ->
       """SELECT ts,

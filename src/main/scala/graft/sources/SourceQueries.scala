@@ -32,6 +32,10 @@ object SourceQueries extends QueryModule {
       case "csv" =>
         src.write.mode("overwrite").option("header", "true").csv(path)
         s.read.option("header", "true").schema(src.schema).csv(path)
+      case "csv_gz" => // read_csv(compression=) io/common.py get_handle
+        src.write.mode("overwrite").option("header", "true")
+          .option("compression", "gzip").csv(path)
+        s.read.option("header", "true").schema(src.schema).csv(path)
       case "json" =>
         src.write.mode("overwrite").json(path)
         s.read.schema(src.schema).json(path)
@@ -61,6 +65,11 @@ object SourceQueries extends QueryModule {
     // read_csv / to_csv (io/parsers/readers.py:1045; C tokenizer
     // _libs/parsers.pyx) -> schema'd spark.read.csv
     "src_csv_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "csv")) },
+
+    // read_csv/to_csv with compression='gzip' (io/common.py:494
+    // get_handle): codec is a writer option; gzipped parts are
+    // per-file streams, so the scan stays splittable at the file level
+    "src_csv_gzip" -> { (s, d) => agg(roundTrip(s, d, "csv_gz")) },
 
     // read_json lines (io/json/_json.py:524) -> spark.read.json
     "src_json_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "json")) },
@@ -130,6 +139,7 @@ object SourceQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "src_csv_roundtrip" -> oracleAgg,
+    "src_csv_gzip" -> oracleAgg,
     "src_json_roundtrip" -> oracleAgg,
     "src_orc_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
