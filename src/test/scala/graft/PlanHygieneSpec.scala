@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow}
+
+/** Enforces the plan-hygiene claims in SCALE.md instead of just
+  * documenting them: filters reach the parquet scan, projections prune
+  * the read schema, star joins broadcast their dims, and no query in
+  * the window family plans a partition-less (single-partition) window.
+  */
+class PlanHygieneSpec extends SparkSpec {
+
+  private def executed(name: String): String =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): LogicalPlan =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan
+
+  test("q1 scan pushes the shipdate filter and prunes columns") {
+    val p = executed("q1_groupby_agg")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "expected the shipdate predicate in PushedFilters")
+    assert(!p.contains("l_comment") && !p.contains("l_shipmode"),
+      "untouched wide columns must not appear in the read schema")
+  }
+
+  test("star join broadcasts the dimension tables") {
+    val p = executed("join_star_broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "dims should broadcast, not shuffle the fact table")
+  }
+
+  test("no partition-less window in the window/rank family") {
+    // these builders are pure (no eager actions), so optimizing the
+    // plan is cheap; a Window with an empty partitionSpec means the
+    // whole table funnels through one partition — the r1 spearman bug
+    val names = Seq(
+      "win_rolling_sum", "win_rolling_median", "win_rolling_quantile",
+      "win_rolling_rank", "win_rolling_nunique", "win_rolling_apply",
+      "win_rolling_cov", "win_rolling_kurt", "win_expanding",
+      "win_weighted", "win_rank_average", "win_rank_options",
+      "agg_rank_group", "agg_cumsum", "agg_shift_diff", "agg_spearman",
+      "agg_group_head", "na_ffill_limit", "join_asof_backward",
+      "ts_timedelta_stats")
+    for (n <- names) {
+      val bad = optimized(n).collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty, s"$n plans a partition-less window")
+    }
+  }
+}
