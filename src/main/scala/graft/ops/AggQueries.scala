@@ -66,10 +66,13 @@ object AggQueries extends QueryModule {
           min($"l_shipdate").as("min_ship"),
           max($"l_shipdate").as("max_ship"),
           count($"l_partkey").as("n"))
-      val nuPart = li.select($"l_returnflag", $"l_partkey").distinct()
+      // ONE full-table dedup on the superset key; the partkey-only
+      // distinct then runs over that already-tiny set instead of a
+      // second full-table shuffle
+      val spSet = li.select($"l_returnflag", $"l_suppkey", $"l_partkey").distinct()
+      val nuSp = spSet.groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_sp"))
+      val nuPart = spSet.select($"l_returnflag", $"l_partkey").distinct()
         .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_part"))
-      val nuSp = li.select($"l_returnflag", $"l_suppkey", $"l_partkey").distinct()
-        .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_sp"))
       base.join(nuPart, Seq("l_returnflag")).join(nuSp, Seq("l_returnflag"))
     },
 
