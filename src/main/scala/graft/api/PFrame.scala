@@ -186,6 +186,9 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
       case "backward" =>
         graft.operators.AsofJoin.backward(df, right.df, by, on, on, valueCols,
           toleranceMicros, allowExactMatches)
+      case "forward" if by.isEmpty =>
+        graft.operators.AsofJoin.globalForward(df, right.df, on, on, valueCols,
+          toleranceMicros, allowExactMatches)
       case "forward" =>
         graft.operators.AsofJoin.forward(df, right.df, by, on, on, valueCols,
           toleranceMicros, allowExactMatches)

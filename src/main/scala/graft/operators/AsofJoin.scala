@@ -99,7 +99,26 @@ object AsofJoin {
   def globalBackward(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, valueCols: Seq[String],
       toleranceMicros: Option[Long] = None,
-      allowExactMatches: Boolean = true): DataFrame = {
+      allowExactMatches: Boolean = true): DataFrame =
+    globalAsof(left, right, leftTs, rightTs, valueCols, toleranceMicros,
+      allowExactMatches, sign = 1L)
+
+  /** Global forward as-of: earliest right row with rts >= lts. The
+    * same walk on NEGATED epoch micros — order reverses, the carry
+    * becomes "latest right at or after", and the tolerance distance
+    * (-lts) - (-rts) = rts - lts is exactly the forward gap. */
+  def globalForward(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame =
+    globalAsof(left, right, leftTs, rightTs, valueCols, toleranceMicros,
+      allowExactMatches, sign = -1L)
+
+  private def globalAsof(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long],
+      allowExactMatches: Boolean,
+      sign: Long): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.StructType
 
@@ -110,13 +129,13 @@ object AsofJoin {
     val ordRight = if (allowExactMatches) 0 else 2
 
     val lTag = left.select(
-      Seq(unix_micros(col(leftTs)).as("__ts"), lit(1).as("__side"),
+      Seq((unix_micros(col(leftTs)) * sign).as("__ts"), lit(1).as("__side"),
         lit(1).as("__ord")) ++
         leftCols.map(col) ++
         valueCols.map(c =>
           lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
     val rTag = right.select(
-      Seq(unix_micros(col(rightTs)).as("__ts"), lit(0).as("__side"),
+      Seq((unix_micros(col(rightTs)) * sign).as("__ts"), lit(0).as("__side"),
         lit(ordRight).as("__ord")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
         valueCols.map(c => col(c).as(s"__v_$c")): _*)

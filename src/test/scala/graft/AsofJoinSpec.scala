@@ -185,4 +185,23 @@ class AsofJoinSpec extends SparkSpec {
     assert(strict.select($"tag", $"v").as[(String, Option[Double])]
       .collect().toMap == strictKeyed)
   }
+
+  test("globalForward matches the keyed forward on a constant key") {
+    import spark.implicits._
+    val left = (1L to 400L).map(i => (i * 11, s"L$i"))
+      .toDF("tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = (1L to 80L).map(i => (i * 53 + 1, i.toDouble))
+      .toDF("tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+
+    val global = AsofJoin.globalForward(left, right, "t", "t", Seq("v"),
+      toleranceMicros = Some(30L))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    val keyed = AsofJoin.forward(
+        left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+        Seq("k"), "t", "t", Seq("v"), toleranceMicros = Some(30L))
+      .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+    assert(global.size == 400 && global == keyed)
+  }
 }
