@@ -183,6 +183,46 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"vc", $"cos")
     },
 
+    // one Lloyd (k-means) update of the IVF coarse quantizer, fully
+    // distributed and oracle-exact: assign -> per-cell elementwise
+    // mean (decimal-exact sums so both engines agree bit-for-bit) ->
+    // re-assign. This is the "train the quantizer" step sim_ivf_ann
+    // stubs; iterating it is k-means, and every iteration is the same
+    // two-shuffle plan (posexplode mean + broadcast re-assign) — at
+    // corpus scale the update shuffles K*Dim tiny rows, never vectors.
+    "sim_kmeans_step" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.types.DecimalType
+      val K = 8
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents0 = e.filter($"vec_id" < K)
+        .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
+        .select(transform($"cs", c => c.getField("embedding")).as("cs"))
+      def assign(cents: DataFrame): DataFrame = e.crossJoin(broadcast(cents))
+        .withColumn("cl", transform($"cs", ce => cosine($"embedding", ce)))
+        .withColumn("cell", array_position($"cl", array_max($"cl")))
+        .select($"vec_id", $"embedding", $"cell")
+      val a0 = assign(cents0)
+      val sums = a0.select($"cell", posexplode($"embedding"))
+        .toDF("cell", "pos", "v")
+        .groupBy($"cell", $"pos")
+        .agg((sum($"v".cast("double").cast(DecimalType(27, 10))).cast("double")
+          / count(lit(1))).as("m"))
+      val newCents = sums.groupBy($"cell")
+        .agg(transform(sort_array(collect_list(struct($"pos", $"m"))),
+          p => p.getField("m")).as("cent"))
+      val cents1 = cents0.select(posexplode($"cs")).toDF("p0", "seed")
+        .select(($"p0" + 1).as("cell"),
+          transform($"seed", x => x.cast("double")).as("seed"))
+        .join(newCents, Seq("cell"), "left")
+        .select($"cell", coalesce($"cent", $"seed").as("cent"))
+        .agg(transform(sort_array(collect_list(struct($"cell", $"cent"))),
+          c => c.getField("cent")).as("cs"))
+      a0.select($"vec_id", $"cell".as("cell0"))
+        .join(assign(cents1).select($"vec_id", $"cell".as("cell1")), Seq("vec_id"))
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -284,6 +324,44 @@ object SimilarityQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
            FROM cand)
          SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+    },
+
+    "sim_kmeans_step" -> {
+      val K = 8
+      def clOf(emb: String, cs: String) =
+        s"list_transform($cs, ce -> ${cosineSql(emb, "ce")})"
+      s"""WITH cent AS (
+           SELECT list(embedding ORDER BY vec_id) AS cs
+           FROM embeddings WHERE vec_id < $K),
+         a0p AS (
+           SELECT e.vec_id, e.embedding, ${clOf("e.embedding", "c.cs")} AS cl
+           FROM embeddings e, cent c),
+         a0 AS (
+           SELECT vec_id, embedding,
+             CAST(list_indexof(cl, list_aggregate(cl, 'max')) AS BIGINT) AS cell
+           FROM a0p),
+         sums AS (
+           SELECT cell, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS m
+           FROM a0, range(1, ${Dim + 1}) t(i)
+           GROUP BY cell, i),
+         nc AS (SELECT cell, list(m ORDER BY pos) AS cent FROM sums GROUP BY cell),
+         seeds AS (
+           SELECT i AS cell, list_transform(c.cs[i], x -> CAST(x AS DOUBLE)) AS seed
+           FROM cent c, range(1, ${K + 1}) t(i)),
+         c1 AS (
+           SELECT list(COALESCE(nc.cent, s.seed) ORDER BY s.cell) AS cs
+           FROM seeds s LEFT JOIN nc ON s.cell = nc.cell),
+         a1p AS (
+           SELECT e.vec_id, ${clOf("e.embedding", "c.cs")} AS cl
+           FROM embeddings e, c1 c),
+         a1 AS (
+           SELECT vec_id,
+             CAST(list_indexof(cl, list_aggregate(cl, 'max')) AS BIGINT) AS cell1
+           FROM a1p)
+         SELECT a0.vec_id, a0.cell AS cell0, a1.cell1
+         FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id"""
     },
 
     "sim_lsh_ann" ->
