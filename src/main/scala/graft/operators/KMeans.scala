@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distributed k-means (Lloyd's algorithm) over an embedding column —
+  * the trainer for the IVF coarse quantizer in SimilarityQueries.
+  *
+  * Every iteration is the same two-shuffle plan, independent of K:
+  *   1. assign: centroids travel as ONE broadcast array row; the cell
+  *      is a map-side `array_position(cl, array_max(cl))` argmax of
+  *      the per-centroid cosine list — no shuffle;
+  *   2. update: per-cell elementwise means via posexplode —
+  *      the shuffle carries (cell, dim, partial-sum) rows, i.e.
+  *      K·Dim·partitions tiny tuples, never the vectors themselves.
+  * Empty cells keep their previous centroid (the standard Lloyd
+  * degenerate-cell rule). Means go through DECIMAL(27,10) sums so an
+  * iteration is deterministic under shuffle reordering — the property
+  * the cross-engine oracle of `sim_kmeans_step` relies on.
+  *
+  * At 10^9 vectors: assignment is scan-speed, the update shuffle is
+  * O(K·Dim) per partition; driver holds nothing (centroids stay a
+  * one-row DataFrame; `fit` localCheckpoints it each round so the
+  * lineage doesn't stack broadcasts).
+  */
+object KMeans {
+
+  /** strict left-fold cosine — identical to SimilarityQueries.cosine */
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** seed centroids: the K vectors with the smallest ids, as one
+    * ordered-array row (a deterministic k-means++ stand-in) */
+  def seed(e: DataFrame, k: Int): DataFrame =
+    e.filter(col("vec_id") < k)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding")))).as("cs"))
+      .select(transform(col("cs"),
+        c => transform(c.getField("embedding"), x => x.cast("double"))).as("cs"))
+
+  /** (vec_id, embedding, cell): map-side argmax over the broadcast
+    * centroid array; cells are 1-based */
+  def assign(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("cl", transform(col("cs"), ce => cosine(col("embedding"), ce)))
+      .withColumn("cell", array_position(col("cl"), array_max(col("cl"))))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
+  /** one Lloyd update: new centroid array from the decimal-exact
+    * per-cell elementwise means; empty cells keep the old centroid */
+  def step(e: DataFrame, cents: DataFrame): DataFrame = {
+    val a = assign(e, cents)
+    val sums = a.select(col("cell"), posexplode(col("embedding")))
+      .toDF("cell", "pos", "v")
+      .groupBy(col("cell"), col("pos"))
+      .agg((sum(col("v").cast("double").cast(DecimalType(27, 10))).cast("double")
+        / count(lit(1))).as("m"))
+    val newCents = sums.groupBy(col("cell"))
+      .agg(transform(sort_array(collect_list(struct(col("pos"), col("m")))),
+        p => p.getField("m")).as("cent"))
+    cents.select(posexplode(col("cs"))).toDF("p0", "seed")
+      .select((col("p0") + 1).as("cell"), col("seed"))
+      .join(newCents, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("cent"), col("seed")).as("cent"))
+      .agg(transform(sort_array(collect_list(struct(col("cell"), col("cent")))),
+        c => c.getField("cent")).as("cs"))
+  }
+
+  /** run `iters` Lloyd iterations from the deterministic seed */
+  def fit(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = seed(e, k).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      cents = step(e, cents).localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+}

@@ -192,35 +192,14 @@ object SimilarityQueries extends QueryModule {
     // corpus scale the update shuffles K*Dim tiny rows, never vectors.
     "sim_kmeans_step" -> { (s, d) =>
       import s.implicits._
-      import org.apache.spark.sql.DataFrame
-      import org.apache.spark.sql.types.DecimalType
+      import graft.operators.KMeans
       val K = 8
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
-      val cents0 = e.filter($"vec_id" < K)
-        .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
-        .select(transform($"cs", c => c.getField("embedding")).as("cs"))
-      def assign(cents: DataFrame): DataFrame = e.crossJoin(broadcast(cents))
-        .withColumn("cl", transform($"cs", ce => cosine($"embedding", ce)))
-        .withColumn("cell", array_position($"cl", array_max($"cl")))
-        .select($"vec_id", $"embedding", $"cell")
-      val a0 = assign(cents0)
-      val sums = a0.select($"cell", posexplode($"embedding"))
-        .toDF("cell", "pos", "v")
-        .groupBy($"cell", $"pos")
-        .agg((sum($"v".cast("double").cast(DecimalType(27, 10))).cast("double")
-          / count(lit(1))).as("m"))
-      val newCents = sums.groupBy($"cell")
-        .agg(transform(sort_array(collect_list(struct($"pos", $"m"))),
-          p => p.getField("m")).as("cent"))
-      val cents1 = cents0.select(posexplode($"cs")).toDF("p0", "seed")
-        .select(($"p0" + 1).as("cell"),
-          transform($"seed", x => x.cast("double")).as("seed"))
-        .join(newCents, Seq("cell"), "left")
-        .select($"cell", coalesce($"cent", $"seed").as("cent"))
-        .agg(transform(sort_array(collect_list(struct($"cell", $"cent"))),
-          c => c.getField("cent")).as("cs"))
-      a0.select($"vec_id", $"cell".as("cell0"))
-        .join(assign(cents1).select($"vec_id", $"cell".as("cell1")), Seq("vec_id"))
+      val c0 = KMeans.seed(e, K)
+      val c1 = KMeans.step(e, c0)
+      KMeans.assign(e, c0).select($"vec_id", $"cell".as("cell0"))
+        .join(KMeans.assign(e, c1).select($"vec_id", $"cell".as("cell1")),
+          Seq("vec_id"))
     },
 
     // LSH-restricted ANN: best same-bucket neighbor per query vector
