@@ -202,6 +202,36 @@ object SimilarityQueries extends QueryModule {
           Seq("vec_id"))
     },
 
+    // IVF ANN with a TRAINED quantizer: 2 Lloyd iterations
+    // (operators/KMeans.fit) then the same 2-probe cell search as
+    // sim_ivf_ann. The oracle unrolls both iterations as generated
+    // CTE blocks — decimal-exact means keep the engines bit-identical
+    // through the whole training + search chain.
+    "sim_ivf_trained" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.KMeans
+      val K = 8
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents = KMeans.fit(e, K, iters = 2)
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("cl", transform($"cs", ce => cosine($"embedding", ce)))
+        .withColumn("cell", array_position($"cl", array_max($"cl")))
+      val c = asg.select($"vec_id".as("vc"), $"embedding".as("ec"), $"cell")
+      val q = asg.filter($"vec_id" < 50)
+        .withColumn("cl2", transform(sequence(lit(1), lit(K)),
+          i => when(i.cast("long") === $"cell", lit(-9e9))
+            .otherwise(element_at($"cl", i))))
+        .withColumn("cell2", array_position($"cl2", array_max($"cl2")))
+        .select($"vec_id".as("vq"), $"embedding".as("eq"),
+          explode(array($"cell", $"cell2")).as("cell"))
+      val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      q.join(c, Seq("cell")).filter($"vq" =!= $"vc")
+        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vq", $"vc", $"cos")
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -341,6 +371,66 @@ object SimilarityQueries extends QueryModule {
            FROM a1p)
          SELECT a0.vec_id, a0.cell AS cell0, a1.cell1
          FROM a0 JOIN a1 ON a0.vec_id = a1.vec_id"""
+    },
+
+    "sim_ivf_trained" -> {
+      val K = 8
+      def clOf(emb: String, cs: String) =
+        s"list_transform($cs, ce -> ${cosineSql(emb, "ce")})"
+      val train = new StringBuilder
+      train ++= s"""cent0 AS (
+           SELECT list_transform(list(embedding ORDER BY vec_id),
+             v -> list_transform(v, x -> CAST(x AS DOUBLE))) AS cs
+           FROM embeddings WHERE vec_id < $K)"""
+      for (i <- 0 until 2) {
+        train ++= s""",
+         tr${i}p AS (
+           SELECT e.vec_id, e.embedding, ${clOf("e.embedding", "c.cs")} AS cl
+           FROM embeddings e, cent$i c),
+         tr$i AS (
+           SELECT vec_id, embedding,
+             CAST(list_indexof(cl, list_aggregate(cl, 'max')) AS BIGINT) AS cell
+           FROM tr${i}p),
+         sums$i AS (
+           SELECT cell, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS m
+           FROM tr$i, range(1, ${Dim + 1}) t(i)
+           GROUP BY cell, i),
+         nc$i AS (SELECT cell, list(m ORDER BY pos) AS cent FROM sums$i GROUP BY cell),
+         seeds$i AS (
+           SELECT i AS cell, c.cs[i] AS seed
+           FROM cent$i c, range(1, ${K + 1}) t(i)),
+         cent${i + 1} AS (
+           SELECT list(COALESCE(nc$i.cent, s.seed) ORDER BY s.cell) AS cs
+           FROM seeds$i s LEFT JOIN nc$i ON s.cell = nc$i.cell)"""
+      }
+      s"""WITH ${train.toString},
+         asg AS (
+           SELECT e.vec_id, e.embedding, ${clOf("e.embedding", "c.cs")} AS cl
+           FROM embeddings e, cent2 c),
+         asg2 AS (
+           SELECT vec_id, embedding, cl,
+             CAST(list_indexof(cl, list_aggregate(cl, 'max')) AS BIGINT) AS cell
+           FROM asg),
+         q AS (
+           SELECT vec_id AS vq, embedding AS eq, cell,
+             list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN i = cell THEN -9e9 ELSE cl[i] END) AS cl2
+           FROM asg2 WHERE vec_id < 50),
+         q2 AS (
+           SELECT vq, eq, unnest([cell,
+             CAST(list_indexof(cl2, list_aggregate(cl2, 'max')) AS BIGINT)]) AS cell
+           FROM q),
+         cand AS (
+           SELECT q2.vq, a.vec_id AS vc,
+             ROUND(${cosineSql("q2.eq", "a.embedding")}, 6) AS cos
+           FROM q2 JOIN asg2 a ON q2.cell = a.cell AND q2.vq <> a.vec_id),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM cand)
+         SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
     },
 
     "sim_lsh_ann" ->
