@@ -122,6 +122,19 @@ object StringQueries extends QueryModule {
     // graft_nfc codegen expression; input constructed with a combining
     // accent so ASCII testdata doesn't trivialize it), and str
     // get_dummies (accessor.py:2378) as split + membership flags.
+    // str.title (initcap), str.center (symmetric pad, extra on the
+    // right like Python), str.rsplit(n=1) last token + first token
+    // (object_array.py:396 family) — closes the accessor tail
+    "str_title_center" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          initcap(substring($"text", 1, 40)).as("title40"),
+          lpad(rpad($"lang", 5, "*"), 7, "*").as("lang_center"),
+          regexp_extract($"text", "([^ ]+)$", 1).as("last_tok"),
+          substring_index($"text", " ", 1).as("first_tok"))
+    },
+
     "str_zfill_wrap_norm" -> { (s, d) =>
       import s.implicits._
       graft.functions.StringExprs.register(s)
@@ -247,6 +260,15 @@ object StringQueries extends QueryModule {
       """SELECT lang, string_agg(source, ',' ORDER BY source) AS sources_cat,
          COUNT(*) AS n
          FROM documents GROUP BY lang""",
+
+    "str_title_center" ->
+      """SELECT doc_id,
+         array_to_string(list_transform(string_split(text[1:40], ' '),
+           w -> upper(w[1:1]) || lower(w[2:])), ' ') AS title40,
+         lpad(rpad(lang, 5, '*'), 7, '*') AS lang_center,
+         regexp_extract(text, '([^ ]+)$', 1) AS last_tok,
+         string_split(text, ' ')[1] AS first_tok
+         FROM documents""",
 
     "str_zfill_wrap_norm" ->
       """WITH t AS (
