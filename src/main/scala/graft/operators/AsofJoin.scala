@@ -114,6 +114,162 @@ object AsofJoin {
     globalAsof(left, right, leftTs, rightTs, valueCols, toleranceMicros,
       allowExactMatches, sign = -1L)
 
+  /** Global nearest as-of: right row minimizing |rts - lts|, backward
+    * winning ties — the keyless mirror of `nearest`.
+    *
+    * Same single range exchange as `globalBackward`; the difference is
+    * the boundary handoff needs BOTH directions. Pass 1 returns four
+    * tiny values per partition: the last right row (backward carry, as
+    * before) plus the first right row AND the first right row at a
+    * strictly later timestamp (the pair a strict-forward probe needs
+    * when the immediate next right shares the probe's timestamp under
+    * allow_exact_matches=false). The driver prefix-scans the backward
+    * carries and suffix-scans the forward pairs — O(numPartitions)
+    * state, same footprint as range bounds. Pass 2 buffers one
+    * partition (the memory the in-partition sort already paid),
+    * reverse-walks it to attach each left row's forward candidate,
+    * then forward-walks for the backward candidate and picks the
+    * closer, backward on ties (join.pyx:900 asof_join_nearest). */
+  def globalNearest(left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, valueCols: Seq[String],
+      toleranceMicros: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    import scala.collection.mutable.ArrayBuffer
+
+    val spark = left.sparkSession
+    val leftCols = left.columns.toSeq
+    val nL = leftCols.size
+    val nV = valueCols.size
+    // allow_exact_matches=True: equal-ts right rows sort BEFORE left
+    // rows, so the backward walk sees them (distance 0, backward wins
+    // the tie anyway). =False: they sort AFTER, so the backward carry
+    // is strictly earlier; the forward probe then skips the equal-ts
+    // block via the strict pair.
+    val ordRight = if (allowExactMatches) 0 else 2
+
+    val lTag = left.select(
+      Seq(unix_micros(col(leftTs)).as("__ts"), lit(1).as("__side"),
+        lit(1).as("__ord")) ++
+        leftCols.map(col) ++
+        valueCols.map(c =>
+          lit(null).cast(right.schema(c).dataType).as(s"__v_$c")): _*)
+    val rTag = right.select(
+      Seq(unix_micros(col(rightTs)).as("__ts"), lit(0).as("__side"),
+        lit(ordRight).as("__ord")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(c => col(c).as(s"__v_$c")): _*)
+
+    val n = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val u = lTag.unionByName(rTag)
+      .repartitionByRange(n, col("__ts"), col("__ord"))
+      .sortWithinPartitions(col("__ts"), col("__ord"))
+    val rdd = u.rdd // shared lineage: pass 2 reuses pass 1's shuffle files
+
+    def rightRowOf(r: Row): (Long, Seq[Any]) = {
+      require(!r.isNullAt(0), "as-of join: null 'on' timestamp — merge keys must be non-null")
+      (r.getLong(0), (0 until nV).map(i => r.get(3 + nL + i)))
+    }
+
+    // pass 1: (lastRight, firstRight, firstRightStrictlyLater)
+    val ends: Map[Int, (Option[(Long, Seq[Any])], Option[(Long, Seq[Any])], Option[(Long, Seq[Any])])] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var last: Option[(Long, Seq[Any])] = None
+        var first: Option[(Long, Seq[Any])] = None
+        var firstLater: Option[(Long, Seq[Any])] = None
+        it.foreach { r =>
+          if (r.getInt(1) == 0) {
+            val rr = rightRowOf(r)
+            last = Some(rr)
+            if (first.isEmpty) first = Some(rr)
+            else if (firstLater.isEmpty && rr._1 > first.get._1) firstLater = Some(rr)
+          }
+        }
+        Iterator((pid, (last, first, firstLater)))
+      }.collect().toMap
+
+    val nParts = rdd.getNumPartitions
+    val carryBack: Map[Int, Option[(Long, Seq[Any])]] = {
+      var acc: Option[(Long, Seq[Any])] = None
+      (0 until nParts).map { p =>
+        val in = p -> acc
+        ends.get(p).flatMap(_._1).foreach(x => acc = Some(x))
+        in
+      }.toMap
+    }
+    // suffix scan: (next right, next right at a strictly later ts than
+    // that) entering each partition from the right
+    val carryFwd: Map[Int, (Option[(Long, Seq[Any])], Option[(Long, Seq[Any])])] = {
+      var nxt: Option[(Long, Seq[Any])] = None
+      var nxtStrict: Option[(Long, Seq[Any])] = None
+      ((nParts - 1) to 0 by -1).map { p =>
+        val in = p -> ((nxt, nxtStrict))
+        ends.get(p).foreach { case (_, f1, f2) =>
+          f1.foreach { f =>
+            nxtStrict = f2.orElse(
+              if (nxt.exists(_._1 > f._1)) nxt else nxtStrict)
+            nxt = Some(f)
+          }
+        }
+        in
+      }.toMap
+    }
+
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val rows = it.toArray
+      // reverse walk: forward candidate per row position
+      val fwdCand = new Array[(Option[(Long, Seq[Any])], Option[(Long, Seq[Any])])](rows.length)
+      var (nxt, nxtStrict) = carryFwd.getOrElse(pid, (None, None))
+      var i = rows.length - 1
+      while (i >= 0) {
+        val r = rows(i)
+        if (r.getInt(1) == 0) {
+          val rr = rightRowOf(r)
+          if (nxt.isEmpty || nxt.get._1 != rr._1) nxtStrict = nxt
+          nxt = Some(rr)
+        } else fwdCand(i) = (nxt, nxtStrict)
+        i -= 1
+      }
+      // forward walk: backward candidate + pick
+      var cur: Option[(Long, Seq[Any])] = carryBack.getOrElse(pid, None)
+      val outRows = new ArrayBuffer[Row](rows.length)
+      var j = 0
+      while (j < rows.length) {
+        val r = rows(j)
+        if (r.getInt(1) == 0) cur = Some(rightRowOf(r))
+        else {
+          require(!r.isNullAt(0), "as-of join: null 'on' timestamp — merge keys must be non-null")
+          val lts = r.getLong(0)
+          val back = cur.filter { case (mts, _) =>
+            toleranceMicros.forall(tol => lts - mts <= tol)
+          }
+          val (fn, fs) = fwdCand(j)
+          val fwdRaw =
+            if (allowExactMatches) fn
+            else if (fn.exists(_._1 == lts)) fs
+            else fn
+          val fwd = fwdRaw.filter { case (mts, _) =>
+            toleranceMicros.forall(tol => mts - lts <= tol)
+          }
+          val vals = (back, fwd) match {
+            case (Some((b, bv)), Some((f, fv))) =>
+              if (lts - b <= f - lts) bv else fv
+            case (Some((_, bv)), None) => bv
+            case (None, Some((_, fv))) => fv
+            case _ => Seq.fill[Any](nV)(null)
+          }
+          outRows += Row.fromSeq((0 until nL).map(i2 => r.get(3 + i2)) ++ vals)
+        }
+        j += 1
+      }
+      outRows.iterator
+    }
+    val schema = StructType(left.schema.fields ++
+      valueCols.map(c => right.schema(c).copy(nullable = true)))
+    spark.createDataFrame(out, schema)
+  }
+
   private def globalAsof(left: DataFrame, right: DataFrame,
       leftTs: String, rightTs: String, valueCols: Seq[String],
       toleranceMicros: Option[Long],

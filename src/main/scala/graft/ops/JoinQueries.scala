@@ -280,6 +280,22 @@ object JoinQueries extends QueryModule {
         leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"))
     },
 
+    // keyless merge_asof direction='nearest' (merge.py:644 with
+    // left_by=None + join.pyx:900): the range-partitioned walk with a
+    // TWO-sided boundary carry (operators/AsofJoin.globalNearest).
+    // Right side aggregated to unique timestamps so the nearest-match
+    // row is well-defined in both engines.
+    "join_asof_global_nearest" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"ts".as("rts")).agg(max($"value").as("purch_val"))
+      graft.operators.AsofJoin.globalNearest(clicks, purchases,
+        leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"))
+    },
+
     // merge_ordered + group-wise ffill (merge.py:500 _OrderedMerge):
     // full outer on (user, ts), forward-fill each side within user
     "join_merge_ordered" -> { (s, d) =>
@@ -442,6 +458,26 @@ object JoinQueries extends QueryModule {
          SELECT a.event_id, a.ts, p.purch_val
          FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') a
          ASOF LEFT JOIN p ON a.ts >= p.rts""",
+
+    // nearest = closer of a backward and a forward ASOF join (backward
+    // wins ties) — avoids the clicks × timestamps cross product a
+    // rank-over-all-pairs oracle would pay
+    "join_asof_global_nearest" ->
+      """WITH p AS (
+           SELECT ts AS rts, MAX("value") AS purch_val
+           FROM events WHERE event_type = 'purchase' GROUP BY ts),
+         a AS (SELECT event_id, ts FROM events WHERE event_type = 'click'),
+         b AS (SELECT a.event_id, a.ts, p.rts AS bts, p.purch_val AS bval
+               FROM a ASOF LEFT JOIN p ON a.ts >= p.rts),
+         f AS (SELECT a.event_id, p.rts AS fts, p.purch_val AS fval
+               FROM a ASOF LEFT JOIN p ON a.ts <= p.rts)
+         SELECT b.event_id, b.ts,
+           CASE WHEN f.fts IS NULL THEN b.bval
+                WHEN b.bts IS NULL THEN f.fval
+                WHEN epoch_us(b.ts) - epoch_us(b.bts)
+                     <= epoch_us(f.fts) - epoch_us(b.ts) THEN b.bval
+                ELSE f.fval END AS purch_val
+         FROM b JOIN f ON b.event_id = f.event_id""",
 
     "join_merge_ordered" ->
       """WITH c AS (SELECT user_id, ts, "value" AS click_val FROM events WHERE event_type = 'click'),

@@ -204,4 +204,44 @@ class AsofJoinSpec extends SparkSpec {
       .select($"tag", $"v").as[(String, Option[Double])].collect().toMap
     assert(global.size == 400 && global == keyed)
   }
+
+  test("globalNearest matches the keyed nearest on a constant key") {
+    import spark.implicits._
+    // primes keep left/right timestamps interleaved and distinct; one
+    // engineered exact-ts collision (160) exercises tie handling
+    val baseLeft = (1L to 400L).map(i => (i * 11, s"L$i"))
+    val left = (baseLeft :+ ((160L, "Lx")))        // exact-ts collision
+      .toDF("tsm", "tag")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+    val right = ((1L to 80L).map(i => (i * 53 + 1, i.toDouble)) :+ ((160L, 999.0)))
+      .toDF("tsm", "v")
+      .withColumn("t", timestamp_micros($"tsm")).drop("tsm")
+
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tag", $"v").as[(String, Option[Double])].collect().toMap
+
+    val global = asMap(AsofJoin.globalNearest(left, right, "t", "t", Seq("v")))
+    val keyed = asMap(AsofJoin.nearest(
+      left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+      Seq("k"), "t", "t", Seq("v")))
+    assert(global.size == 401 && global == keyed)
+    assert(global("Lx").contains(999.0)) // exact match, distance 0
+
+    // strict mode: the exact-ts candidate must be skipped BOTH ways —
+    // this exercises the (nxt, nxtStrict) forward pair
+    val strict = asMap(AsofJoin.globalNearest(left, right, "t", "t", Seq("v"),
+      allowExactMatches = false))
+    val strictKeyed = asMap(AsofJoin.nearest(
+      left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+      Seq("k"), "t", "t", Seq("v"), allowExactMatches = false))
+    assert(strict == strictKeyed)
+    assert(!strict("Lx").contains(999.0))
+
+    val tol = asMap(AsofJoin.globalNearest(left, right, "t", "t", Seq("v"),
+      toleranceMicros = Some(7L)))
+    val tolKeyed = asMap(AsofJoin.nearest(
+      left.withColumn("k", lit(1)), right.withColumn("k", lit(1)),
+      Seq("k"), "t", "t", Seq("v"), toleranceMicros = Some(7L)))
+    assert(tol == tolKeyed)
+  }
 }
