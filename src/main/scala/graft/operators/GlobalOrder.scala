@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Scalable global ordinals (the `__order__` discipline of SURVEY §7.1
   * for operations that need a *total* order: iloc slices, factorize
@@ -9,14 +11,42 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * A plain `row_number() over (orderBy ...)` collapses to a single
   * partition (WindowExec warns, and at 100 TB it simply doesn't run).
-  * The distributed equivalent is the classic two-pass zip:
+  * The distributed equivalent is the classic two-pass zip, expressed
+  * here ENTIRELY in the DataFrame algebra (the round-2 version dropped
+  * to `df.rdd.zipWithIndex`, leaving Tungsten and paying an
+  * InternalRow→Row deserialization of every row — SCALE.md round-3
+  * target):
   *
-  *   1. `repartitionByRange` on the sort key range-partitions the data
-  *      (sampled range bounds — one extra pass over a sample);
-  *   2. `sortWithinPartitions` orders each partition locally;
-  *   3. `zipWithIndex` counts rows per partition (cheap job) and
-  *      assigns contiguous offsets — no partition ever sees more than
-  *      its share of rows.
+  *   1. a bounds pass collects ≤ n-1 approximate quantiles of the
+  *      leading sort key (bounded driver state — the same footprint as
+  *      RangePartitioner's sampled bounds, which this replaces);
+  *   2. bucket id = a DETERMINISTIC literal-fold expression over those
+  *      bounds. Determinism is the load-bearing property:
+  *      `repartitionByRange` samples its bounds with an
+  *      execution-seeded RNG, so two plan branches over the same input
+  *      can land rows in DIFFERENT partitions — an offsets branch
+  *      computed against one layout silently misaligns with a data
+  *      branch computed against another (caught by GlobalOrderSpec's
+  *      nested-call test; exchange reuse does NOT save you, because
+  *      column pruning canonicalizes the two exchange subtrees
+  *      differently). Literal bounds make every branch agree by
+  *      construction;
+  *   3. ONE hash exchange on the bucket id; `row_number() over
+  *      (partition by bucket order by sortCols)` — the exchange
+  *      satisfies the window's distribution, so no second shuffle and
+  *      no partition-less window;
+  *   4. bucket row counts = a tiny aggregate; bucket start offsets = a
+  *      triangular self-join prefix sum over those ≤ n rows
+  *      (no partition-less window — PlanHygieneSpec forbids those);
+  *   5. ordinal = broadcast-joined bucket offset + in-bucket counter.
+  *
+  * Everything stays whole-stage-codegen except the exchanges. Ties on
+  * the leading key all land in one bucket (exactly RangePartitioner's
+  * behavior for a single-key sort), so heavy skew on ONE value
+  * degrades to that bucket's window — the same degradation a range
+  * exchange has. Non-numeric leading keys (no percentile_approx
+  * support) fall back to the rdd zip, which shares lineage between its
+  * count job and data job and is therefore also consistent.
   *
   * With a total order (sort keys + tiebreaks unique) the assigned
   * ordinal is exactly `row_number() - 1`, so correctness oracles are
@@ -24,8 +54,55 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object GlobalOrder {
 
+  private def quantileSupported(dt: DataType): Boolean = dt match {
+    case _: NumericType | DateType | TimestampType | TimestampNTZType => true
+    case _ => false
+  }
+
   /** df + `ordinalCol` (0-based long) following `sortCols` order. */
   def zipOrdinal(df: DataFrame, sortCols: Seq[Column], ordinalCol: String = "__ord"): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val lead = sortCols.head
+    val leadType = df.select(lead.as("__go_k")).schema.head.dataType
+    if (!quantileSupported(leadType)) return zipOrdinalRdd(df, sortCols, ordinalCol)
+
+    // pass 1: ≤ n-1 bucket bounds (approximate is fine — bounds only
+    // balance buckets, never affect the ordinal values)
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val bounds: Seq[Any] = df
+      .select(percentile_approx(lead.cast("double"), probs, lit(10000)).as("q"))
+      .head().getSeq[Any](0) match {
+        case null => Seq.empty
+        case qs => qs.distinct.filter(_ != null)
+      }
+
+    // deterministic bucket id: count of bounds strictly below the key;
+    // NULL keys fold to bucket 0 = Spark's nulls-first ascending order
+    val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
+      acc + when(lead.cast("double") > lit(b), 1).otherwise(0)
+    }
+
+    val base = df.withColumn("__go_pid", pidExpr)
+      .repartition(n, col("__go_pid"))
+    val w = Window.partitionBy(col("__go_pid")).orderBy(sortCols: _*)
+    val withCtr = base.withColumn("__go_ctr", row_number().over(w).cast("long") - 1L)
+    val counts = base.groupBy(col("__go_pid")).agg(count(lit(1)).as("__go_cnt"))
+    // prefix sum over ≤ n tiny rows; empty buckets contribute nothing
+    // to either side, so offsets stay contiguous
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__go_pid") < col("a.__go_pid"), "left")
+      .groupBy(col("a.__go_pid").as("__go_pid"))
+      .agg(coalesce(sum(col("b.__go_cnt")), lit(0L)).as("__go_off"))
+    withCtr.join(broadcast(offsets), Seq("__go_pid"))
+      .withColumn(ordinalCol, col("__go_off") + col("__go_ctr"))
+      .drop("__go_pid", "__go_ctr", "__go_off")
+  }
+
+  /** Lineage-shared rdd zip: the zipWithIndex count job and the data
+    * job run over the SAME shuffled RDD, so the layout is consistent
+    * by construction. Non-columnar — kept as the fallback for sort
+    * keys percentile_approx can't bucket. */
+  private def zipOrdinalRdd(df: DataFrame, sortCols: Seq[Column], ordinalCol: String): DataFrame = {
     val spark = df.sparkSession
     val arranged = df.repartitionByRange(sortCols: _*).sortWithinPartitions(sortCols: _*)
     val schema = StructType(arranged.schema.fields :+ StructField(ordinalCol, LongType, nullable = false))

@@ -232,6 +232,58 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"vc", $"cos")
     },
 
+    // Product-quantization ANN (the third standard ANN scale path,
+    // beside IVF and LSH): split the 64-dim vector into M=4 subspaces,
+    // quantize each subvector to its nearest of Ks=8 subspace
+    // centroids, so a vector compresses to M small codes. Search is
+    // asymmetric distance computation (ADC): each query precomputes a
+    // per-subspace distance table to all Ks centroids (M*Ks doubles),
+    // and a candidate's approximate distance is M table lookups on its
+    // codes — the vectors themselves are never touched after encoding.
+    //
+    // The Spark shape is what survives 10^9 vectors: codebook is ONE
+    // broadcast row; encoding is map-side; the query distance tables
+    // (50 x M x Ks doubles) broadcast to every partition; the scan
+    // computes ADC per (query, candidate) and partial-aggregates the
+    // per-query minimum map-side — the only shuffle carries ~|queries|
+    // rows per partition. No vector ever moves. The codebook here is
+    // the deterministic first-Ks seed (training = operators/KMeans.fit
+    // on each subspace — drops in without changing this plan, exactly
+    // like sim_ivf_trained does for IVF).
+    "sim_pq_ann" -> { (s, d) =>
+      import s.implicits._
+      val M = 4; val Sub = 16; val Ks = 8
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val dd = x.cast("double") - y.cast("double"); dd * dd
+          }),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cb = e.filter($"vec_id" < Ks)
+        .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
+        .select(transform($"cs", c => c.getField("embedding")).as("cs"))
+      // dl_m = distances of this vector's m-th subvector to all Ks
+      // subspace centroids: the SAME expression serves encoding
+      // (argmin -> code) and query distance tables (ADC lookups)
+      val withDl = e.crossJoin(broadcast(cb))
+        .select($"vec_id" +: $"embedding" +: (0 until M).map(m =>
+          transform($"cs", c => l2sq(
+            slice($"embedding", m * Sub + 1, Sub),
+            slice(c, m * Sub + 1, Sub))).as(s"dl$m")): _*)
+      val codes = withDl.select($"vec_id" +: (0 until M).map(m =>
+        array_position(col(s"dl$m"), array_min(col(s"dl$m"))).as(s"code$m")): _*)
+      val q = withDl.filter($"vec_id" < 50)
+        .select($"vec_id".as("vq") +: (0 until M).map(m => col(s"dl$m")): _*)
+      val adist = (0 until M).map(m =>
+        element_at(col(s"dl$m"), col(s"code$m").cast("int"))).reduce(_ + _)
+      codes.crossJoin(broadcast(q)).filter($"vq" =!= $"vec_id")
+        .withColumn("adist", round(adist, 6))
+        .groupBy($"vq")
+        .agg(min(struct($"adist", $"vec_id".as("vc"))).as("m"))
+        .select($"vq", $"m.vc".as("vc"), $"m.adist".as("adist"))
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -431,6 +483,43 @@ object SimilarityQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
            FROM cand)
          SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+    },
+
+    "sim_pq_ann" -> {
+      val M = 4; val Sub = 16; val Ks = 8
+      // l2sq of subspace m: same strict fold as the Spark side, indexed
+      // at the subspace offset (no list slicing needed)
+      def l2sqSql(a: String, b: String, m: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${Sub + 1}), i -> " +
+          s"(CAST($a[i + ${m * Sub}] AS DOUBLE) - CAST($b[i + ${m * Sub}] AS DOUBLE)) * " +
+          s"(CAST($a[i + ${m * Sub}] AS DOUBLE) - CAST($b[i + ${m * Sub}] AS DOUBLE)))), " +
+          s"(x, y) -> x + y)"
+      val dls = (0 until M).map(m =>
+        s"list_transform(c.cs, ce -> ${l2sqSql("e.embedding", "ce", m)}) AS dl$m").mkString(",\n             ")
+      val codeCols = (0 until M).map(m =>
+        s"CAST(list_indexof(dl$m, list_aggregate(dl$m, 'min')) AS BIGINT) AS code$m").mkString(",\n             ")
+      val adistSql = (0 until M).map(m => s"q.dl$m[c.code$m]").mkString(" + ")
+      s"""WITH cb AS (
+           SELECT list(embedding ORDER BY vec_id) AS cs
+           FROM embeddings WHERE vec_id < $Ks),
+         wdl AS (
+           SELECT e.vec_id, e.embedding,
+             $dls
+           FROM embeddings e, cb c),
+         codes AS (
+           SELECT vec_id,
+             $codeCols
+           FROM wdl),
+         cand AS (
+           SELECT q.vec_id AS vq, c.vec_id AS vc,
+             ROUND($adistSql, 6) AS adist
+           FROM wdl q JOIN codes c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT vq, vc, adist,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY adist ASC, vc ASC) AS rn
+           FROM cand)
+         SELECT vq, vc, adist FROM ranked WHERE rn = 1"""
     },
 
     "sim_lsh_ann" ->
