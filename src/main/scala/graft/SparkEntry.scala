@@ -19,6 +19,7 @@ object SparkEntry {
     TimeQueries,
     StringQueries,
     DedupQueries,
+    CurationQueries,
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,

@@ -1,0 +1,140 @@
+package graft.pipeline
+
+import graft.{QueryModule, Tables}
+import graft.functions.PortableHash._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** End-to-end corpus curation: the composed training-data pipeline a
+  * 100 TB pretraining run actually executes, as ONE declarative
+  * DataFrame chain — quality gate → language-ID keep → exact dedup →
+  * MinHash/LSH near-dedup → per-source balanced sampling. Each stage
+  * exists standalone in TextQueries/DedupQueries; this query proves
+  * they COMPOSE without driver round-trips or plan breaks.
+  *
+  * Shuffle audit at scale (the whole point of the composition):
+  *   - stages 1-2 (quality + langid) are pure map-side scan
+  *     expressions — they run inside the parquet scan stage and cut
+  *     the corpus before anything shuffles;
+  *   - stage 3 (exact dedup) is the first shuffle: hash partition by
+  *     content digest;
+  *   - stage 4 (near-dedup) shuffles only the filtered survivors:
+  *     map-side 64-bit shingle signatures, one exploded band-key
+  *     equi-join, verify join on candidate pairs only
+  *     (DedupQueries.verifiedPairsOf);
+  *   - stage 5 (balancing) is a tiny per-source aggregate broadcast
+  *     back + a deterministic-hash keep predicate — map-side, no
+  *     per-group window, immune to source skew.
+  * Ordering matters: each stage shrinks the data the next (more
+  * expensive) stage touches. The greedy near-dup keep rule here
+  * (drop any doc whose verified near-dup has a smaller id) is the
+  * standard streaming-corpus rule; the transitive-closure variant is
+  * `dedup_clusters` (connected components) and would drop in as the
+  * same anti-join.
+  */
+object CurationQueries extends QueryModule {
+
+  /** marker-word lists — same heuristic as txt_langid */
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"),
+    "es" -> Seq("el", "la", "de"),
+    "de" -> Seq("der", "die", "und"),
+    "fr" -> Seq("le", "les", "et"))
+
+  private def words: Column = split(col("text"), " ")
+
+  private def markerCount(ws: Seq[String]): Column =
+    aggregate(words, lit(0L),
+      (acc, w) => acc + when(w.isin(ws.map(lit): _*), 1L).otherwise(0L))
+
+  private def markerCountSql(ws: Seq[String]): String = {
+    val inList = ws.map(w => s"'$w'").mkString(", ")
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(string_split(text, ' '), w -> CASE WHEN w IN ($inList) THEN 1 ELSE 0 END)), " +
+      s"(a, b) -> a + b)"
+  }
+
+  private val MinWords = 20
+  private val SourceCap = 40L
+  private val HashMod = 1000000L
+
+  def queries: Map[String, Q] = Map(
+    "pipe_curation" -> { (s, d) =>
+      import s.implicits._
+      // 1+2: quality gate + language-ID, all in the scan stage
+      val scored = Tables(s, d, "documents")
+        .withColumn("n_words", size(words))
+        .withColumn("score_en", markerCount(Markers(0)._2))
+        .withColumn("score_es", markerCount(Markers(1)._2))
+        .withColumn("score_de", markerCount(Markers(2)._2))
+        .withColumn("score_fr", markerCount(Markers(3)._2))
+      // 'en' wins marker-count ties (txt_langid's tiebreak order)
+      val filtered = scored.filter($"n_words" >= MinWords &&
+        $"score_en" >= $"score_es" && $"score_en" >= $"score_de" &&
+        $"score_en" >= $"score_fr" && $"score_en" > 0)
+      // 3: exact content dedup — keep the smallest doc_id per digest
+      val wd = Window.partitionBy(md5($"text"))
+      val exact = filtered
+        .withColumn("__keep", min($"doc_id").over(wd))
+        .filter($"doc_id" === $"__keep").drop("__keep")
+      // 4: near-dedup — drop docs whose verified near-dup has a
+      // smaller id; pairs computed over the SURVIVORS only
+      val drops = DedupQueries
+        .verifiedPairsOf(s, exact.select($"doc_id", $"text"))
+        .select($"db".as("doc_id")).distinct()
+      val near = exact.join(drops, Seq("doc_id"), "left_anti")
+      // 5: per-source balancing — broadcast rates + map-side hash keep
+      val counts = near.groupBy($"source").agg(count(lit(1)).as("n_src"))
+      near.join(broadcast(counts), Seq("source"))
+        .withColumn("h", ($"doc_id" * 48271L) % HashMod)
+        .filter($"h" * $"n_src" < SourceCap * HashMod)
+        .select($"doc_id", $"lang", $"source", $"n_words", $"n_src")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pipe_curation" -> {
+      val sc = Markers.map { case (l, ws) => s"${markerCountSql(ws)} AS score_$l" }
+        .mkString(",\n             ")
+      s"""WITH scored AS (
+           SELECT doc_id, text, lang, source,
+             len(string_split(text, ' ')) AS n_words,
+             $sc
+           FROM documents),
+         filtered AS (
+           SELECT * FROM scored
+           WHERE n_words >= $MinWords AND score_en >= score_es
+             AND score_en >= score_de AND score_en >= score_fr
+             AND score_en > 0),
+         exact AS (
+           SELECT * FROM (
+             SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep
+             FROM filtered)
+           WHERE doc_id = keep),
+         docs AS (SELECT doc_id, ${DedupQueries.shinglesSql} AS sh FROM exact),
+         h64 AS (SELECT doc_id, list_transform(sh, g -> ${hash64Sql("g")}) AS hs FROM docs),
+         sig AS (SELECT doc_id, hs,
+           ${(0 until NumBands).map(b => s"${DedupQueries.band64Sql(b)} AS band$b").mkString(", ")}
+           FROM h64),
+         cands AS (
+           ${(0 until NumBands).map(b =>
+             s"SELECT a.doc_id AS da, b.doc_id AS db FROM sig a JOIN sig b ON a.band$b = b.band$b AND a.doc_id < b.doc_id")
+             .mkString(" UNION ")}),
+         pairs AS (
+           SELECT c.da, c.db
+           FROM cands c
+           JOIN sig ta ON c.da = ta.doc_id
+           JOIN sig tb ON c.db = tb.doc_id
+           WHERE CAST(len(list_intersect(ta.hs, tb.hs)) AS DOUBLE)
+             / (len(ta.hs) + len(tb.hs) - len(list_intersect(ta.hs, tb.hs))) >= 0.5),
+         near AS (
+           SELECT * FROM exact
+           WHERE doc_id NOT IN (SELECT db FROM pairs)),
+         c AS (SELECT source, COUNT(*) AS n_src FROM near GROUP BY 1)
+         SELECT n.doc_id, n.lang, n.source, n.n_words, c.n_src
+         FROM near n JOIN c USING (source)
+         WHERE ((n.doc_id * 48271) % $HashMod) * c.n_src < $SourceCap * $HashMod"""
+    }
+  )
+}

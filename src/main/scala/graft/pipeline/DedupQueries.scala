@@ -51,7 +51,7 @@ object DedupQueries extends QueryModule {
 
   // ---- DuckDB oracle building blocks (mirror the Spark HOFs) ----
 
-  private val shinglesSql =
+  private[pipeline] val shinglesSql =
     """list_distinct(CASE WHEN len(string_split(text, ' ')) >= 3
        THEN list_transform(range(1, len(string_split(text, ' ')) - 1),
             i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2])
@@ -68,7 +68,7 @@ object DedupQueries extends QueryModule {
 
   /** band key over 64-bit shingle hashes: permute the recovered high
     * 30 bits (h // 2^31), then the same collision-resistant fuse */
-  private def band64Sql(b: Int): String =
+  private[pipeline] def band64Sql(b: Int): String =
     bandFuseSql((0 until BandSize).map { pos =>
       val k = b * BandSize + pos
       s"list_min(list_transform(hs, h -> (${permA(k)} * (h // $Shift) + ${permB(k)}) % $P))"
@@ -106,10 +106,16 @@ object DedupQueries extends QueryModule {
   /** verified near-dup pairs (da < db, jaccard >= 0.5) with the exact
     * jaccard in `jac` — shared pipeline for the pair query and the
     * cluster query */
-  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private def verifiedPairs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    verifiedPairsOf(s, Tables(s, d, "documents"))
+
+  /** same pipeline over an arbitrary (doc_id, text) frame — reused by
+    * CurationQueries, whose near-dedup step runs on the already
+    * quality/langid-filtered corpus */
+  private[pipeline] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.MinHashExprs.register(s)
-    val sig = Tables(s, d, "documents")
+    val sig = docs
       .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
       .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
       .cache()
