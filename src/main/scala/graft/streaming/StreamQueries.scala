@@ -122,6 +122,28 @@ object StreamQueries extends QueryModule {
       runToMemory(s, j, OutputMode.Append())
     },
 
+    // per-user session windows (30-minute inactivity gap): the state
+    // store merges overlapping [ts, ts+gap) ranges per key, so a
+    // session closes only when the watermark passes last_event + gap.
+    // This is the canonical sessionization shape for clickstream-scale
+    // data: state is O(open sessions per key), evicted on emission, and
+    // the aggregation is keyed so it scales like any hash aggregate.
+    // pandas has no incremental analogue (the batch equivalent is the
+    // gap-flag cumsum the oracle uses). Append mode + watermark emit
+    // only closed sessions; the oracle mirrors the ms-floored
+    // watermark = max(ts) - 10min and the end <= wm eviction rule.
+    "stream_session_window" -> { (s, d) =>
+      val agg = eventsStream(s, d)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+        .select(col("user_id"),
+          col("session_window.start").as("sess_start"),
+          col("session_window.end").as("sess_end"),
+          col("n"), col("sum_val"))
+      runToMemory(s, agg, OutputMode.Append())
+    },
+
     // streaming exact dedup via dropDuplicates state — the streaming
     // twin of dedup_exact_*, and the shape a 100 TB ingest pipeline
     // uses to drop re-delivered records online. State is keyed by the
@@ -203,6 +225,33 @@ object StreamQueries extends QueryModule {
            ON c.user_id = p.user_id
           AND c.event_type = 'click' AND p.event_type = 'purchase'
           AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""",
+
+    // gap-flag cumsum sessionization; session end = last event + gap;
+    // watermark floor to ms mirrors Spark's EventTimeStats (ms units)
+    "stream_session_window" ->
+      """WITH o AS (
+           SELECT user_id, ts, "value",
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         s AS (
+           SELECT user_id, ts, "value",
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS sid
+           FROM o),
+         g AS (
+           SELECT user_id, MIN(ts) AS sess_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS sess_end,
+             COUNT(*) AS n,
+             CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+           FROM s GROUP BY user_id, sid),
+         m AS (
+           SELECT make_timestamp((epoch_ms(MAX(ts)) - 600000) * 1000) AS wm
+           FROM events)
+         SELECT user_id, sess_start, sess_end, n, sum_val
+         FROM g, m WHERE sess_end <= wm""",
 
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
