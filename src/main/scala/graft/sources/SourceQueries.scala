@@ -89,6 +89,35 @@ object SourceQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
     },
 
+    // bucketed tables + co-located join (pandas has no storage-level
+    // layout concept — Spark-native capability, SURVEY §4). Both sides
+    // are written with bucketBy(8, custkey) + sortBy, so the join
+    // consumes the on-disk hash layout: NO Exchange on either side —
+    // at 100 TB this is THE strategy for repeated big-big joins on a
+    // stable key (pay the shuffle once at write time, never at read).
+    // PlanHygieneSpec asserts the shuffle-free plan; the oracle checks
+    // the join result against the unbucketed source tables.
+    "src_bucketed_join" -> { (s, d) =>
+      import s.implicits._
+      val suf = Integer.toHexString(d.hashCode)
+      val ordersT = s"orders_bkt_$suf"
+      val custT = s"customer_bkt_$suf"
+      Tables(s, d, "orders").select($"o_custkey", $"o_totalprice")
+        .write.mode("overwrite")
+        .option("path", tmpDir(d, "bucket_orders"))
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ordersT)
+      Tables(s, d, "customer").select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite")
+        .option("path", tmpDir(d, "bucket_customer"))
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(custT)
+      s.table(custT)
+        .join(s.table(ordersT), $"c_custkey" === $"o_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+    },
+
     // read_sql/to_sql (io/sql.py read_sql_table:400, to_sql:841) ->
     // spark.read/write.jdbc against an embedded Derby DB (driver jars
     // ship with Spark). The read uses (partitionColumn, bounds,
@@ -146,6 +175,11 @@ object SourceQueries extends QueryModule {
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderstatus = 'F'""",
+    "src_bucketed_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_mktsegment""",
     "src_jdbc_roundtrip" -> oracleAgg,
     "src_fwf" -> oracleAgg
   )

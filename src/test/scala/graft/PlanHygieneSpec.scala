@@ -29,6 +29,28 @@ class PlanHygieneSpec extends SparkSpec {
       "dims should broadcast, not shuffle the fact table")
   }
 
+  test("bucketed join reads the bucket layout with no exchange") {
+    // force the SMJ path (broadcast would also avoid the shuffle but
+    // hides the bucket co-location this test pins)
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val p = executed("src_bucketed_join")
+      assert(p.contains("SortMergeJoin"), "expected sort-merge join")
+      assert(!p.contains("hashpartitioning(o_custkey") &&
+        !p.contains("hashpartitioning(c_custkey"),
+        "bucketed sides must not be re-shuffled on the join key")
+      assert(p.contains("SelectedBucketsCount"),
+        "scan should report the bucketed layout")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
+
   test("no partition-less window in the window/rank family") {
     // these builders are pure (no eager actions), so optimizing the
     // plan is cheap; a Window with an empty partitionSpec means the
