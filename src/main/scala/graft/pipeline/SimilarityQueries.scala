@@ -284,6 +284,82 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"m.vc".as("vc"), $"m.adist".as("adist"))
     },
 
+    // IVF-PQ: the canonical billion-vector layout (IVF coarse cells +
+    // PQ-encoded RESIDUALS + ADC), composing the two structures above.
+    // Coarse quantization routes each vector to its nearest of K cells
+    // (L2); the residual v - centroid[cell] is what PQ encodes — the
+    // residual's norm is much smaller than the vector's, so the same
+    // codebook budget quantizes it far more accurately. Search probes
+    // the query's 2 best cells; within a probe, the query's PER-CELL
+    // residual builds the ADC tables, and a candidate's distance is M
+    // lookups on its stored codes.
+    //
+    // Scale shape: centroids + codebook are two broadcast rows;
+    // assignment, residual, and encoding are all map-side in one scan;
+    // the search shuffle carries only (query, probe-cell) rows — 100
+    // rows here, |queries| * nprobe in general. Vectors never move
+    // after encoding, and the index adds M bytes/vector. Training
+    // (operators/KMeans.fit per subspace over residuals) drops in
+    // without changing the plan, as sim_ivf_trained shows for IVF.
+    "sim_ivfpq_ann" -> { (s, d) =>
+      import s.implicits._
+      val K = 4; val M = 4; val Sub = 16; val Ks = 8
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val dd = x.cast("double") - y.cast("double"); dd * dd
+          }),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cents = e.filter($"vec_id" < K)
+        .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
+        .select(transform($"cs", c => c.getField("embedding")).as("ccs"))
+      // coarse assign + residual, map-side after one centroid broadcast
+      val asg = e.crossJoin(broadcast(cents))
+        .withColumn("cdl", transform($"ccs", ce => l2sq($"embedding", ce)))
+        .withColumn("cell", array_position($"cdl", array_min($"cdl")))
+        .withColumn("resid", zip_with($"embedding",
+          element_at($"ccs", $"cell".cast("int")),
+          (x, c) => x.cast("double") - c.cast("double")))
+      // shared PQ codebook = residuals of the first Ks vectors
+      val cb = asg.filter($"vec_id" < Ks)
+        .agg(sort_array(collect_list(struct($"vec_id", $"resid"))).as("cs"))
+        .select(transform($"cs", c => c.getField("resid")).as("cb"))
+      // encode: M argmin codes over the residual subspaces
+      val enc = asg.crossJoin(broadcast(cb))
+        .select($"vec_id" +: $"cell" +: (0 until M).map { m =>
+          val dl = transform($"cb", rb => l2sq(
+            slice($"resid", m * Sub + 1, Sub), slice(rb, m * Sub + 1, Sub)))
+          array_position(dl, array_min(dl)).as(s"code$m")
+        }: _*)
+      // queries: best + runner-up coarse cell, per-probe residual ->
+      // per-probe ADC tables
+      val q = asg.filter($"vec_id" < 50)
+        .withColumn("cdl2", transform(sequence(lit(1), lit(K)),
+          i => when(i.cast("long") === $"cell", lit(9e9))
+            .otherwise(element_at($"cdl", i))))
+        .withColumn("cell2", array_position($"cdl2", array_min($"cdl2")))
+        .select($"vec_id".as("vq"), $"embedding".as("eq"),
+          explode(array($"cell", $"cell2")).as("pcell"))
+        .crossJoin(broadcast(cents))
+        .withColumn("rq", zip_with($"eq",
+          element_at($"ccs", $"pcell".cast("int")),
+          (x, c) => x.cast("double") - c.cast("double")))
+        .crossJoin(broadcast(cb))
+        .select($"vq" +: $"pcell" +: (0 until M).map { m =>
+          transform($"cb", rb => l2sq(
+            slice($"rq", m * Sub + 1, Sub), slice(rb, m * Sub + 1, Sub)))
+            .as(s"dl$m")
+        }: _*)
+      val adist = (0 until M).map(m =>
+        element_at(col(s"dl$m"), col(s"code$m").cast("int"))).reduce(_ + _)
+      q.join(enc, q("pcell") === enc("cell") && $"vq" =!= enc("vec_id"))
+        .withColumn("adist", round(adist, 6))
+        .groupBy($"vq")
+        .agg(min(struct($"adist", col("vec_id").as("vc"))).as("m"))
+        .select($"vq", $"m.vc".as("vc"), $"m.adist".as("adist"))
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -515,6 +591,89 @@ object SimilarityQueries extends QueryModule {
            SELECT q.vec_id AS vq, c.vec_id AS vc,
              ROUND($adistSql, 6) AS adist
            FROM wdl q JOIN codes c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT vq, vc, adist,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY adist ASC, vc ASC) AS rn
+           FROM cand)
+         SELECT vq, vc, adist FROM ranked WHERE rn = 1"""
+    },
+
+    "sim_ivfpq_ann" -> {
+      val K = 4; val M = 4; val Sub = 16; val Ks = 8
+      // float inputs: cast both sides per element (mirrors the Spark
+      // zip_with cast order exactly)
+      def l2full(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${Dim + 1}), i -> " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+          s"(x, y) -> x + y)"
+      // residuals are already double lists: no casts, same fold order
+      def l2sub(a: String, b: String, m: Int): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${Sub + 1}), i -> " +
+          s"($a[i + ${m * Sub}] - $b[i + ${m * Sub}]) * " +
+          s"($a[i + ${m * Sub}] - $b[i + ${m * Sub}]))), " +
+          s"(x, y) -> x + y)"
+      val encDls = (0 until M).map(m =>
+        s"list_transform(c.cb, rb -> ${l2sub("r.resid", "rb", m)}) AS dl$m")
+        .mkString(",\n             ")
+      val encCodes = (0 until M).map(m =>
+        s"CAST(list_indexof(dl$m, list_aggregate(dl$m, 'min')) AS BIGINT) AS code$m")
+        .mkString(",\n             ")
+      val qDls = (0 until M).map(m =>
+        s"list_transform(c.cb, rb -> ${l2sub("r.rq", "rb", m)}) AS dl$m")
+        .mkString(",\n             ")
+      val adistSql = (0 until M).map(m => s"q.dl$m[en.code$m]").mkString(" + ")
+      s"""WITH cent AS (
+           SELECT list(embedding ORDER BY vec_id) AS ccs
+           FROM embeddings WHERE vec_id < $K),
+         asg AS (
+           SELECT e.vec_id, e.embedding,
+             list_transform(c.ccs, ce -> ${l2full("e.embedding", "ce")}) AS cdl
+           FROM embeddings e, cent c),
+         asg2 AS (
+           SELECT vec_id, embedding, cdl,
+             CAST(list_indexof(cdl, list_aggregate(cdl, 'min')) AS BIGINT) AS cell
+           FROM asg),
+         resid AS (
+           SELECT a.vec_id, a.embedding, a.cdl, a.cell,
+             list_transform(range(1, ${Dim + 1}), i ->
+               CAST(a.embedding[i] AS DOUBLE) - CAST(c.ccs[a.cell][i] AS DOUBLE)) AS resid
+           FROM asg2 a, cent c),
+         cb AS (
+           SELECT list(resid ORDER BY vec_id) AS cb
+           FROM resid WHERE vec_id < $Ks),
+         encp AS (
+           SELECT r.vec_id, r.cell,
+             $encDls
+           FROM resid r, cb c),
+         enc AS (
+           SELECT vec_id, cell,
+             $encCodes
+           FROM encp),
+         q0 AS (
+           SELECT vec_id AS vq, embedding, cell,
+             list_transform(range(1, ${K + 1}),
+               i -> CASE WHEN i = cell THEN 9e9 ELSE cdl[i] END) AS cdl2
+           FROM resid WHERE vec_id < 50),
+         q1 AS (
+           SELECT vq, embedding, unnest([cell,
+             CAST(list_indexof(cdl2, list_aggregate(cdl2, 'min')) AS BIGINT)]) AS pcell
+           FROM q0),
+         qr AS (
+           SELECT q1.vq, q1.pcell,
+             list_transform(range(1, ${Dim + 1}), i ->
+               CAST(q1.embedding[i] AS DOUBLE) - CAST(c.ccs[q1.pcell][i] AS DOUBLE)) AS rq
+           FROM q1, cent c),
+         qt AS (
+           SELECT r.vq, r.pcell,
+             $qDls
+           FROM qr r, cb c),
+         cand AS (
+           SELECT q.vq, en.vec_id AS vc,
+             ROUND($adistSql, 6) AS adist
+           FROM qt q JOIN enc en ON q.pcell = en.cell AND q.vq <> en.vec_id),
          ranked AS (
            SELECT vq, vc, adist,
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY adist ASC, vc ASC) AS rn
