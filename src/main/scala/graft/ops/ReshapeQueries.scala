@@ -43,6 +43,25 @@ object ReshapeQueries extends QueryModule {
           $"n", $"rev")
     },
 
+    // pivot_table with multiple values / aggfuncs (pivot.py:59,
+    // aggfunc dict + values list): one groupBy().pivot().agg(...)
+    // with several aggregates — still ONE shuffle; Spark names the
+    // wide columns {pivotValue}_{aggAlias}. Counts for absent
+    // (priority, status) combos are null-filled to 0 to match the
+    // conditional-aggregation oracle.
+    "rs_pivot_multi" -> { (s, d) =>
+      import s.implicits._
+      val statuses = Seq("F", "O", "P")
+      Tables(s, d, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", statuses)
+        .agg(
+          dsum($"o_totalprice").as("rev"),
+          count(lit(1)).as("n"),
+          round(dsum($"o_totalprice") / count(lit(1)), 6).as("avg"))
+        .na.fill(0, statuses.map(_ + "_n"))
+    },
+
     // crosstab counts (pivot.py:982)
     "rs_crosstab" -> { (s, d) =>
       import s.implicits._
@@ -51,6 +70,37 @@ object ReshapeQueries extends QueryModule {
         .pivot("c_nationkey", (0 to 24).map(_.toString))
         .agg(count(lit(1)))
         .na.fill(0)
+    },
+
+    // crosstab(normalize='index') (pivot.py:1078 _normalize): each
+    // cell / its row total. The row total is computed from the
+    // already-pivoted counts — pure map arithmetic after the one
+    // pivot shuffle, no second pass over the data.
+    "rs_crosstab_norm" -> { (s, d) =>
+      import s.implicits._
+      val nations = (0 to 24).map(_.toString)
+      val counts = Tables(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .pivot("c_nationkey", nations)
+        .agg(count(lit(1)))
+        .na.fill(0)
+      val total = nations.map(col).reduce(_ + _)
+      counts.select($"c_mktsegment" +:
+        nations.map(c => round(col(c) / total, 6).as(c)): _*)
+    },
+
+    // multi-column explode (frame.py:13764, explode(['a','b']) —
+    // aligned lists burst together): arrays_zip keeps the per-index
+    // alignment pandas requires, one generator pass
+    "rs_explode_multi" -> { (s, d) =>
+      import s.implicits._
+      val words = split($"text", " ")
+      Tables(s, d, "documents")
+        .filter($"doc_id" < 50)
+        .select($"doc_id", explode(arrays_zip(
+          words.as("word"),
+          transform(words, x => length(x)).as("wlen"))).as("z"))
+        .select($"doc_id", $"z.word".as("word"), $"z.wlen".as("wlen"))
     },
 
     // melt / unpivot (melt.py:45; Spark `unpivot`)
@@ -206,6 +256,32 @@ object ReshapeQueries extends QueryModule {
          CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS O,
          CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS P
          FROM orders GROUP BY o_orderpriority""",
+
+    "rs_pivot_multi" -> {
+      val cols = Seq("F", "O", "P").map { st =>
+        s"""CAST(SUM(CASE WHEN o_orderstatus = '$st' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS ${st}_rev,
+         COUNT(CASE WHEN o_orderstatus = '$st' THEN 1 END) AS ${st}_n,
+         ROUND(CAST(SUM(CASE WHEN o_orderstatus = '$st' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE)
+           / COUNT(CASE WHEN o_orderstatus = '$st' THEN 1 END), 6) AS ${st}_avg"""
+      }.mkString(",\n         ")
+      s"""SELECT o_orderpriority,
+         $cols
+         FROM orders GROUP BY o_orderpriority"""
+    },
+
+    "rs_crosstab_norm" -> {
+      val cols = (0 to 24)
+        .map(k => s"""ROUND(CAST(COUNT(CASE WHEN c_nationkey = $k THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS "$k"""")
+        .mkString(",\n         ")
+      s"""SELECT c_mktsegment,
+         $cols
+         FROM customer GROUP BY c_mktsegment"""
+    },
+
+    "rs_explode_multi" ->
+      """SELECT doc_id, word, LENGTH(word) AS wlen
+         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+               FROM documents WHERE doc_id < 50)""",
 
     "rs_pivot_margins" ->
       """SELECT COALESCE(o_orderpriority, 'All') AS priority,
