@@ -170,6 +170,37 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_keys"))
     },
 
+    // merge suffixes= through the API layer (merge.py:2757
+    // _items_overlap_with_suffix): overlapping non-key columns are
+    // renamed val_x/val_y — this runs graft.api.PFrame.merge itself
+    // through the oracle gate, not a hand-aliased join
+    "join_suffixes" -> { (s, d) =>
+      import s.implicits._
+      import graft.api.PFrame
+      val l = PFrame(Tables(s, d, "customer")
+        .select($"c_custkey".as("key"), $"c_acctbal".as("val")))
+      val r = PFrame(Tables(s, d, "orders")
+        .groupBy($"o_custkey".as("key"))
+        .agg(dsum($"o_totalprice").as("val")))
+      l.merge(r, Seq("key")).df
+        .select($"key", $"val_x", $"val_y")
+    },
+
+    // index-aligned binary op (ops/common.py, frame._arith_method):
+    // a + b aligns both series on the UNION of their indexes and
+    // propagates NaN where either side is absent — the alignment IS a
+    // full outer equi-join, and the NaN propagation is SQL NULL + x
+    "join_aligned_add" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables(s, d, "customer")
+        .select($"c_custkey".as("key"), $"c_acctbal".as("a"))
+      val b = Tables(s, d, "orders")
+        .groupBy($"o_custkey".as("key"))
+        .agg(dsum($"o_totalprice").as("b"))
+      a.join(b, Seq("key"), "full")
+        .select($"key", round($"a" + $"b", 6).as("sum_ab"))
+    },
+
     // merge_asof backward, by=user (merge.py:644 _AsOfMerge;
     // join.pyx:725 asof_join_backward_on_X_by_Y): latest purchase value
     // at/before each click
@@ -315,6 +346,23 @@ object JoinQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "join_suffixes" ->
+      """SELECT c_custkey AS key, c_acctbal AS val_x, o.val AS val_y
+         FROM customer JOIN (
+           SELECT o_custkey AS key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS val
+           FROM orders GROUP BY o_custkey) o
+         ON c_custkey = o.key""",
+
+    "join_aligned_add" ->
+      """SELECT COALESCE(c.key, o.key) AS key, ROUND(c.a + o.b, 6) AS sum_ab
+         FROM (SELECT c_custkey AS key, c_acctbal AS a FROM customer) c
+         FULL JOIN (
+           SELECT o_custkey AS key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS b
+           FROM orders GROUP BY o_custkey) o
+         ON c.key = o.key""",
+
     "join_inner" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
