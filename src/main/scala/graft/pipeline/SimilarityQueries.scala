@@ -252,7 +252,7 @@ object SimilarityQueries extends QueryModule {
     // like sim_ivf_trained does for IVF).
     "sim_pq_ann" -> { (s, d) =>
       import s.implicits._
-      val M = 4; val Sub = 16; val Ks = 8
+      val M = 4; val Sub = 16; val Ks = 16
       def l2sq(a: Column, b: Column): Column =
         aggregate(
           zip_with(a, b, (x, y) => {
@@ -303,7 +303,7 @@ object SimilarityQueries extends QueryModule {
     // without changing the plan, as sim_ivf_trained shows for IVF.
     "sim_ivfpq_ann" -> { (s, d) =>
       import s.implicits._
-      val K = 4; val M = 4; val Sub = 16; val Ks = 8
+      val K = 4; val M = 4; val Sub = 16; val Ks = 16
       def l2sq(a: Column, b: Column): Column =
         aggregate(
           zip_with(a, b, (x, y) => {
@@ -311,9 +311,14 @@ object SimilarityQueries extends QueryModule {
           }),
           lit(0.0), (acc, v) => acc + v)
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
-      val cents = e.filter($"vec_id" < K)
-        .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
-        .select(transform($"cs", c => c.getField("embedding")).as("ccs"))
+      // TRAINED coarse quantizer: 2 cosine-Lloyd iterations (the same
+      // operators/KMeans.fit as sim_ivf_trained); cells are then
+      // assigned by L2 to the trained centroids. Training shrinks the
+      // residuals, which is where PQ gets its accuracy back — recall@1
+      // 0.04 (untrained seed) -> see AnnRecallSpec with training +
+      // exact re-rank.
+      val cents = graft.operators.KMeans.fit(e, K, iters = 2)
+        .select($"cs".as("ccs"))
       // coarse assign + residual, map-side after one centroid broadcast
       val asg = e.crossJoin(broadcast(cents))
         .withColumn("cdl", transform($"ccs", ce => l2sq($"embedding", ce)))
@@ -353,11 +358,24 @@ object SimilarityQueries extends QueryModule {
         }: _*)
       val adist = (0 until M).map(m =>
         element_at(col(s"dl$m"), col(s"code$m").cast("int"))).reduce(_ + _)
-      q.join(enc, q("pcell") === enc("cell") && $"vq" =!= enc("vec_id"))
+      // re-rank: exact L2 on the ADC top-10 shortlist — the standard
+      // refine step. Only ~10 exact distances per query (a tiny join
+      // back to the vectors by id), so the cost model is unchanged;
+      // recall rises to the probed-cell ceiling instead of the code
+      // reconstruction error.
+      val wAdc = Window.partitionBy($"vq").orderBy($"adist".asc, col("vec_id").asc)
+      val shortlist = q
+        .join(enc, q("pcell") === enc("cell") && $"vq" =!= enc("vec_id"))
         .withColumn("adist", round(adist, 6))
+        .withColumn("rn", row_number().over(wAdc)).filter($"rn" <= 32)
+        .select($"vq", col("vec_id").as("vc"))
+      shortlist
+        .join(e.select($"vec_id".as("vc"), $"embedding".as("ec")), "vc")
+        .join(e.select($"vec_id".as("vq"), $"embedding".as("eq")), "vq")
+        .withColumn("dist", round(l2sq($"eq", $"ec"), 6))
         .groupBy($"vq")
-        .agg(min(struct($"adist", col("vec_id").as("vc"))).as("m"))
-        .select($"vq", $"m.vc".as("vc"), $"m.adist".as("adist"))
+        .agg(min(struct($"dist", $"vc")).as("m"))
+        .select($"vq", $"m.vc".as("vc"), $"m.dist".as("dist"))
     },
 
     // LSH-restricted ANN: best same-bucket neighbor per query vector
@@ -562,7 +580,7 @@ object SimilarityQueries extends QueryModule {
     },
 
     "sim_pq_ann" -> {
-      val M = 4; val Sub = 16; val Ks = 8
+      val M = 4; val Sub = 16; val Ks = 16
       // l2sq of subspace m: same strict fold as the Spark side, indexed
       // at the subspace offset (no list slicing needed)
       def l2sqSql(a: String, b: String, m: Int): String =
@@ -599,7 +617,7 @@ object SimilarityQueries extends QueryModule {
     },
 
     "sim_ivfpq_ann" -> {
-      val K = 4; val M = 4; val Sub = 16; val Ks = 8
+      val K = 4; val M = 4; val Sub = 16; val Ks = 16
       // float inputs: cast both sides per element (mirrors the Spark
       // zip_with cast order exactly)
       def l2full(a: String, b: String): String =
@@ -625,9 +643,40 @@ object SimilarityQueries extends QueryModule {
         s"list_transform(c.cb, rb -> ${l2sub("r.rq", "rb", m)}) AS dl$m")
         .mkString(",\n             ")
       val adistSql = (0 until M).map(m => s"q.dl$m[en.code$m]").mkString(" + ")
-      s"""WITH cent AS (
-           SELECT list(embedding ORDER BY vec_id) AS ccs
-           FROM embeddings WHERE vec_id < $K),
+      // 2 cosine-Lloyd training iterations, unrolled exactly like
+      // sim_ivf_trained's oracle (same KMeans semantics, K=4 here)
+      def clOf(emb: String, cs: String) =
+        s"list_transform($cs, ce -> ${cosineSql(emb, "ce")})"
+      val train = new StringBuilder
+      train ++= s"""cent0 AS (
+           SELECT list_transform(list(embedding ORDER BY vec_id),
+             v -> list_transform(v, x -> CAST(x AS DOUBLE))) AS cs
+           FROM embeddings WHERE vec_id < $K)"""
+      for (i <- 0 until 2) {
+        train ++= s""",
+         tr${i}p AS (
+           SELECT e.vec_id, e.embedding, ${clOf("e.embedding", "c.cs")} AS cl
+           FROM embeddings e, cent$i c),
+         tr$i AS (
+           SELECT vec_id, embedding,
+             CAST(list_indexof(cl, list_aggregate(cl, 'max')) AS BIGINT) AS cell
+           FROM tr${i}p),
+         sums$i AS (
+           SELECT cell, i AS pos,
+             CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(27,10))) AS DOUBLE)
+               / COUNT(*) AS m
+           FROM tr$i, range(1, ${Dim + 1}) t(i)
+           GROUP BY cell, i),
+         nc$i AS (SELECT cell, list(m ORDER BY pos) AS cent FROM sums$i GROUP BY cell),
+         seeds$i AS (
+           SELECT i AS cell, c.cs[i] AS seed
+           FROM cent$i c, range(1, ${K + 1}) t(i)),
+         cent${i + 1} AS (
+           SELECT list(COALESCE(nc$i.cent, s.seed) ORDER BY s.cell) AS cs
+           FROM seeds$i s LEFT JOIN nc$i ON s.cell = nc$i.cell)"""
+      }
+      s"""WITH ${train.toString},
+         cent AS (SELECT cs AS ccs FROM cent2),
          asg AS (
            SELECT e.vec_id, e.embedding,
              list_transform(c.ccs, ce -> ${l2full("e.embedding", "ce")}) AS cdl
@@ -677,8 +726,18 @@ object SimilarityQueries extends QueryModule {
          ranked AS (
            SELECT vq, vc, adist,
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY adist ASC, vc ASC) AS rn
-           FROM cand)
-         SELECT vq, vc, adist FROM ranked WHERE rn = 1"""
+           FROM cand),
+         rr AS (
+           SELECT s.vq, s.vc,
+             ROUND(${l2full("qe.embedding", "ce.embedding")}, 6) AS dist
+           FROM (SELECT vq, vc FROM ranked WHERE rn <= 32) s
+           JOIN embeddings qe ON qe.vec_id = s.vq
+           JOIN embeddings ce ON ce.vec_id = s.vc),
+         rr2 AS (
+           SELECT vq, vc, dist,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY dist ASC, vc ASC) AS rn
+           FROM rr)
+         SELECT vq, vc, dist FROM rr2 WHERE rn = 1"""
     },
 
     "sim_lsh_ann" ->
