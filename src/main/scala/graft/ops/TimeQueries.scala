@@ -240,7 +240,14 @@ object TimeQueries extends QueryModule {
         .agg(count(lit(1)).as("n_gaps"),
           sum($"gap_us").as("total_gap_us"),
           max($"gap_us").as("max_gap_us"),
-          round((sum($"gap_us") / count(lit(1)) / 1000000.0), 6).as("mean_gap_sec"))
+          // NO round() here: sum is an integer (exact under any shuffle
+          // order) and both engines run the identical long->double /
+          // count / 1e6 IEEE sequence, so the raw double is already
+          // bit-identical — rounding would ADD divergence when the true
+          // mean sits exactly on a half boundary (sf0.1 user 1124:
+          // ...0425 rounds differently via Spark's BigDecimal.valueOf
+          // string path vs DuckDB's binary-double path).
+          (sum($"gap_us") / count(lit(1)) / 1000000.0).as("mean_gap_sec"))
     },
 
     // pd.date_range(start, end, freq='6h') (tseries/frequencies;
@@ -436,7 +443,7 @@ object TimeQueries extends QueryModule {
          SELECT user_id, COUNT(*) AS n_gaps,
            CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
            MAX(gap_us) AS max_gap_us,
-           ROUND(SUM(gap_us) / COUNT(*) / 1000000.0, 6) AS mean_gap_sec
+           SUM(gap_us) / COUNT(*) / 1000000.0 AS mean_gap_sec
          FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
 
     "ts_date_range" ->
