@@ -57,6 +57,60 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   def drop(cols: String*): PFrame = copy(df = df.drop(cols: _*))
 
+  /** df.astype({'a': 'double', ...}) — per-column dtype cast */
+  def astype(casts: (String, String)*): PFrame =
+    copy(df = casts.foldLeft(df) { case (d, (c, t)) => d.withColumn(c, col(c).cast(t)) })
+
+  /** df.pipe(f) — explicit combinator for user-defined chain steps */
+  def pipe(f: PFrame => PFrame): PFrame = f(this)
+
+  /** df[col].clip(lo, hi) applied in place */
+  def clip(colName: String, lo: Double, hi: Double): PFrame =
+    copy(df = df.withColumn(colName,
+      least(greatest(col(colName), lit(lo)), lit(hi))))
+
+  /** df[col].between(lo, hi) — inclusive range filter (pandas default) */
+  def between(colName: String, lo: Any, hi: Any): PFrame =
+    copy(df = df.filter(col(colName) >= lit(lo) && col(colName) <= lit(hi)))
+
+  /** df[col].replace({old: new, ...}) — value remap, others unchanged.
+    * A when-chain stays codegen'd; at scale a LARGE mapping should be
+    * a broadcast-join against a mapping table instead. */
+  def replaceVals(colName: String, mapping: Map[Any, Any]): PFrame = {
+    val c = col(colName)
+    val remapped = mapping.foldLeft(when(lit(false), c)) {
+      case (acc, (from, to)) => acc.when(c === lit(from), lit(to))
+    }.otherwise(c)
+    copy(df = df.withColumn(colName, remapped))
+  }
+
+  /** s.value_counts(normalize=) — counts desc; the normalize
+    * denominator is a broadcast one-row total, never a global window */
+  def valueCounts(colName: String, normalize: Boolean = false): PFrame = {
+    val counts = df.groupBy(col(colName)).agg(F.count(lit(1)).as("count"))
+    val out =
+      if (!normalize) counts
+      else counts
+        .crossJoin(broadcast(df.agg(F.count(lit(1)).as("__total"))))
+        .withColumn("proportion", col("count") / col("__total"))
+        .drop("__total", "count")
+    copy(df = out.orderBy(col(if (normalize) "proportion" else "count").desc,
+      col(colName).asc))
+  }
+
+  /** df.ffill()/bfill() within an ordered per-key frame */
+  def ffill(valueCol: String, partition: Seq[String], order: String): PFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(col(order))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    copy(df = df.withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w)))
+  }
+
+  def bfill(valueCol: String, partition: Seq[String], order: String): PFrame = {
+    val w = Window.partitionBy(partition.map(col): _*).orderBy(col(order))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    copy(df = df.withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w)))
+  }
+
   def rename(mapping: (String, String)*): PFrame =
     copy(df = mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) },
       index = index.map(i => mapping.toMap.getOrElse(i, i)))

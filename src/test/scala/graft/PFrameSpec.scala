@@ -33,6 +33,50 @@ class PFrameSpec extends SparkSpec {
     assert(out.head.schema.fieldNames.contains("l_quantity_sum"))
   }
 
+  test("astype, clip, between, replace, pipe compose") {
+    import spark.implicits._
+    val out = li
+      .pipe(_.between("l_quantity", 1, 10))
+      .astype("l_quantity" -> "int")
+      .clip("l_quantity", 2.0, 8.0)
+      .replaceVals("l_returnflag", Map("R" -> "RET", "A" -> "ACC"))
+    val rows = out.toDF.select($"l_quantity", $"l_returnflag").collect()
+    assert(rows.nonEmpty)
+    // clip's double bounds promote the int column back to double
+    assert(rows.forall { r =>
+      val q = r.getDouble(0); q >= 2.0 && q <= 8.0
+    })
+    val flags = rows.map(_.getString(1)).toSet
+    assert(flags.subsetOf(Set("RET", "ACC", "N")) && flags.contains("RET"))
+  }
+
+  test("valueCounts matches groupBy count and normalizes to 1") {
+    import spark.implicits._
+    val vc = orders.valueCounts("o_orderstatus").toDF.collect()
+    val direct = Tables(spark, sf(), "orders")
+      .groupBy($"o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vc.map(r => r.getString(0) -> r.getLong(1)).toMap == direct)
+    // counts descending
+    assert(vc.map(_.getLong(1)).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    val norm = orders.valueCounts("o_orderstatus", normalize = true).toDF
+      .agg(sum($"proportion")).head().getDouble(0)
+    assert(math.abs(norm - 1.0) < 1e-9)
+  }
+
+  test("ffill and bfill are mirrored windows") {
+    import spark.implicits._
+    val base = Seq((1L, 1L, Some(10.0)), (1L, 2L, None), (1L, 3L, None),
+      (1L, 4L, Some(40.0)), (2L, 1L, None), (2L, 2L, Some(5.0)))
+      .toDF("k", "t", "v")
+    val f = PFrame(base).ffill("v", Seq("k"), "t").toDF
+      .orderBy($"k", $"t").collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+    assert(f.toSeq == Seq(10.0, 10.0, 10.0, 40.0, null, 5.0))
+    val b = PFrame(base).bfill("v", Seq("k"), "t").toDF
+      .orderBy($"k", $"t").collect().map(r => if (r.isNullAt(2)) null else r.getDouble(2))
+    assert(b.toSeq == Seq(10.0, 40.0, 40.0, 40.0, 5.0, 5.0))
+  }
+
   test("merge applies suffixes to colliding columns") {
     val a = orders.apply("o_orderkey", "o_custkey", "o_totalprice")
     val b = orders.apply("o_orderkey", "o_totalprice")
