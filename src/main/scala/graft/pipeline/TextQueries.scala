@@ -110,6 +110,24 @@ object TextQueries extends QueryModule {
           wordHash($"text").as("poly_fp"),
           md5($"text").as("md5_fp"),
           substring(md5($"text"), 1, 8).as("md5_short"))
+    },
+
+    // corpus bigram frequency (the classic n-gram LM / contamination-
+    // check primitive): bigrams are generated map-side per document
+    // with a codegen'd transform — the only shuffle is the count
+    // aggregation on the bigram key, partial-aggregated map-side, so
+    // cost scales with distinct bigrams, not corpus size
+    "txt_bigrams" -> { (s, d) =>
+      import s.implicits._
+      val w = words
+      val bigrams = transform(
+        sequence(lit(1), size(w) - 1),
+        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+      Tables(s, d, "documents")
+        .select($"lang", explode(bigrams).as("bigram"))
+        .groupBy($"lang", $"bigram")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" >= 20)
     }
   )
 
@@ -164,7 +182,18 @@ object TextQueries extends QueryModule {
            ${wordHashSql("text")} AS poly_fp,
            md5(text) AS md5_fp,
            SUBSTR(md5(text), 1, 8) AS md5_short
-           FROM documents"""
+           FROM documents""",
+
+      "txt_bigrams" ->
+        """WITH b AS (
+             SELECT lang,
+               unnest(list_transform(
+                 range(1, len(string_split(text, ' '))),
+                 i -> string_split(text, ' ')[i] || ' ' ||
+                      string_split(text, ' ')[i + 1])) AS bigram
+             FROM documents)
+           SELECT lang, bigram, COUNT(*) AS n
+           FROM b GROUP BY lang, bigram HAVING COUNT(*) >= 20"""
     )
   }
 }
