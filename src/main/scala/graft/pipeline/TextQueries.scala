@@ -22,6 +22,15 @@ object TextQueries extends QueryModule {
 
   private def words: Column = split(col("text"), " ")
 
+  /** adjacent word pairs as "w1 w2" strings, map-side */
+  private def bigramsOf(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+
+  private val bigramsSql: String =
+    "list_transform(range(1, len(string_split(text, ' '))), " +
+      "i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i + 1])"
+
   private def markerCount(ws: Seq[String]): Column =
     aggregate(words, lit(0L),
       (acc, w) => acc + when(w.isin(ws.map(lit): _*), 1L).otherwise(0L))
@@ -119,15 +128,64 @@ object TextQueries extends QueryModule {
     // cost scales with distinct bigrams, not corpus size
     "txt_bigrams" -> { (s, d) =>
       import s.implicits._
-      val w = words
-      val bigrams = transform(
-        sequence(lit(1), size(w) - 1),
-        i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
       Tables(s, d, "documents")
-        .select($"lang", explode(bigrams).as("bigram"))
+        .select($"lang", explode(bigramsOf(words)).as("bigram"))
         .groupBy($"lang", $"bigram")
         .agg(count(lit(1)).as("n"))
         .filter($"n" >= 20)
+    },
+
+    // PII / sensitive-term scrub: word-boundary regex rewrite, pure
+    // map-side (the patterns are config — emails/phones/IDs in a real
+    // corpus; a term here since the synthetic text is digit-free). The
+    // md5 of the redacted text pins exact cross-engine parity of the
+    // rewrite itself, not just its length.
+    "txt_redact" -> { (s, d) =>
+      import s.implicits._
+      val redacted = regexp_replace($"text", "\\bcustomer\\b", "<REDACTED>")
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          length($"text").as("len_raw"),
+          length(redacted).as("len_redacted"),
+          md5(redacted).as("redacted_md5"))
+    },
+
+    // Gopher-style repetition quality rule: duplicate-bigram fraction
+    // per document, all map-side array arithmetic. NO round() on the
+    // ratio: the ints are exact and both engines run the identical
+    // int->double division, while rounding a value like k/128 (exactly
+    // .xxxxx5 at the 6th decimal) diverges between the engines'
+    // rounding paths — same lesson as ts_timedelta_stats.
+    "txt_repetition" -> { (s, d) =>
+      import s.implicits._
+      val b = bigramsOf(words)
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          size(b).as("n_bigrams"),
+          size(array_distinct(b)).as("n_distinct"))
+        .withColumn("rep_ratio",
+          lit(1.0) - $"n_distinct" / $"n_bigrams")
+    },
+
+    // benchmark decontamination: flag documents sharing any frequent
+    // English bigram with the "benchmark" set (here: the en bigrams
+    // with corpus count >= 20 — in production, the eval suite's
+    // n-grams). The benchmark side is small by construction ->
+    // broadcast semi-ish join; the corpus side explodes map-side, so
+    // the only wide operation is the final per-doc count aggregation.
+    "txt_contamination" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+        .select($"doc_id", explode(bigramsOf(words)).as("bigram"))
+      val bench = Tables(s, d, "documents")
+        .filter($"lang" === "en")
+        .select(explode(bigramsOf(words)).as("bigram"))
+        .groupBy($"bigram").agg(count(lit(1)).as("bn"))
+        .filter($"bn" >= 20)
+        .select($"bigram")
+      docs.join(broadcast(bench), Seq("bigram"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_hits"))
     }
   )
 
@@ -185,15 +243,38 @@ object TextQueries extends QueryModule {
            FROM documents""",
 
       "txt_bigrams" ->
-        """WITH b AS (
-             SELECT lang,
-               unnest(list_transform(
-                 range(1, len(string_split(text, ' '))),
-                 i -> string_split(text, ' ')[i] || ' ' ||
-                      string_split(text, ' ')[i + 1])) AS bigram
+        s"""WITH b AS (
+             SELECT lang, unnest($bigramsSql) AS bigram
              FROM documents)
            SELECT lang, bigram, COUNT(*) AS n
-           FROM b GROUP BY lang, bigram HAVING COUNT(*) >= 20"""
+           FROM b GROUP BY lang, bigram HAVING COUNT(*) >= 20""",
+
+      "txt_redact" ->
+        """SELECT doc_id,
+           LENGTH(text) AS len_raw,
+           LENGTH(regexp_replace(text, '\b(customer)\b', '<REDACTED>', 'g')) AS len_redacted,
+           md5(regexp_replace(text, '\b(customer)\b', '<REDACTED>', 'g')) AS redacted_md5
+           FROM documents""",
+
+      "txt_repetition" ->
+        s"""WITH b AS (SELECT doc_id, $bigramsSql AS bg FROM documents)
+           SELECT doc_id,
+             len(bg) AS n_bigrams,
+             len(list_distinct(bg)) AS n_distinct,
+             1.0 - len(list_distinct(bg)) / len(bg) AS rep_ratio
+           FROM b""",
+
+      "txt_contamination" ->
+        s"""WITH docs AS (
+             SELECT doc_id, unnest($bigramsSql) AS bigram FROM documents),
+           bench AS (
+             SELECT bigram FROM (
+               SELECT unnest($bigramsSql) AS bigram
+               FROM documents WHERE lang = 'en')
+             GROUP BY bigram HAVING COUNT(*) >= 20)
+           SELECT d.doc_id, COUNT(*) AS n_hits
+           FROM docs d JOIN bench b ON d.bigram = b.bigram
+           GROUP BY d.doc_id"""
     )
   }
 }
