@@ -114,6 +114,60 @@ object Ewm {
       .select(keyCol, orderCol, valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
   }
 
+  /** EWM sum (pandas 1.4+ `ExponentialMovingWindow.sum`, window/ewm.py
+    * family; kernel shares aggregations.pyx:2044's recursion without
+    * the weight normalization): s_t = (1-alpha)*s_{t-1} + x_t. pandas
+    * only defines sum for adjust=True — with adjust=False the
+    * normalized recursion has no sum analogue — so no adjust knob here.
+    * Missing values follow the same ignore_na split as ewmMean: a gap
+    * decays the sum one step (ignore_na=false) or leaves it untouched.
+    * Leading nulls emit null (no state yet).
+    */
+  def ewmSum(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      alpha: Double,
+      ignoreNa: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val decay = 1 - alpha
+    df.select(
+        col(keyCol).cast("long").as("k"),
+        unix_micros(col(orderCol)).as("o"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Option[Long], Option[Long], Option[Double])]
+      .map { case (k, o, v) =>
+        (k.getOrElse(throw new IllegalArgumentException(
+           s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")),
+         o.getOrElse(throw new IllegalArgumentException(
+           s"Ewm: null/invalid order in '$orderCol'")),
+         v)
+      }
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2)
+        var s = 0.0
+        var started = false
+        rows.iterator.map { case (_, ord, vOpt) =>
+          vOpt match {
+            case Some(x) =>
+              s = decay * s + x
+              started = true
+            case None if !ignoreNa && started =>
+              s = decay * s
+            case None => ()
+          }
+          (key, ord, vOpt, if (started) Some(s) else None)
+        }
+      }
+      .toDF(keyCol, "ord_micros", valueCol, "ewm_sum")
+      .withColumn(orderCol, timestamp_micros(col("ord_micros")))
+      .drop("ord_micros")
+      .select(keyCol, orderCol, valueCol, "ewm_sum")
+  }
+
   /** EWM covariance (bias=False) + correlation of (`xCol`, `yCol`) per
     * `keyCol` (ewmcov aggregations.pyx:2143; cov/corr ewm.py:127).
     * A pair is an observation only when BOTH values are present.

@@ -567,6 +567,25 @@ object AggQueries extends QueryModule {
         .groupBy($"l_orderkey")
         .agg(round(product(lit(1) + $"l_discount"), 6).as("prod_disc"),
           count(lit(1)).as("n_lines"))
+    },
+
+    // groupby().ngroup() (groupby.py ngroup: 0-based group number in
+    // key sort order). Scale shape: the dense numbering is computed on
+    // the DISTINCT key frame — provably tiny after the distinct agg —
+    // so the unpartitioned window touches K rows, not N, and the
+    // numbered keys broadcast back onto the fact rows.
+    "agg_ngroup" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag", $"l_linestatus")
+      val keys = li.select($"l_returnflag", $"l_linestatus").distinct()
+      val numbered = keys.withColumn("ngroup",
+        (dense_rank().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"l_returnflag", $"l_linestatus")) - 1).cast("long"))
+      li.join(broadcast(numbered), Seq("l_returnflag", "l_linestatus"))
+        .select($"l_orderkey", $"l_linenumber", $"l_returnflag",
+          $"l_linestatus", $"ngroup")
     }
   )
 
@@ -915,6 +934,11 @@ object AggQueries extends QueryModule {
       """SELECT l_orderkey,
          ROUND(product(1 + l_discount), 6) AS prod_disc,
          COUNT(*) AS n_lines
-         FROM lineitem GROUP BY l_orderkey"""
+         FROM lineitem GROUP BY l_orderkey""",
+
+    "agg_ngroup" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+         DENSE_RANK() OVER (ORDER BY l_returnflag, l_linestatus) - 1 AS ngroup
+         FROM lineitem"""
   )
 }

@@ -246,6 +246,35 @@ object ReshapeQueries extends QueryModule {
           Array($"s_suppkey"),
           Array($"s_name", $"s_nationkey".cast("string").as("s_nation")),
           "attr", "val")
+    },
+
+    // qcut(duplicates='drop') (tile.py:340 _bins_to_cuts dup handling):
+    // on a low-cardinality column the quantile edges repeat; pandas
+    // drops the duplicate edges and returns fewer bins. Edges come from
+    // one exact-percentile agg (a single tiny broadcast row — the
+    // at-scale shape, no global sort); bin = count of distinct interior
+    // edges strictly below the value, i.e. (lo, hi] intervals. Edges
+    // are rounded to 6dp before dedup so both engines dedup the same
+    // doubles.
+    "rs_qcut_dupdrop" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem").select($"l_orderkey", $"l_linenumber",
+        $"l_quantity")
+      // l_quantity is integral 1..50, so decile edges land on repeated
+      // integers — exactly the degenerate case duplicates='drop' exists
+      // for
+      val edges = li.agg(
+        expr("percentile(l_quantity, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
+          .as("es"))
+        .select(array_distinct(transform($"es", e => round(e, 6))).as("es"))
+      li.crossJoin(broadcast(edges))
+        .withColumn("bin",
+          aggregate($"es", lit(0L),
+            (acc, e) => acc + when($"l_quantity" > e, 1L).otherwise(0L)))
+        .groupBy($"bin")
+        .agg(count(lit(1)).as("n"),
+          min($"l_quantity").as("lo"),
+          max($"l_quantity").as("hi"))
     }
   )
 
@@ -367,6 +396,21 @@ object ReshapeQueries extends QueryModule {
     "rs_stack" ->
       """SELECT s_suppkey, 's_name' AS attr, s_name AS val FROM supplier
          UNION ALL
-         SELECT s_suppkey, 's_nation', CAST(s_nationkey AS VARCHAR) FROM supplier"""
+         SELECT s_suppkey, 's_nation', CAST(s_nationkey AS VARCHAR) FROM supplier""",
+
+    "rs_qcut_dupdrop" ->
+      """WITH es AS (
+           SELECT list_distinct(list_transform(
+             quantile_cont(l_quantity, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]),
+             e -> ROUND(e, 6))) AS es
+           FROM lineitem),
+         binned AS (
+           SELECT l.l_quantity,
+             list_sum(list_transform(e.es,
+               x -> CASE WHEN l.l_quantity > x THEN 1 ELSE 0 END)) AS bin
+           FROM lineitem l, es e)
+         SELECT CAST(COALESCE(bin, 0) AS BIGINT) AS bin, COUNT(*) AS n,
+           MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
+         FROM binned GROUP BY 1"""
   )
 }

@@ -214,6 +214,33 @@ object SelectQueries extends QueryModule {
         .filter($"rep" > 0)
         .select($"o_orderkey", $"o_totalprice",
           explode(sequence(lit(1L), $"rep".cast("long"))).as("copy_id"))
+    },
+
+    // row-wise (axis=1) reductions: sum/mean/max/min/count/nunique
+    // across columns (frame.py sum/mean/max with axis=1; nunique
+    // :11317). The pandas row loop becomes one array literal per row +
+    // codegen'd array HOFs — map-side only, no shuffle, and NaN-skipna
+    // semantics via null filtering inside the array. A null is planted
+    // in one column to exercise skipna.
+    "sel_rowwise_stats" -> { (s, d) =>
+      import s.implicits._
+      val vals = array(
+        $"l_quantity".cast("double"),
+        when($"l_linenumber" === 1, lit(null).cast("double"))
+          .otherwise($"l_extendedprice".cast("double")),
+        ($"l_discount" * 100).cast("double"),
+        ($"l_tax" * 100).cast("double"))
+      val nn = filter(vals, v => v.isNotNull)
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 5000)
+        .select($"l_orderkey", $"l_linenumber",
+          round(aggregate(nn, lit(0.0), (a, v) => a + v), 6).as("row_sum"),
+          round(aggregate(nn, lit(0.0), (a, v) => a + v) / size(nn), 6)
+            .as("row_mean"),
+          array_max(nn).as("row_max"),
+          array_min(nn).as("row_min"),
+          size(nn).cast("long").as("row_count"),
+          size(array_distinct(nn)).cast("long").as("row_nunique"))
     }
   )
 
@@ -319,6 +346,25 @@ object SelectQueries extends QueryModule {
            FROM orders)
          SELECT o_orderkey, o_totalprice,
            unnest(generate_series(1, rep)) AS copy_id
-         FROM t WHERE rep > 0"""
+         FROM t WHERE rep > 0""",
+
+    "sel_rowwise_stats" ->
+      """WITH t AS (
+           SELECT l_orderkey, l_linenumber,
+             list_filter([
+               CAST(l_quantity AS DOUBLE),
+               CASE WHEN l_linenumber = 1 THEN NULL
+                    ELSE CAST(l_extendedprice AS DOUBLE) END,
+               CAST(l_discount * 100 AS DOUBLE),
+               CAST(l_tax * 100 AS DOUBLE)], v -> v IS NOT NULL) AS nn
+           FROM lineitem WHERE l_orderkey < 5000)
+         SELECT l_orderkey, l_linenumber,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), nn), (a, v) -> a + v), 6) AS row_sum,
+           ROUND(list_reduce(list_prepend(CAST(0 AS DOUBLE), nn), (a, v) -> a + v) / len(nn), 6) AS row_mean,
+           list_max(nn) AS row_max,
+           list_min(nn) AS row_min,
+           CAST(len(nn) AS BIGINT) AS row_count,
+           CAST(len(list_distinct(nn)) AS BIGINT) AS row_nunique
+         FROM t"""
   )
 }

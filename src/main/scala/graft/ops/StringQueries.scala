@@ -190,6 +190,34 @@ object StringQueries extends QueryModule {
           translate($"lang", "aeiou", "AEIOU").as("lang_tr"),
           instr($"text", "table").as("pos_table"),
           instr($"text", "zzz_absent").as("pos_absent"))
+    },
+
+    // findall / count / slice_replace / partition
+    // (accessor.py findall -> re.findall per row; count :2316;
+    // slice_replace :2036; partition :3077). findall's list output is
+    // projected to a joined string for the hash harness — the list
+    // itself is `regexp_extract_all`, a codegen'd expression. partition
+    // splits on the FIRST separator only, keeping (head, sep, tail)
+    // with pandas' whole-string fallback when the separator is absent.
+    "str_findall_slice" -> { (s, d) =>
+      import s.implicits._
+      val sep = instr($"text", " ")
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          concat_ws(",", regexp_extract_all($"text", lit("[a-z]{6,}"), lit(0)))
+            .as("findall_long"),
+          size(regexp_extract_all($"text", lit("[a-z]{6,}"), lit(0)))
+            .cast("long").as("n_long"),
+          size(regexp_extract_all($"text", lit("e"), lit(0)))
+            .cast("long").as("n_e"),
+          concat(substring($"text", 1, 3), lit("XX"),
+            substring($"text", 9, 1000000)).as("slice_repl"),
+          when(sep === 0, $"text")
+            .otherwise(substring($"text", lit(1), sep - 1)).as("part_head"),
+          when(sep === 0, lit("")).otherwise(lit(" ")).as("part_sep"),
+          when(sep === 0, lit(""))
+            .otherwise(expr("substring(text, instr(text, ' ') + 1)"))
+            .as("part_tail"))
     }
   )
 
@@ -309,6 +337,19 @@ object StringQueries extends QueryModule {
          translate(lang, 'aeiou', 'AEIOU') AS lang_tr,
          CASE WHEN instr(text, 'table') IS NULL THEN 0 ELSE instr(text, 'table') END AS pos_table,
          CASE WHEN instr(text, 'zzz_absent') IS NULL THEN 0 ELSE instr(text, 'zzz_absent') END AS pos_absent
+         FROM documents""",
+
+    "str_findall_slice" ->
+      """SELECT doc_id,
+         COALESCE(array_to_string(regexp_extract_all(text, '[a-z]{6,}'), ','), '') AS findall_long,
+         CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long,
+         CAST(len(regexp_extract_all(text, 'e')) AS BIGINT) AS n_e,
+         substring(text, 1, 3) || 'XX' || substring(text, 9) AS slice_repl,
+         CASE WHEN strpos(text, ' ') = 0 THEN text
+              ELSE substring(text, 1, strpos(text, ' ') - 1) END AS part_head,
+         CASE WHEN strpos(text, ' ') = 0 THEN '' ELSE ' ' END AS part_sep,
+         CASE WHEN strpos(text, ' ') = 0 THEN ''
+              ELSE substring(text, strpos(text, ' ') + 1) END AS part_tail
          FROM documents"""
   )
 }

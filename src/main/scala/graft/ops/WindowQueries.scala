@@ -380,6 +380,15 @@ object WindowQueries extends QueryModule {
         .drop("ewm_var")
         .withColumn("ewm_adj", round(col("ewm_adj"), 6))
         .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+    },
+
+    // ewm sum (pandas 1.4+ ewm().sum(): the unnormalized recursion
+    // s_t = (1-a)*s_{t-1} + x_t; pandas defines it for adjust=True
+    // only). Same per-key flatMapGroups recursion as ewmMean.
+    "win_ewm_sum" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      Ewm.ewmSum(s, ev, "user_id", "ts", "value", alpha = 0.2)
+        .withColumn("ewm_sum", round(col("ewm_sum"), 6))
     }
   )
 
@@ -748,6 +757,20 @@ object WindowQueries extends QueryModule {
          SELECT user_id, ts, v AS value,
            ROUND(num / den, 6) AS ewm_adj,
            ROUND(yno, 6) AS ewm_noadj
+         FROM e""",
+
+    "win_ewm_sum" ->
+      s"""WITH RECURSIVE r AS (
+           SELECT user_id, ts, CAST("value" AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, v, rn, v AS s
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.v, r.rn, $D02 * e.s + r.v
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, v AS value, ROUND(s, 6) AS ewm_sum
          FROM e"""
   )
 }
