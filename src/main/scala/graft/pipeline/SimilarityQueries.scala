@@ -378,6 +378,39 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"m.vc".as("vc"), $"m.dist".as("dist"))
     },
 
+    // Embedding-cosine near-duplicate CLUSTERS — semantic dedup, the
+    // embedding-space sibling of dedup_minhash/dedup_simhash: candidate
+    // pairs from the OR-amplified multitable LSH blocking (one exploded
+    // (tbl,bucket) equi-join — never all-pairs), verified with exact
+    // cosine >= 0.35, then collapsed to components (min-id label
+    // propagation, operators/ConnectedComponents) with a canonical
+    // representative per cluster. This is the "keep one of each
+    // near-identical meaning" curation op; at corpus scale every stage
+    // is the shapes already proven: map-side signatures, one candidate
+    // shuffle, O(V) component state.
+    "dedup_semantic_clusters" -> { (s, d) =>
+      import s.implicits._
+      val tb = explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
+      val e = Tables(s, d, "embeddings")
+        .select($"vec_id", $"embedding", tb.as("tb"))
+        .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"), $"tbl", $"bucket")
+      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"), $"tbl", $"bucket")
+      val edges = a.join(b, Seq("tbl", "bucket")).filter($"va" < $"vb")
+        .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+        .groupBy($"va", $"vb").agg(max($"cos").as("cos"))
+        .filter($"cos" >= 0.35)
+        .select($"va".as("src"), $"vb".as("dst"))
+      val verts = Tables(s, d, "embeddings").select($"vec_id".as("id"))
+      val comp = graft.operators.ConnectedComponents.labels(verts, edges)
+      val sizes = comp.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      comp.join(sizes, Seq("label"))
+        .select($"id".as("vec_id"), $"label".as("cluster_id"),
+          $"cluster_size", ($"id" === $"label").as("is_canonical"))
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -739,6 +772,34 @@ object SimilarityQueries extends QueryModule {
            FROM rr)
          SELECT vq, vc, dist FROM rr2 WHERE rn = 1"""
     },
+
+    "dedup_semantic_clusters" -> {
+      val branches = (0 until NumTables).map { t =>
+        s"""SELECT a.vec_id AS va, b.vec_id AS vb,
+              ROUND(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+            FROM (SELECT vec_id, embedding,
+                    ${lshBucketSql("embedding", t * BitsPerTable, BitsPerTable)} AS bucket
+                  FROM embeddings) a
+            JOIN (SELECT vec_id, embedding,
+                    ${lshBucketSql("embedding", t * BitsPerTable, BitsPerTable)} AS bucket
+                  FROM embeddings) b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH RECURSIVE cand AS (
+           $branches),
+         pairs AS (
+           SELECT va, vb, MAX(cos) AS cos FROM cand GROUP BY va, vb),
+         e0 AS (SELECT va AS s, vb AS t FROM pairs WHERE cos >= 0.35),
+         edges AS (SELECT s, t FROM e0 UNION ALL SELECT t, s FROM e0),
+         reach(v, root) AS (
+           SELECT vec_id, vec_id FROM embeddings
+           UNION
+           SELECT e.t, r.root FROM reach r JOIN edges e ON e.s = r.v),
+         comp AS (SELECT v, MIN(root) AS cluster_id FROM reach GROUP BY v)
+         SELECT v AS vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           (v = cluster_id) AS is_canonical
+         FROM comp""" },
 
     "sim_lsh_ann" ->
       s"""WITH e AS (
