@@ -41,6 +41,12 @@ object KMeans {
       .select(transform(col("cs"),
         c => transform(c.getField("embedding"), x => x.cast("double"))).as("cs"))
 
+  /** strict left-fold squared L2 — the PQ/IVF-PQ distance */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val dd = x.cast("double") - y.cast("double"); dd * dd
+    }), lit(0.0), (acc, v) => acc + v)
+
   /** (vec_id, embedding, cell): map-side argmax over the broadcast
     * centroid array; cells are 1-based */
   def assign(e: DataFrame, cents: DataFrame): DataFrame =
@@ -49,10 +55,24 @@ object KMeans {
       .withColumn("cell", array_position(col("cl"), array_max(col("cl"))))
       .select(col("vec_id"), col("embedding"), col("cell"))
 
+  /** L2 assignment (argmin of squared distance) — the metric PQ
+    * subspace training needs; same broadcast + map-side shape */
+  def assignL2(e: DataFrame, cents: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cents))
+      .withColumn("dl", transform(col("cs"), ce => l2sq(col("embedding"), ce)))
+      .withColumn("cell", array_position(col("dl"), array_min(col("dl"))))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+
   /** one Lloyd update: new centroid array from the decimal-exact
     * per-cell elementwise means; empty cells keep the old centroid */
-  def step(e: DataFrame, cents: DataFrame): DataFrame = {
-    val a = assign(e, cents)
+  def step(e: DataFrame, cents: DataFrame): DataFrame =
+    update(assign(e, cents), cents)
+
+  /** Lloyd update under L2 assignment */
+  def stepL2(e: DataFrame, cents: DataFrame): DataFrame =
+    update(assignL2(e, cents), cents)
+
+  private def update(a: DataFrame, cents: DataFrame): DataFrame = {
     val sums = a.select(col("cell"), posexplode(col("embedding")))
       .toDF("cell", "pos", "v")
       .groupBy(col("cell"), col("pos"))
@@ -75,6 +95,17 @@ object KMeans {
     var i = 0
     while (i < iters) {
       cents = step(e, cents).localCheckpoint(true)
+      i += 1
+    }
+    cents
+  }
+
+  /** L2 k-means fit — PQ subspace codebook training */
+  def fitL2(e: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cents = seed(e, k).localCheckpoint(true)
+    var i = 0
+    while (i < iters) {
+      cents = stepL2(e, cents).localCheckpoint(true)
       i += 1
     }
     cents

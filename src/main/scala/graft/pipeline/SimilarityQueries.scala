@@ -284,6 +284,61 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"m.vc".as("vc"), $"m.adist".as("adist"))
     },
 
+    // PQ with TRAINED per-subspace codebooks — the open item from
+    // sim_pq_ann's docstring: each of the M=4 subspaces gets its own
+    // Ks=16 codebook from 2 Lloyd iterations of L2 k-means run on the
+    // SLICED 16-dim subvectors (operators/KMeans.fitL2). Training is M
+    // independent tiny k-means fits (each the two-shuffle-per-iteration
+    // plan); the search plan is bit-identical to sim_pq_ann — codebooks
+    // are still M broadcast rows, encoding map-side, ADC lookups only.
+    // Per-subspace training is what real PQ (Jegou et al., TPAMI'11)
+    // does: a shared codebook wastes Ks codes describing whole-vector
+    // structure, per-subspace codebooks each specialize on their 16
+    // dims. AnnRecallSpec pins the recall lift over the shared-seed
+    // sim_pq_ann.
+    "sim_pq_trained" -> { (s, d) =>
+      import s.implicits._
+      import graft.operators.KMeans
+      val M = 4; val Sub = 16; val Ks = 16
+      def l2sq(a: Column, b: Column): Column =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val dd = x.cast("double") - y.cast("double"); dd * dd
+          }),
+          lit(0.0), (acc, v) => acc + v)
+      val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      val cbs = (0 until M).map { m =>
+        val sub = e.select($"vec_id",
+          slice($"embedding", m * Sub + 1, Sub).as("embedding"))
+        KMeans.fitL2(sub, Ks, iters = 2).select(col("cs").as(s"cs$m"))
+      }
+      val withCb = cbs.foldLeft(e)((acc, cb) => acc.crossJoin(broadcast(cb)))
+      val withDl = withCb.select($"vec_id" +: (0 until M).map(m =>
+        transform(col(s"cs$m"), c => l2sq(
+          slice($"embedding", m * Sub + 1, Sub), c)).as(s"dl$m")): _*)
+      val codes = withDl.select($"vec_id" +: (0 until M).map(m =>
+        array_position(col(s"dl$m"), array_min(col(s"dl$m"))).as(s"code$m")): _*)
+      val q = withDl.filter($"vec_id" < 50)
+        .select($"vec_id".as("vq") +: (0 until M).map(m => col(s"dl$m")): _*)
+      val adist = (0 until M).map(m =>
+        element_at(col(s"dl$m"), col(s"code$m").cast("int"))).reduce(_ + _)
+      // exact re-rank of the ADC top-32 shortlist (the standard refine
+      // step): recall is then bounded by shortlist membership, not code
+      // reconstruction error — 0.08 without it, see AnnRecallSpec
+      val wAdc = Window.partitionBy($"vq").orderBy($"adist".asc, $"vec_id".asc)
+      val shortlist = codes.crossJoin(broadcast(q)).filter($"vq" =!= $"vec_id")
+        .withColumn("adist", round(adist, 6))
+        .withColumn("rn", row_number().over(wAdc)).filter($"rn" <= 32)
+        .select($"vq", $"vec_id".as("vc"))
+      shortlist
+        .join(e.select($"vec_id".as("vc"), $"embedding".as("ec")), "vc")
+        .join(e.select($"vec_id".as("vq"), $"embedding".as("eq")), "vq")
+        .withColumn("dist", round(l2sq($"eq", $"ec"), 6))
+        .groupBy($"vq")
+        .agg(min(struct($"dist", $"vc")).as("m"))
+        .select($"vq", $"m.vc".as("vc"), $"m.dist".as("dist"))
+    },
+
     // IVF-PQ: the canonical billion-vector layout (IVF coarse cells +
     // PQ-encoded RESIDUALS + ADC), composing the two structures above.
     // Coarse quantization routes each vector to its nearest of K cells
@@ -647,6 +702,96 @@ object SimilarityQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY adist ASC, vc ASC) AS rn
            FROM cand)
          SELECT vq, vc, adist FROM ranked WHERE rn = 1"""
+    },
+
+    "sim_pq_trained" -> {
+      val M = 4; val Sub = 16; val Ks = 16; val Iters = 2
+      // L2^2 between two double lists of length Sub (same strict fold)
+      def l2v(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${Sub + 1}), i -> " +
+          s"($a[i] - $b[i]) * ($a[i] - $b[i]))), (x, y) -> x + y)"
+      // full-vector L2^2 on the raw float columns (re-rank step)
+      def l2full(a: String, b: String): String =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+          s"list_transform(range(1, ${Dim + 1}), i -> " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+          s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), " +
+          s"(x, y) -> x + y)"
+      val blocks = new StringBuilder
+      for (m <- 0 until M) {
+        // subvectors of subspace m, cast float->double per element
+        // (mirrors Spark's zip_with cast inside l2sq)
+        blocks ++= (if (m == 0) "" else ",\n         ")
+        blocks ++= s"""sub$m AS (
+           SELECT vec_id, list_transform(range(1, ${Sub + 1}),
+             i -> CAST(embedding[i + ${m * Sub}] AS DOUBLE)) AS sv
+           FROM embeddings),
+         c${m}_0 AS (
+           SELECT list(sv ORDER BY vec_id) AS cs FROM sub$m WHERE vec_id < $Ks)"""
+        for (i <- 0 until Iters) {
+          blocks ++= s""",
+         a${m}_${i}p AS (
+           SELECT t.vec_id, t.sv,
+             list_transform(c.cs, ce -> ${l2v("t.sv", "ce")}) AS dl
+           FROM sub$m t, c${m}_$i c),
+         a${m}_$i AS (
+           SELECT vec_id, sv,
+             CAST(list_indexof(dl, list_aggregate(dl, 'min')) AS BIGINT) AS cell
+           FROM a${m}_${i}p),
+         s${m}_$i AS (
+           SELECT cell, i AS pos,
+             CAST(SUM(CAST(sv[i] AS DECIMAL(27,10))) AS DOUBLE) / COUNT(*) AS mval
+           FROM a${m}_$i, range(1, ${Sub + 1}) t(i)
+           GROUP BY cell, i),
+         n${m}_$i AS (
+           SELECT cell, list(mval ORDER BY pos) AS cent FROM s${m}_$i GROUP BY cell),
+         sd${m}_$i AS (
+           SELECT i AS cell, c.cs[i] AS seed FROM c${m}_$i c, range(1, ${Ks + 1}) t(i)),
+         c${m}_${i + 1} AS (
+           SELECT list(COALESCE(n.cent, s.seed) ORDER BY s.cell) AS cs
+           FROM sd${m}_$i s LEFT JOIN n${m}_$i n ON s.cell = n.cell)"""
+        }
+      }
+      val subJoins = (1 until M).map(m =>
+        s"JOIN sub$m s$m ON s$m.vec_id = s0.vec_id").mkString("\n           ")
+      val dls = (0 until M).map(m =>
+        s"list_transform(cb$m.cs, ce -> ${l2v(s"s$m.sv", "ce")}) AS dl$m")
+        .mkString(",\n             ")
+      val cbFroms = (0 until M).map(m => s"c${m}_$Iters cb$m").mkString(", ")
+      val codeCols = (0 until M).map(m =>
+        s"CAST(list_indexof(dl$m, list_aggregate(dl$m, 'min')) AS BIGINT) AS code$m")
+        .mkString(",\n             ")
+      val adistSql = (0 until M).map(m => s"q.dl$m[c.code$m]").mkString(" + ")
+      s"""WITH ${blocks.toString},
+         wdl AS (
+           SELECT s0.vec_id,
+             $dls
+           FROM sub0 s0
+           $subJoins, $cbFroms),
+         codes AS (
+           SELECT vec_id,
+             $codeCols
+           FROM wdl),
+         cand AS (
+           SELECT q.vec_id AS vq, c.vec_id AS vc,
+             ROUND($adistSql, 6) AS adist
+           FROM wdl q JOIN codes c ON q.vec_id < 50 AND q.vec_id <> c.vec_id),
+         ranked AS (
+           SELECT vq, vc, adist,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY adist ASC, vc ASC) AS rn
+           FROM cand),
+         rr AS (
+           SELECT s.vq, s.vc,
+             ROUND(${l2full("qe.embedding", "ce.embedding")}, 6) AS dist
+           FROM (SELECT vq, vc FROM ranked WHERE rn <= 32) s
+           JOIN embeddings qe ON qe.vec_id = s.vq
+           JOIN embeddings ce ON ce.vec_id = s.vc),
+         rr2 AS (
+           SELECT vq, vc, dist,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY dist ASC, vc ASC) AS rn
+           FROM rr)
+         SELECT vq, vc, dist FROM rr2 WHERE rn = 1"""
     },
 
     "sim_ivfpq_ann" -> {
