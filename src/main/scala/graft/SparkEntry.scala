@@ -20,6 +20,7 @@ object SparkEntry {
     StringQueries,
     DedupQueries,
     CurationQueries,
+    PackQueries,
     SimilarityQueries,
     TextQueries,
     MultimodalQueries,

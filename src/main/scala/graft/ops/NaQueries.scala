@@ -180,6 +180,21 @@ object NaQueries extends QueryModule {
             .otherwise($"event_type").as("etype"),
           when($"value" === 0.01, lit(null).cast("double"))
             .otherwise($"value").as("val_sentinel_nulled"))
+    },
+
+    // to_numeric(errors='coerce') (tools/numeric.py:39): unparseable
+    // strings become NULL instead of raising — try_cast in both
+    // engines. Dirty inputs are derived deterministically from
+    // o_orderkey so the oracle sees the same strings.
+    "na_to_numeric" -> { (s, d) =>
+      import s.implicits._
+      val raw = when($"o_orderkey" % 7 === 0, concat(lit("id-"), $"o_orderkey"))
+        .otherwise($"o_orderkey".cast("string"))
+      Tables(s, d, "orders")
+        .withColumn("raw", raw)
+        .select($"o_orderkey", $"raw",
+          expr("try_cast(raw AS BIGINT)").as("as_num"),
+          coalesce(expr("try_cast(raw AS BIGINT)"), lit(-1L)).as("filled"))
     }
   )
 
@@ -332,7 +347,16 @@ object NaQueries extends QueryModule {
                 WHEN event_type = 'purchase' THEN 'buy'
                 ELSE event_type END AS etype,
            CASE WHEN "value" = 0.01 THEN NULL ELSE "value" END AS val_sentinel_nulled
-           FROM events"""
+           FROM events""",
+
+      "na_to_numeric" ->
+        """SELECT o_orderkey, raw,
+           TRY_CAST(raw AS BIGINT) AS as_num,
+           COALESCE(TRY_CAST(raw AS BIGINT), -1) AS filled
+           FROM (SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'id-' || o_orderkey
+                        ELSE CAST(o_orderkey AS VARCHAR) END AS raw
+                 FROM orders) t"""
     )
   }
 }

@@ -145,6 +145,19 @@ object ReshapeQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
     },
 
+    // cut(right=False, labels=[...]) (tile.py:257): left-closed
+    // [a, b) bins with user labels instead of interval strings
+    "rs_cut_labels" -> { (s, d) =>
+      import s.implicits._
+      val label = when($"o_totalprice" < 100000, "low")
+        .when($"o_totalprice" < 250000, "mid")
+        .when($"o_totalprice" < 400000, "high")
+        .otherwise("top")
+      Tables(s, d, "orders")
+        .groupBy(label.as("price_label"))
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
+    },
+
     // qcut: quantile bins (tile.py:298). NTILE semantics reproduced
     // distributed: global ordinal via GlobalOrder (range partition +
     // zipWithIndex), then the SQL-standard remainder rule — the first
@@ -354,6 +367,15 @@ object ReshapeQueries extends QueryModule {
                      WHEN o_totalprice <= 250000 THEN '(100k, 250k]'
                      WHEN o_totalprice <= 400000 THEN '(250k, 400k]'
                      ELSE '(400k, inf]' END AS price_bin,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY 1""",
+
+    "rs_cut_labels" ->
+      """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+                     WHEN o_totalprice < 250000 THEN 'mid'
+                     WHEN o_totalprice < 400000 THEN 'high'
+                     ELSE 'top' END AS price_label,
          COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders GROUP BY 1""",

@@ -88,6 +88,31 @@ object SetQueries extends QueryModule {
         .select($"o_custkey", $"o_orderstatus", $"o_orderkey", $"o_orderdate")
     },
 
+    // drop_duplicates(subset, keep='last') (frame.py:8168): last = max
+    // row order — the keep='first' window with the ordering reversed
+    "set_dropdup_keeplast" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey", $"o_orderstatus")
+        .orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+      Tables(s, d, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"o_custkey", $"o_orderstatus", $"o_orderkey", $"o_orderdate")
+    },
+
+    // sort_values(key=str.lower, na_position='first')
+    // (frame.py:7076 key callable, sorting.py na_position): the sort
+    // key is a computed expression; NULLs lead. Ordering is made
+    // observable through limit-membership, like set_sort_multi.
+    "set_sort_key_napos" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .orderBy(lower($"event_type").asc, $"value".asc_nulls_first,
+          $"event_id".asc)
+        .limit(300)
+        .select(lower($"event_type").as("key_lower"), $"event_id", $"value")
+    },
+
     // drop_duplicates(keep=False): only singleton groups survive
     "set_dropdup_keepfalse" -> { (s, d) =>
       import s.implicits._
@@ -221,6 +246,18 @@ object SetQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
                                 ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
            FROM orders) t WHERE rn = 1""",
+
+    "set_dropdup_keeplast" ->
+      """SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate FROM (
+           SELECT o_custkey, o_orderstatus, o_orderkey, o_orderdate,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderstatus
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+           FROM orders) t WHERE rn = 1""",
+
+    "set_sort_key_napos" ->
+      """SELECT lower(event_type) AS key_lower, event_id, "value" FROM events
+         ORDER BY lower(event_type) ASC, "value" ASC NULLS FIRST, event_id ASC
+         LIMIT 300""",
 
     "set_dropdup_keepfalse" ->
       """SELECT o_custkey, o_orderstatus, o_orderkey FROM (

@@ -28,6 +28,19 @@ object TimeQueries extends QueryModule {
           dmean($"value").as("mean_val"))
     },
 
+    // groupby('user_id').resample('D') (resample.py:119 via
+    // groupby.resample): per-key time bins — the keyed form of
+    // ts_resample_day. One shuffle on (user, day); partial aggregates
+    // map-side, so at 100 TB the exchange carries per-bin states only.
+    "ts_resample_groupby" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "events")
+        .groupBy($"user_id", date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n"),
+          dsum($"value").as("sum_val"),
+          dmean($"value").as("mean_val"))
+    },
+
     // resample('6h'): epoch-floor bucketing (portable alignment)
     "ts_resample_6h" -> { (s, d) =>
       import s.implicits._
@@ -304,6 +317,13 @@ object TimeQueries extends QueryModule {
          CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
          CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT("value") AS mean_val
          FROM events GROUP BY 1""",
+
+    "ts_resample_groupby" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         COUNT(*) AS n,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) / COUNT("value") AS mean_val
+         FROM events GROUP BY 1, 2""",
 
     "ts_resample_6h" ->
       """SELECT TIMESTAMP '1970-01-01 00:00:00'

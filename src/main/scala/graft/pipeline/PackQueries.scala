@@ -1,0 +1,109 @@
+package graft.pipeline
+
+import graft.{QueryModule, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Chunking + sequence packing — the two shaping steps between a
+  * curated corpus and a training run.
+  *
+  *   - `pipe_chunk_overlap`: split each document into fixed-size
+  *     overlapping token windows (size 64, stride 48) — the standard
+  *     context-window chunking for embedding/pretraining pipelines
+  *     (reference analogue: a str.split + rolling slice composition;
+  *     there is no single pandas op, which is why this lives in the
+  *     pipeline family). Pure map-side `explode` over per-row
+  *     `sequence()` — chunk boundaries depend only on the row, so at
+  *     100 TB this runs inside the scan stage with ZERO shuffles and
+  *     fans out rows without ever materializing the word arrays
+  *     off-heap.
+  *   - `pipe_pack_sequences`: contiguous greedy packing of documents
+  *     into fixed token budgets (256 tokens) — concat-then-split
+  *     assignment: a document belongs to the bin where its starting
+  *     token offset lands. One shuffle (hash by source), an
+  *     in-partition running sum, then a partial-aggregated groupBy.
+  *     Contiguity is inherently sequential PER SOURCE; the at-scale
+  *     variant shards each source into independently-packed segments
+  *     (partition by (source, shard)) accepting ~1 ragged bin per
+  *     shard boundary — same plan shape, bounded skew. Documented
+  *     here, semantics pinned by the per-source form.
+  */
+object PackQueries extends QueryModule {
+
+  private val ChunkSize = 64
+  private val Stride    = 48
+  private val Budget    = 256
+
+  private def words: Column = split(col("text"), " ")
+
+  def queries: Map[String, Q] = Map(
+    // sliding-window chunking with overlap: last chunk always covers
+    // the document tail; short docs yield exactly one chunk
+    "pipe_chunk_overlap" -> { (s, d) =>
+      import s.implicits._
+      val n = size(words)
+      val extra = greatest(n - lit(ChunkSize), lit(0))
+      val nchunks = floor((extra + lit(Stride - 1)) / lit(Stride)).cast("int") + 1
+      val start = $"k" * Stride + 1
+      val chunk = slice(words, start, lit(ChunkSize))
+      Tables(s, d, "documents")
+        .withColumn("k", explode(sequence(lit(0), nchunks - 1)))
+        .select($"doc_id", $"source", $"k".as("chunk_id"),
+          start.as("tok_start"),
+          size(chunk).as("n_chunk_toks"),
+          array_join(chunk, " ").as("chunk_text"))
+    },
+
+    // contiguous token-budget packing per source, ordered by doc_id:
+    // bin = floor(starting-token-offset / budget)
+    "pipe_pack_sequences" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .withColumn("n_tok", size(words))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", floor(($"cum" - $"n_tok") / lit(Budget)))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pipe_chunk_overlap" ->
+      s"""WITH w AS (
+            SELECT doc_id, source, string_split(text, ' ') AS ws,
+                   len(string_split(text, ' ')) AS n
+            FROM documents),
+          k AS (
+            SELECT doc_id, source, ws, n,
+              UNNEST(range(0, 1 + CAST(floor(
+                (greatest(n - $ChunkSize, 0) + ${Stride - 1}) / $Stride.0)
+                AS BIGINT))) AS k
+            FROM w)
+          SELECT doc_id, source, k AS chunk_id,
+                 1 + k * $Stride AS tok_start,
+                 len(list_slice(ws, 1 + k * $Stride,
+                     least(k * $Stride + $ChunkSize, n))) AS n_chunk_toks,
+                 array_to_string(list_slice(ws, 1 + k * $Stride,
+                     least(k * $Stride + $ChunkSize, n)), ' ') AS chunk_text
+          FROM k""",
+
+    "pipe_pack_sequences" ->
+      s"""WITH t AS (
+            SELECT source, doc_id,
+              len(string_split(text, ' ')) AS n_tok,
+              SUM(len(string_split(text, ' '))) OVER (
+                PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents)
+          SELECT source, CAST(floor((cum - n_tok) / $Budget.0) AS BIGINT) AS bin,
+                 COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM t GROUP BY 1, 2"""
+  )
+}
