@@ -302,6 +302,87 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
   }
 
   def count(): Long = df.count()
+
+  /** df.T (frame.py:3994). Transpose is inherently driver-sized on a
+    * distributed engine — the result has one COLUMN per input row —
+    * so this guards on row count and then runs melt + pivot: values
+    * of `idCol` become the output columns, each remaining (numeric)
+    * column becomes a row labeled by `metric`. */
+  def transposeSmall(idCol: String, maxRows: Int = 1000): PFrame = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"transposeSmall: $n rows would become $n columns (max $maxRows); " +
+      "transpose only a reduced/aggregated frame")
+    val valueCols = df.columns.filterNot(_ == idCol)
+    val melted = df.select(
+      col(idCol).cast("string").as("__k"),
+      explode(array(valueCols.map(c =>
+        struct(lit(c).as("metric"), col(c).cast("double").as("v"))): _*)).as("e"))
+      .select(col("__k"), col("e.metric").as("metric"), col("e.v").as("v"))
+    PFrame(melted.groupBy("metric").pivot("__k").agg(F.first("v")))
+  }
+
+  /** df.dot(other) (frame.py:1458) — matrix product where this frame's
+    * rows are indexed by `idCol`, its numeric columns align with
+    * `other`'s `otherIdCol` values, and `other`'s numeric columns name
+    * the outputs. Shape: melt both sides, broadcast the (small) right
+    * matrix, one equi-join on the inner dimension, partial-aggregated
+    * sum per (row, out-col), pivot the out-cols. The left frame can be
+    * arbitrarily large — it never shuffles before the partial agg. */
+  def dot(other: PFrame, idCol: String, otherIdCol: String): PFrame = {
+    val aCols = df.columns.filterNot(_ == idCol)
+    val a = df.select(
+      col(idCol).as("__i"),
+      explode(array(aCols.map(c =>
+        struct(lit(c).as("j"), col(c).cast("double").as("a"))): _*)).as("e"))
+      .select(col("__i"), col("e.j").as("__j"), col("e.a").as("a"))
+    val bCols = other.df.columns.filterNot(_ == otherIdCol)
+    val b = other.df.select(
+      col(otherIdCol).cast("string").as("__j"),
+      explode(array(bCols.map(c =>
+        struct(lit(c).as("k"), col(c).cast("double").as("b"))): _*)).as("e"))
+      .select(col("__j"), col("e.k").as("__c"), col("e.b").as("b"))
+    val prod = a.join(broadcast(b), "__j")
+      .groupBy(col("__i"), col("__c"))
+      .agg(F.sum(col("a") * col("b")).as("v"))
+      .groupBy("__i").pivot("__c").agg(F.first("v"))
+      .withColumnRenamed("__i", idCol)
+    PFrame(prod)
+  }
+
+  /** df.at[row_label, col] (indexing.py:3276) — scalar lookup by index
+    * value. Requires a set index; fails if the label is not unique. */
+  def at(rowLabel: Any, colName: String): Any = {
+    require(index.nonEmpty, "at: requires a set index (setIndex)")
+    val rows = df.filter(col(index.head) === lit(rowLabel))
+      .select(colName).limit(2).collect()
+    require(rows.length == 1, s"at: label $rowLabel matched ${rows.length} rows")
+    rows(0).get(0)
+  }
+
+  /** df.iat[i, j] (indexing.py:3431) — scalar by ordinal position in
+    * the order of `order`. Positional access needs an explicit total
+    * order on a distributed engine. */
+  def iat(i: Int, j: Int, order: String): Any = {
+    val rows = df.orderBy(col(order)).limit(i + 1).collect()
+    require(rows.length == i + 1, s"iat: row $i out of bounds")
+    rows(i).get(j)
+  }
+
+  /** df.update(other) (frame.py:8290): overwrite values with non-null
+    * values from `other`, aligned on `on`; rows only in `other` are
+    * ignored and columns only in `this` pass through — pandas'
+    * "update in place, never add rows" contract. */
+  def update(other: PFrame, on: String): PFrame = {
+    val shared = df.columns.filter(c => c != on && other.df.columns.contains(c))
+    val o = other.df.select((on +: shared.toSeq).map(c =>
+      col(c).as(if (c == on) c else s"__u_$c")): _*)
+    val joined = df.join(o, Seq(on), "left")
+    val out = df.columns.toSeq.map { c =>
+      if (shared.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c) else col(c)
+    }
+    copy(df = joined.select(out: _*))
+  }
 }
 
 object PFrame {
@@ -310,6 +391,21 @@ object PFrame {
   /** pd.concat(frames, axis=0) — union by name with type promotion */
   def concat(frames: Seq[PFrame]): PFrame =
     new PFrame(frames.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)), Nil)
+
+  /** pd.concat(frames, keys=[...]) (reshape/concat.py:78 `keys`
+    * parameter): hierarchical provenance labels — the outer index
+    * level becomes a literal `key` column per input frame, the
+    * pattern for stacking corpora while keeping source attribution.
+    * A literal column is free at scale: no shuffle, constant-folded
+    * into each frame's scan stage. */
+  def concat(frames: Seq[PFrame], keys: Seq[String], keyName: String = "key"): PFrame = {
+    require(frames.length == keys.length,
+      s"concat: ${frames.length} frames but ${keys.length} keys")
+    new PFrame(
+      frames.zip(keys)
+        .map { case (f, k) => f.df.select(F.lit(k).as(keyName) +: f.df.columns.map(col).toSeq: _*) }
+        .reduce(_.unionByName(_, allowMissingColumns = true)), Nil)
+  }
 }
 
 /** df.groupby(keys) handle (pandas DataFrameGroupBy). */

@@ -63,21 +63,20 @@ object Ewm {
         unix_micros(col(orderCol)).as("o"),
         col(valueCol).cast("double").as("v"))
       .as[(Option[Long], Option[Long], Option[Double])]
-      .map { case (k, o, v) =>
-        (k.getOrElse(throw new IllegalArgumentException(
-           s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")),
-         o.getOrElse(throw new IllegalArgumentException(
-           s"Ewm: null/invalid order in '$orderCol'")),
-         v)
-      }
-      .groupByKey(_._1)
+      // null checks live in the key function / sort key: no extra
+      // Serialize/Deserialize object stage before the groupByKey
+      .groupByKey(_._1.getOrElse(throw new IllegalArgumentException(
+        s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")))
       .flatMapGroups { (key, it) =>
-        val rows = it.toArray.sortBy(_._2)
+        val rows = it.toArray.sortBy(_._2.getOrElse(
+          throw new IllegalArgumentException(
+            s"Ewm: null/invalid order in '$orderCol'")))
         var num = 0.0; var den = 0.0   // adjust=true mean state
         var num2 = 0.0; var sw2 = 0.0  // variance state (sum w*x^2, sum w^2)
         var yNoAdj = Double.NaN        // adjust=false state
         var wNoAdj = 1.0               // adjust=false carried weight across gaps
-        rows.iterator.map { case (_, ord, vOpt) =>
+        rows.iterator.map { case (_, ordOpt, vOpt) =>
+          val ord = ordOpt.get
           vOpt match {
             case Some(x) =>
               num = decay * num + x
@@ -138,19 +137,18 @@ object Ewm {
         unix_micros(col(orderCol)).as("o"),
         col(valueCol).cast("double").as("v"))
       .as[(Option[Long], Option[Long], Option[Double])]
-      .map { case (k, o, v) =>
-        (k.getOrElse(throw new IllegalArgumentException(
-           s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")),
-         o.getOrElse(throw new IllegalArgumentException(
-           s"Ewm: null/invalid order in '$orderCol'")),
-         v)
-      }
-      .groupByKey(_._1)
+      // null checks live in the key function / sort key: no extra
+      // Serialize/Deserialize object stage before the groupByKey
+      .groupByKey(_._1.getOrElse(throw new IllegalArgumentException(
+        s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")))
       .flatMapGroups { (key, it) =>
-        val rows = it.toArray.sortBy(_._2)
+        val rows = it.toArray.sortBy(_._2.getOrElse(
+          throw new IllegalArgumentException(
+            s"Ewm: null/invalid order in '$orderCol'")))
         var s = 0.0
         var started = false
-        rows.iterator.map { case (_, ord, vOpt) =>
+        rows.iterator.map { case (_, ordOpt, vOpt) =>
+          val ord = ordOpt.get
           vOpt match {
             case Some(x) =>
               s = decay * s + x
@@ -193,21 +191,18 @@ object Ewm {
         col(xCol).cast("double").as("x"),
         col(yCol).cast("double").as("y"))
       .as[(Option[Long], Option[Long], Option[Double], Option[Double])]
-      .map { case (k, o, x, y) =>
-        (k.getOrElse(throw new IllegalArgumentException(
-           s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")),
-         o.getOrElse(throw new IllegalArgumentException(
-           s"Ewm: null/invalid order in '$orderCol'")),
-         x, y)
-      }
-      .groupByKey(_._1)
+      .groupByKey(_._1.getOrElse(throw new IllegalArgumentException(
+        s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")))
       .flatMapGroups { (key, it) =>
-        val rows = it.toArray.sortBy(_._2)
+        val rows = it.toArray.sortBy(_._2.getOrElse(
+          throw new IllegalArgumentException(
+            s"Ewm: null/invalid order in '$orderCol'")))
         var numx = 0.0; var numy = 0.0; var numxy = 0.0
         var numx2 = 0.0; var numy2 = 0.0
         var den = 0.0; var sw2 = 0.0
         var started = false
-        rows.iterator.map { case (_, ord, xOpt, yOpt) =>
+        rows.iterator.map { case (_, ordOpt, xOpt, yOpt) =>
+          val ord = ordOpt.get
           (xOpt, yOpt) match {
             case (Some(x), Some(y)) =>
               // first observation always has weight 1; later ones get
@@ -246,5 +241,60 @@ object Ewm {
       .withColumn(orderCol, timestamp_micros(col("ord_micros")))
       .drop("ord_micros")
       .select(keyCol, orderCol, xCol, yCol, "ewm_cov", "ewm_corr")
+  }
+
+  /** EWM mean over IRREGULARLY-SPACED observations (pandas ewm.py:127
+    * `times=` parameter with `halflife` given as a timedelta; pandas
+    * restricts this form to `mean()` with adjust=True). The decay
+    * applied between consecutive observations is 2^(-Δt/halflife), so
+    * an observation's weight depends on wall-clock age rather than row
+    * position — the financially common time-decay form.
+    *
+    * Null values contribute no weight; because time-decay is
+    * multiplicative over Δt, skipping a null row and decaying across
+    * the combined gap at the next observation is exact, so pandas'
+    * ignore_na distinction collapses for this form.
+    *
+    * Same distribution shape as [[ewmMean]]: one shuffle by key, O(n)
+    * fold per group, state = two doubles + a timestamp.
+    */
+  def ewmMeanTimes(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      timeCol: String,
+      valueCol: String,
+      halflifeSeconds: Double): DataFrame = {
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("k"),
+        unix_micros(col(timeCol)).as("o"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Option[Long], Option[Long], Option[Double])]
+      .groupByKey(_._1.getOrElse(throw new IllegalArgumentException(
+        s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys")))
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray.sortBy(_._2.getOrElse(
+          throw new IllegalArgumentException(
+            s"Ewm: null/invalid time in '$timeCol'")))
+        var num = 0.0; var den = 0.0
+        var lastObs = Long.MinValue
+        rows.iterator.map { case (_, ordOpt, vOpt) =>
+          val t = ordOpt.get
+          vOpt.foreach { x =>
+            val d =
+              if (lastObs == Long.MinValue) 1.0
+              else math.pow(2.0, -((t - lastObs) / 1e6) / halflifeSeconds)
+            num = d * num + x
+            den = d * den + 1.0
+            lastObs = t
+          }
+          (key, t, vOpt, if (den > 0) Some(num / den) else None)
+        }
+      }
+      .toDF(keyCol, "ord_micros", valueCol, "ewm_tmean")
+      .withColumn(timeCol, timestamp_micros(col("ord_micros")))
+      .drop("ord_micros")
+      .select(keyCol, timeCol, valueCol, "ewm_tmean")
   }
 }

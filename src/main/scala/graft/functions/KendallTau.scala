@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.expressions.Aggregator
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.col
 import scala.collection.mutable.ArrayBuffer
 
 /** Kendall tau-b via Knight's O(n log n) algorithm (W. R. Knight,
@@ -28,16 +29,25 @@ import scala.collection.mutable.ArrayBuffer
   * The final expression mirrors the SQL oracle's operation order so
   * the rounded doubles agree bit-for-bit.
   */
-object KendallTau
+class KendallTauAgg(maxRows: Long)
     extends Aggregator[(Double, Double), ArrayBuffer[(Double, Double)], Double] {
+
+  private def guard(size: Long): Unit =
+    if (size > maxRows)
+      throw new IllegalArgumentException(
+        s"KendallTau: exact global tau needs a single total order over all" +
+        s" pairs; above $maxRows rows use KendallTau.grouped (per-group tau," +
+        s" partition-parallel) or KendallTau.sampled (tau on a uniform sample)")
 
   def zero: ArrayBuffer[(Double, Double)] = ArrayBuffer.empty
 
   def reduce(b: ArrayBuffer[(Double, Double)], a: (Double, Double)): ArrayBuffer[(Double, Double)] = {
+    guard(b.length + 1L)
     b += a; b
   }
 
   def merge(b1: ArrayBuffer[(Double, Double)], b2: ArrayBuffer[(Double, Double)]): ArrayBuffer[(Double, Double)] = {
+    guard(b1.length.toLong + b2.length)
     b1 ++= b2; b1
   }
 
@@ -116,4 +126,50 @@ object KendallTau
 
   def bufferEncoder: Encoder[ArrayBuffer[(Double, Double)]] = Encoders.kryo
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+}
+
+/** Default instance with the documented single-task ceiling (2e8 rows
+  * of two doubles ≈ 3.2 GB buffer — the most an executor should hold),
+  * plus the scale-recommended forms. */
+object KendallTau extends KendallTauAgg(200L * 1000 * 1000) {
+
+  private[graft] final val MaxExactRows = 200L * 1000 * 1000
+
+  /** Per-group tau-b: the partition-parallel form — each group's
+    * O(n log n) finish runs in its own task, so this scales with group
+    * count. Null pairs are dropped (pandas nancorr semantics). */
+  def grouped(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      x: Column,
+      y: Column): DataFrame = {
+    import spark.implicits._
+    df.select(col(keyCol).cast("string").as("k"),
+        x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .as[(String, Double, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => (t._2, t._3))
+      .agg(this.toColumn.name("tau"))
+      .toDF(keyCol, "tau")
+  }
+
+  /** Tau-b on a uniform Bernoulli sample — the estimator form for a
+    * single series too large for the exact ceiling. */
+  def sampled(
+      spark: SparkSession,
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      fraction: Double,
+      seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    df.select(x.cast("double").as("x"), y.cast("double").as("y"))
+      .filter(col("x").isNotNull && col("y").isNotNull)
+      .sample(withReplacement = false, fraction, seed)
+      .as[(Double, Double)]
+      .select(this.toColumn.name("tau"))
+      .toDF("tau")
+  }
 }

@@ -559,6 +559,17 @@ object AggQueries extends QueryModule {
         .select(round($"tau", 6).as("kendall_tau"))
     },
 
+    // per-group Kendall tau-b — the partition-parallel form the
+    // KendallTau scale guard points to: each status group's
+    // O(n log n) finish runs in its own task
+    "agg_kendall_grouped" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.KendallTau.grouped(s, Tables(s, d, "orders"),
+          "o_orderstatus", $"o_totalprice",
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000"))
+        .select($"o_orderstatus", round($"tau", 6).as("kendall_tau"))
+    },
+
     // product aggregate (groupby.pyx:892): tiny per-order groups keep fp
     // reassociation error << the 1e-6 rounding grain
     "agg_prod" -> { (s, d) =>
@@ -928,6 +939,24 @@ object AggQueries extends QueryModule {
              CAST(COUNT(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 END) AS DOUBLE) AS ty
            FROM o a JOIN o b ON a.k < b.k)
          SELECT ROUND((c - dd) / (SQRT(c + dd + tx) * SQRT(c + dd + ty)), 6) AS kendall_tau
+         FROM m""",
+
+    "agg_kendall_grouped" ->
+      """WITH o AS (
+           SELECT o_orderstatus AS g, o_orderkey AS k,
+             CAST(o_totalprice AS DOUBLE) AS x,
+             CAST(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000 AS DOUBLE) AS y
+           FROM orders),
+         m AS (
+           SELECT a.g,
+             CAST(COUNT(CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 END) AS DOUBLE) AS c,
+             CAST(COUNT(CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 END) AS DOUBLE) AS dd,
+             CAST(COUNT(CASE WHEN a.x = b.x AND a.y <> b.y THEN 1 END) AS DOUBLE) AS tx,
+             CAST(COUNT(CASE WHEN a.y = b.y AND a.x <> b.x THEN 1 END) AS DOUBLE) AS ty
+           FROM o a JOIN o b ON a.g = b.g AND a.k < b.k
+           GROUP BY a.g)
+         SELECT g AS o_orderstatus,
+           ROUND((c - dd) / (SQRT(c + dd + tx) * SQRT(c + dd + ty)), 6) AS kendall_tau
          FROM m""",
 
     "agg_prod" ->

@@ -288,6 +288,33 @@ object ReshapeQueries extends QueryModule {
         .agg(count(lit(1)).as("n"),
           min($"l_quantity").as("lo"),
           max($"l_quantity").as("hi"))
+    },
+
+    // df.T (frame.py:3994) on a reduced frame: melt + pivot via
+    // PFrame.transposeSmall — returnflag values become columns
+    "rs_transpose" -> { (s, d) =>
+      import s.implicits._
+      val agg = Tables(s, d, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(sum($"l_quantity").cast("double").as("sum_qty"),
+          max($"l_extendedprice").cast("double").as("max_price"),
+          count(lit(1)).cast("double").as("n"))
+      graft.api.PFrame(agg).transposeSmall("l_returnflag").df
+    },
+
+    // df.dot(other) (frame.py:1458): big-side melt + broadcast weight
+    // matrix + partial-agg sum, via PFrame.dot
+    "rs_dot" -> { (s, d) =>
+      import s.implicits._
+      val a = Tables(s, d, "customer")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).cast("double").as("n"),
+          sum($"c_acctbal").cast("double").as("bal"))
+      val weights = Seq(("n", 1.0, 0.5), ("bal", 0.001, 2.0))
+        .toDF("j", "w1", "w2")
+      graft.api.PFrame(a).dot(graft.api.PFrame(weights), "c_mktsegment", "j")
+        .df.select($"c_mktsegment",
+          round($"w1", 6).as("w1"), round($"w2", 6).as("w2"))
     }
   )
 
@@ -433,6 +460,39 @@ object ReshapeQueries extends QueryModule {
            FROM lineitem l, es e)
          SELECT CAST(COALESCE(bin, 0) AS BIGINT) AS bin, COUNT(*) AS n,
            MIN(l_quantity) AS lo, MAX(l_quantity) AS hi
-         FROM binned GROUP BY 1"""
+         FROM binned GROUP BY 1""",
+
+    "rs_transpose" ->
+      """WITH a AS (
+           SELECT l_returnflag AS f,
+             CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS max_price,
+             CAST(COUNT(*) AS DOUBLE) AS n
+           FROM lineitem GROUP BY 1)
+         SELECT 'sum_qty' AS metric,
+           MAX(CASE WHEN f = 'A' THEN sum_qty END) AS "A",
+           MAX(CASE WHEN f = 'N' THEN sum_qty END) AS "N",
+           MAX(CASE WHEN f = 'R' THEN sum_qty END) AS "R" FROM a
+         UNION ALL
+         SELECT 'max_price',
+           MAX(CASE WHEN f = 'A' THEN max_price END),
+           MAX(CASE WHEN f = 'N' THEN max_price END),
+           MAX(CASE WHEN f = 'R' THEN max_price END) FROM a
+         UNION ALL
+         SELECT 'n',
+           MAX(CASE WHEN f = 'A' THEN n END),
+           MAX(CASE WHEN f = 'N' THEN n END),
+           MAX(CASE WHEN f = 'R' THEN n END) FROM a""",
+
+    "rs_dot" ->
+      """WITH a AS (
+           SELECT c_mktsegment,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(c_acctbal) AS DOUBLE) AS bal
+           FROM customer GROUP BY 1)
+         SELECT c_mktsegment,
+           ROUND(n * 1.0 + bal * 0.001, 6) AS w1,
+           ROUND(n * 0.5 + bal * 2.0, 6) AS w2
+         FROM a"""
   )
 }

@@ -107,7 +107,7 @@ object SetQueries extends QueryModule {
     "set_sort_key_napos" -> { (s, d) =>
       import s.implicits._
       Tables(s, d, "events")
-        .orderBy(lower($"event_type").asc, $"value".asc_nulls_first,
+        .orderBy(lower($"event_type").asc_nulls_first, $"value".asc_nulls_first,
           $"event_id".asc)
         .limit(300)
         .select(lower($"event_type").as("key_lower"), $"event_id", $"value")
@@ -161,6 +161,19 @@ object SetQueries extends QueryModule {
       val low = Tables(s, d, "orders").filter($"o_totalprice" < 5000)
         .select($"o_orderkey", $"o_totalprice", lit("low").as("tier"))
       high.unionByName(low, allowMissingColumns = true)
+    },
+
+    // concat(keys=[...]) provenance labels (reshape/concat.py:78
+    // `keys` param): outer index level -> literal source column
+    "set_concat_keys" -> { (s, d) =>
+      import s.implicits._
+      val high = Tables(s, d, "orders").filter($"o_totalprice" > 400000)
+        .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      val low = Tables(s, d, "orders").filter($"o_totalprice" < 5000)
+        .select($"o_orderkey", $"o_totalprice")
+      graft.api.PFrame.concat(
+        Seq(graft.api.PFrame(high), graft.api.PFrame(low)),
+        keys = Seq("high", "low"), keyName = "src").df
     },
 
     // Index.intersection (indexes/base.py:3378)
@@ -256,7 +269,7 @@ object SetQueries extends QueryModule {
 
     "set_sort_key_napos" ->
       """SELECT lower(event_type) AS key_lower, event_id, "value" FROM events
-         ORDER BY lower(event_type) ASC, "value" ASC NULLS FIRST, event_id ASC
+         ORDER BY lower(event_type) ASC NULLS FIRST, "value" ASC NULLS FIRST, event_id ASC
          LIMIT 300""",
 
     "set_dropdup_keepfalse" ->
@@ -287,6 +300,13 @@ object SetQueries extends QueryModule {
          FROM orders WHERE o_totalprice > 400000
          UNION ALL
          SELECT o_orderkey, o_totalprice, 'low' AS tier, NULL AS o_orderpriority
+         FROM orders WHERE o_totalprice < 5000""",
+
+    "set_concat_keys" ->
+      """SELECT 'high' AS src, o_orderkey, o_totalprice, o_orderpriority
+         FROM orders WHERE o_totalprice > 400000
+         UNION ALL
+         SELECT 'low' AS src, o_orderkey, o_totalprice, NULL AS o_orderpriority
          FROM orders WHERE o_totalprice < 5000""",
 
     "set_intersect" ->

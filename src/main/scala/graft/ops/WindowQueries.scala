@@ -389,6 +389,16 @@ object WindowQueries extends QueryModule {
       val ev = Tables(s, d, "events")
       Ewm.ewmSum(s, ev, "user_id", "ts", "value", alpha = 0.2)
         .withColumn("ewm_sum", round(col("ewm_sum"), 6))
+    },
+
+    // times= irregular-spacing halflife (ewm.py:127 `times` param):
+    // decay between observations = 2^(-Δt/halflife) over wall-clock
+    // gaps, halflife = 1h
+    "win_ewm_times" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+      Ewm.ewmMeanTimes(s, ev, "user_id", "ts", "value",
+          halflifeSeconds = 3600.0)
+        .withColumn("ewm_tmean", round(col("ewm_tmean"), 5))
     }
   )
 
@@ -771,6 +781,25 @@ object WindowQueries extends QueryModule {
            SELECT r.user_id, r.ts, r.v, r.rn, $D02 * e.s + r.v
            FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
          SELECT user_id, ts, v AS value, ROUND(s, 6) AS ewm_sum
+         FROM e""",
+
+    // same recursion order as Ewm.ewmMeanTimes: d = 2^(-(Δt_us/1e6)/hl)
+    "win_ewm_times" ->
+      """WITH RECURSIVE r AS (
+           SELECT user_id, ts, epoch_us(ts) AS tus,
+             CAST("value" AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events),
+         e AS (
+           SELECT user_id, ts, tus, v, rn,
+             v AS num, CAST(1.0 AS DOUBLE) AS den
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r.tus, r.v, r.rn,
+             POWER(2.0, -((r.tus - e.tus) / 1000000.0) / 3600.0) * e.num + r.v,
+             POWER(2.0, -((r.tus - e.tus) / 1000000.0) / 3600.0) * e.den + 1.0
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, v AS value, ROUND(num / den, 5) AS ewm_tmean
          FROM e"""
   )
 }

@@ -31,9 +31,9 @@ import org.apache.spark.sql.functions._
   */
 object PackQueries extends QueryModule {
 
-  private val ChunkSize = 64
-  private val Stride    = 48
-  private val Budget    = 256
+  private[graft] val ChunkSize = 64
+  private[graft] val Stride    = 48
+  private[graft] val Budget    = 256
 
   private def words: Column = split(col("text"), " ")
 
@@ -42,12 +42,15 @@ object PackQueries extends QueryModule {
     // the document tail; short docs yield exactly one chunk
     "pipe_chunk_overlap" -> { (s, d) =>
       import s.implicits._
-      val n = size(words)
+      // materialize the split once: after the explode fan-out every chunk
+      // row would otherwise re-split the full document text
+      val n = size($"ws")
       val extra = greatest(n - lit(ChunkSize), lit(0))
       val nchunks = floor((extra + lit(Stride - 1)) / lit(Stride)).cast("int") + 1
       val start = $"k" * Stride + 1
-      val chunk = slice(words, start, lit(ChunkSize))
+      val chunk = slice($"ws", start, lit(ChunkSize))
       Tables(s, d, "documents")
+        .withColumn("ws", words)
         .withColumn("k", explode(sequence(lit(0), nchunks - 1)))
         .select($"doc_id", $"source", $"k".as("chunk_id"),
           start.as("tok_start"),
@@ -102,7 +105,8 @@ object PackQueries extends QueryModule {
                 ROWS UNBOUNDED PRECEDING) AS cum
             FROM documents)
           SELECT source, CAST(floor((cum - n_tok) / $Budget.0) AS BIGINT) AS bin,
-                 COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
           FROM t GROUP BY 1, 2"""
   )

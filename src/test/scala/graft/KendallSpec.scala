@@ -43,6 +43,37 @@ class KendallSpec extends SparkSpec {
     }
   }
 
+  test("row-cap guard rejects exact tau above the ceiling, pointing at the scale forms") {
+    val small = new graft.functions.KendallTauAgg(maxRows = 10)
+    val b = small.zero
+    for (i <- 1 to 10) small.reduce(b, (i.toDouble, i.toDouble))
+    val e = intercept[IllegalArgumentException] {
+      small.reduce(b, (11.0, 11.0))
+    }
+    assert(e.getMessage.contains("grouped"))
+    assert(e.getMessage.contains("sampled"))
+    val e2 = intercept[IllegalArgumentException] {
+      small.merge(b, ArrayBuffer((1.0, 1.0)))
+    }
+    assert(e2.getMessage.contains("grouped"))
+    // the default instance's ceiling matches the documented constant
+    assert(graft.functions.KendallTau.MaxExactRows == 200L * 1000 * 1000)
+  }
+
+  test("grouped tau matches brute-force tau per group") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1.0, 2.0), ("a", 2.0, 1.0), ("a", 3.0, 4.0), ("a", 4.0, 3.0),
+      ("b", 1.0, 1.0), ("b", 2.0, 2.0), ("b", 3.0, 3.0)
+    ).toDF("g", "x", "y")
+    val got = graft.functions.KendallTau
+      .grouped(spark, df, "g", $"x", $"y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val wantA = bruteTau(Seq((1.0, 2.0), (2.0, 1.0), (3.0, 4.0), (4.0, 3.0)))
+    assert(math.abs(got("a") - wantA) < 1e-12)
+    assert(math.abs(got("b") - 1.0) < 1e-12)
+  }
+
   test("knight tau on perfectly concordant and discordant series") {
     val up = (1 to 50).map(i => (i.toDouble, i.toDouble))
     assert(math.abs(knightTau(up) - 1.0) < 1e-12)

@@ -24,15 +24,15 @@ class PackSpec extends SparkSpec {
       // chunk ids are 0..k-1, starts advance by the stride
       assert(sorted.map(_.getInt(1)).toSeq == sorted.indices)
       for ((r, i) <- sorted.zipWithIndex)
-        assert(r.getInt(2) == i * 48 + 1, s"doc $id chunk $i start")
+        assert(r.getInt(2) == i * PackQueries.Stride + 1, s"doc $id chunk $i start")
       // every chunk is at most the window; the last chunk reaches the
       // document tail exactly
-      assert(sorted.forall(_.getInt(3) <= 64))
+      assert(sorted.forall(_.getInt(3) <= PackQueries.ChunkSize))
       val last = sorted.last
       assert(last.getInt(2) + last.getInt(3) - 1 == n,
         s"doc $id tail not covered")
       // all but the last are full windows unless the doc is short
-      sorted.dropRight(1).foreach(r => assert(r.getInt(3) == 64))
+      sorted.dropRight(1).foreach(r => assert(r.getInt(3) == PackQueries.ChunkSize))
     }
   }
 
@@ -52,7 +52,7 @@ class PackSpec extends SparkSpec {
     for ((src, ds) <- docs.groupBy(_._1)) {
       var cum = 0L
       val assign = ds.sortBy(_._2).map { case (_, id, n) =>
-        val bin = cum / 256; cum += n; (bin, id, n.toLong)
+        val bin = cum / PackQueries.Budget; cum += n; (bin, id, n.toLong)
       }
       val want = assign.groupBy(_._1).map { case (b, xs) =>
         (b, xs.length.toLong, xs.map(_._3).sum, xs.map(_._2).min, xs.map(_._2).max)
