@@ -36,7 +36,9 @@ object Bench {
     "join_asof_native",    // native merge-walk as-of operator
     "dedup_minhash_pairs", // shingle->minhash->LSH->verify
     "sim_cosine_topk",     // brute-force ANN baseline
-    "txt_tokens"           // scalar text analysis sweep
+    "txt_tokens",          // scalar text analysis sweep
+    "join_skew_plain",     // 90%-one-key shuffle join, AQE skew split
+    "join_skew_salted"     // same join, explicit x16 salting
   )
 
   def main(args: Array[String]): Unit = {

@@ -350,6 +350,28 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
     PFrame(prod)
   }
 
+  /** pd.get_dummies (reshape/encoding.py:44) with the full parameter
+    * surface: `dropFirst` drops the first category (k-1 encoding),
+    * `dummyNa` appends an indicator for missing values. Categories are
+    * discovered with one distinct scan (the same driver-size collect
+    * Spark's own `pivot()` auto-discovery performs) and sorted, matching
+    * pandas' category order. The dummy columns themselves are pure
+    * map-side CASE expressions — no shuffle at any scale. */
+  def getDummies(colName: String, prefix: String,
+      dropFirst: Boolean = false, dummyNa: Boolean = false): PFrame = {
+    val cats = df.select(colName).distinct().collect()
+      .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
+    val kept = if (dropFirst) cats.drop(1) else cats
+    val dummies = kept.map(c =>
+      when(col(colName) === lit(c), 1).otherwise(0)
+        .as(s"${prefix}_${c.replaceAll("[^A-Za-z0-9]+", "_")}"))
+    val nan =
+      if (dummyNa) Seq(when(col(colName).isNull, 1).otherwise(0).as(s"${prefix}_nan"))
+      else Nil
+    copy(df = df.select(
+      df.columns.filterNot(_ == colName).map(col).toSeq ++ dummies ++ nan: _*))
+  }
+
   /** df.at[row_label, col] (indexing.py:3276) — scalar lookup by index
     * value. Requires a set index; fails if the label is not unique. */
   def at(rowLabel: Any, colName: String): Any = {

@@ -158,6 +158,44 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
     },
 
+    // skew-stress pair: a derived key where ~90% of lineitem rows land
+    // on key 0, joined to a 1001-key dim. The merge hint forces a
+    // shuffle join (the dim would otherwise broadcast and hide the
+    // skew); AQE's skew-join split is the only mitigation. Compare
+    // with join_skew_salted below — the two must agree (same oracle).
+    "join_skew_plain" -> { (s, d) =>
+      import s.implicits._
+      val dim = s.range(1001)
+        .select($"id".as("k"), concat(lit("g"), $"id" % 7).as("grp"))
+      val fact = Tables(s, d, "lineitem")
+        .select(when(pmod($"l_orderkey", lit(10)) < 9, lit(0L))
+          .otherwise(pmod($"l_orderkey", lit(1000)) + 1).as("k"),
+          $"l_quantity")
+      fact.join(dim.hint("merge"), "k")
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+    },
+
+    // explicit salting of the same degenerate join: the hot fact side
+    // carries a uniform salt, the dim replicates x16, so no reducer
+    // sees the whole hot key even without AQE. Deterministic fallback
+    // when skew is known ahead of time.
+    "join_skew_salted" -> { (s, d) =>
+      import s.implicits._
+      val salts = 16
+      val dim = s.range(1001)
+        .select($"id".as("k"), concat(lit("g"), $"id" % 7).as("grp"))
+        .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
+      val fact = Tables(s, d, "lineitem")
+        .select(when(pmod($"l_orderkey", lit(10)) < 9, lit(0L))
+          .otherwise(pmod($"l_orderkey", lit(1000)) + 1).as("k"),
+          pmod($"l_orderkey" + $"l_linenumber", lit(salts)).cast("int").as("salt"),
+          $"l_quantity")
+      fact.join(dim.hint("merge"), Seq("k", "salt"))
+        .groupBy($"grp")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
+    },
+
     // merge(validate='m:1') (merge.py:149 validate param): the check is
     // a key-multiplicity histogram on the right side — all-1 proves the
     // join is m:1; pandas raises, we surface the evidence
@@ -440,6 +478,30 @@ object JoinQueries extends QueryModule {
               AS dim(flag, label)
            ON l_returnflag = flag
          GROUP BY label""",
+
+    "join_skew_plain" ->
+      """WITH dim AS (
+           SELECT range AS k, 'g' || (range % 7) AS grp FROM range(1001)),
+         f AS (
+           SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                       ELSE l_orderkey % 1000 + 1 END AS k,
+                  l_quantity
+           FROM lineitem)
+         SELECT grp, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM f JOIN dim USING (k) GROUP BY grp""",
+
+    "join_skew_salted" ->
+      """WITH dim AS (
+           SELECT range AS k, 'g' || (range % 7) AS grp FROM range(1001)),
+         f AS (
+           SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+                       ELSE l_orderkey % 1000 + 1 END AS k,
+                  l_quantity
+           FROM lineitem)
+         SELECT grp, COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM f JOIN dim USING (k) GROUP BY grp""",
 
     "join_validate_m1" ->
       """SELECT key_multiplicity, COUNT(*) AS n_keys FROM (

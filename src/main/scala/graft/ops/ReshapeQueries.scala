@@ -132,6 +132,18 @@ object ReshapeQueries extends QueryModule {
           when($"o_orderstatus" === "P", 1).otherwise(0).as("status_P"))
     },
 
+    // get_dummies(drop_first=True, dummy_na=True) (encoding.py:44):
+    // k-1 encoding over sorted categories + a NaN indicator, on a
+    // column with derived sentinel nulls so dummy_na is exercised
+    "rs_get_dummies_opts" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables(s, d, "orders").select($"o_orderkey",
+        when(pmod($"o_orderkey", lit(11)) === 0, lit(null))
+          .otherwise($"o_orderpriority").as("prio"))
+      graft.api.PFrame(base)
+        .getDummies("prio", "prio", dropFirst = true, dummyNa = true).df
+    },
+
     // cut: fixed-width right-closed bins (tile.py:59; pandas default
     // right=True => (lo, hi])
     "rs_cut" -> { (s, d) =>
@@ -388,6 +400,20 @@ object ReshapeQueries extends QueryModule {
          CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS status_O,
          CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END AS status_P
          FROM orders""",
+
+    "rs_get_dummies_opts" ->
+      """WITH b AS (
+           SELECT o_orderkey,
+             CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                  ELSE o_orderpriority END AS prio
+           FROM orders)
+         SELECT o_orderkey,
+           CASE WHEN prio = '2-HIGH' THEN 1 ELSE 0 END AS prio_2_HIGH,
+           CASE WHEN prio = '3-MEDIUM' THEN 1 ELSE 0 END AS prio_3_MEDIUM,
+           CASE WHEN prio = '4-NOT SPECIFIED' THEN 1 ELSE 0 END AS prio_4_NOT_SPECIFIED,
+           CASE WHEN prio = '5-LOW' THEN 1 ELSE 0 END AS prio_5_LOW,
+           CASE WHEN prio IS NULL THEN 1 ELSE 0 END AS prio_nan
+         FROM b""",
 
     "rs_cut" ->
       """SELECT CASE WHEN o_totalprice <= 100000 THEN '(0, 100k]'

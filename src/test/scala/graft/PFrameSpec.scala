@@ -199,6 +199,63 @@ class PFrameSpec extends SparkSpec {
     assert(loose.toSeq == Seq(9.0))
   }
 
+  test("at/iat scalar access and update alignment") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "name", "v")
+    val pf = PFrame(df).setIndex("id")
+    assert(pf.at(2L, "name") == "b")
+    assert(pf.iat(0, 2, order = "id") == 10.0)
+    intercept[IllegalArgumentException] { pf.iat(5, 0, order = "id") }
+    // update: non-null overwrite, extra rows in other ignored, no new rows
+    val other = Seq((2L, null.asInstanceOf[java.lang.Double], "B"),
+      (3L, java.lang.Double.valueOf(99.0), "C"),
+      (9L, java.lang.Double.valueOf(1.0), "Z"))
+      .toDF("id", "v", "name")
+    val upd = PFrame(df).update(PFrame(other), on = "id")
+      .df.orderBy($"id").collect()
+    assert(upd.length == 3)
+    assert(upd.map(_.getDouble(2)).toSeq == Seq(10.0, 20.0, 99.0)) // null in other keeps 20.0
+    assert(upd.map(_.getString(1)).toSeq == Seq("a", "B", "C"))
+  }
+
+  test("transposeSmall guards row count and round-trips values") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 10.0), ("b", 2.0, 20.0)).toDF("k", "x", "y")
+    val t = PFrame(df).transposeSmall("k").df.orderBy($"metric").collect()
+    assert(t.map(_.getString(0)).toSeq == Seq("x", "y"))
+    assert(t(0).getDouble(1) == 1.0 && t(0).getDouble(2) == 2.0)
+    assert(t(1).getDouble(1) == 10.0 && t(1).getDouble(2) == 20.0)
+    intercept[IllegalArgumentException] {
+      PFrame(Tables(spark, sf(), "lineitem")).transposeSmall("l_orderkey", maxRows = 10)
+    }
+  }
+
+  test("dot computes the matrix product against hand arithmetic") {
+    import spark.implicits._
+    val a = Seq(("r1", 1.0, 2.0), ("r2", 3.0, 4.0)).toDF("i", "c1", "c2")
+    val b = Seq(("c1", 1.0, 0.5), ("c2", 2.0, 0.25)).toDF("j", "w1", "w2")
+    val got = PFrame(a).dot(PFrame(b), "i", "j").df
+      .orderBy($"i").collect()
+    // r1: w1 = 1*1 + 2*2 = 5, w2 = 1*0.5 + 2*0.25 = 1.0
+    assert(got(0).getDouble(1) == 5.0 && got(0).getDouble(2) == 1.0)
+    // r2: w1 = 3*1 + 4*2 = 11, w2 = 3*0.5 + 4*0.25 = 2.5
+    assert(got(1).getDouble(1) == 11.0 && got(1).getDouble(2) == 2.5)
+  }
+
+  test("getDummies drop_first + dummy_na over sorted categories") {
+    import spark.implicits._
+    val df = Seq((1L, "b"), (2L, "a"), (3L, null.asInstanceOf[String]), (4L, "c"))
+      .toDF("id", "cat")
+    val out = PFrame(df).getDummies("cat", "cat", dropFirst = true, dummyNa = true).df
+    assert(out.columns.toSeq == Seq("id", "cat_b", "cat_c", "cat_nan"))
+    val r = out.orderBy($"id").collect()
+    assert(r(0).getInt(1) == 1 && r(0).getInt(2) == 0 && r(0).getInt(3) == 0)
+    assert(r(1).getInt(1) == 0 && r(1).getInt(2) == 0 && r(1).getInt(3) == 0) // 'a' dropped
+    assert(r(2).getInt(3) == 1)
+    assert(r(3).getInt(2) == 1)
+  }
+
   test("rolling cov/corr match the bivariate formulas") {
     import spark.implicits._
     val df = Seq((1, 1, 1.0, 2.0), (1, 2, 2.0, 4.0), (1, 3, 3.0, 6.0))
