@@ -192,6 +192,33 @@ object StringQueries extends QueryModule {
           instr($"text", "zzz_absent").as("pos_absent"))
     },
 
+    // right-anchored + predicate tail of the accessor (accessor.py:
+    // rfind :2872, rindex (rfind that raises) :2918, rpartition :3133,
+    // casefold :3226, fullmatch :1450, get :1028, isascii). rfind uses
+    // the reverse-locate identity (no right-position builtin in either
+    // engine); isascii is the UTF-8 identity chars==bytes; casefold
+    // maps to lower (full Unicode casefold differs only on locale
+    // edge cases like ß, documented).
+    "str_right_ops" -> { (s, d) =>
+      import s.implicits._
+      val sub = "the"
+      val p = locate(sub.reverse, reverse($"text")) // 1-based in reversed
+      val rfind0 = when(p === 0, -1L)
+        .otherwise(length($"text") - p + 1 - sub.length)
+      val tail = regexp_extract($"text", "([^ ]*)$", 1)
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          rfind0.as("rfind_the"),
+          $"text".substr(lit(1),
+            greatest(length($"text") - length(tail) - 1, lit(0)))
+            .as("rpart_head"),
+          tail.as("rpart_tail"),
+          lower(substring($"text", 1, 30)).as("casefold_head"),
+          $"source".rlike("^[a-z]+$").as("fullmatch_alpha"),
+          substring($"text", 5, 1).as("get_4"),
+          (length($"text") === octet_length($"text")).as("is_ascii"))
+    },
+
     // findall / count / slice_replace / partition
     // (accessor.py findall -> re.findall per row; count :2316;
     // slice_replace :2036; partition :3077). findall's list output is
@@ -330,6 +357,23 @@ object StringQueries extends QueryModule {
            regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[0-9]+$') AS num_part_is_digit,
            regexp_matches(' 	 ', '^\s+$') AS ws_is_space,
            SUBSTR(w1, 1, 2) || 'XX' || SUBSTR(w1, 6) AS slice_replaced
+         FROM t""",
+
+    "str_right_ops" ->
+      """WITH t AS (
+           SELECT doc_id, text, source,
+             strpos(reverse(text), reverse('the')) AS p,
+             regexp_extract(text, '([^ ]*)$', 1) AS tail
+           FROM documents)
+         SELECT doc_id,
+           CASE WHEN p = 0 THEN -1
+                ELSE length(text) - p + 1 - length('the') END AS rfind_the,
+           substr(text, 1, greatest(length(text) - length(tail) - 1, 0)) AS rpart_head,
+           tail AS rpart_tail,
+           lower(substr(text, 1, 30)) AS casefold_head,
+           regexp_full_match(source, '[a-z]+') AS fullmatch_alpha,
+           substr(text, 5, 1) AS get_4,
+           length(text) = strlen(text) AS is_ascii
          FROM t""",
 
     "str_translate_find" ->

@@ -188,6 +188,30 @@ object TimeQueries extends QueryModule {
           expr("rolled + make_interval(0, 0, 0, extra)").as("plus_3bday"))
     },
 
+    // CustomBusinessDay with a holiday calendar (offsets.pyx
+    // CustomBusinessDay, holidays=[...]): roll forward past weekends
+    // AND a user-supplied holiday set. The calendar is a parameter,
+    // not env data: a bounded when-chain fold (7 steps covers any
+    // weekend+holiday cluster for a sane calendar) keeps the whole
+    // thing one codegen'd expression — no UDF, no join. Holidays here
+    // include a Mon+Tue pair after a weekend (4-day off-run) and a
+    // Friday before one (3-day run), the two adversarial shapes.
+    "ts_business_holidays" -> { (s, d) =>
+      import s.implicits._
+      val holidays = Seq("2024-01-15", "2024-01-16", "2024-01-26")
+      def off(c: org.apache.spark.sql.Column) =
+        dayofweek(c).isin(1, 7) ||
+          to_date(c).cast("string").isin(holidays: _*)
+      val start = date_trunc("day", $"ts")
+      val cbday = (1 to 7).foldLeft(start)((acc, _) =>
+        when(off(acc), acc + expr("interval 1 day")).otherwise(acc))
+      Tables(s, d, "events")
+        .filter($"event_id" < 2000)
+        .select($"event_id",
+          cbday.as("next_cbday"),
+          off(date_trunc("day", $"ts")).as("is_off_day"))
+    },
+
     // tz_localize/tz_convert (tslibs/tzconversion.pyx; Series.dt
     // .tz_convert): UTC wall -> zone wall including DST. The oracle
     // uses nested timezone('zone', timezone('UTC', ts)) which pins the
@@ -431,6 +455,22 @@ object TimeQueries extends QueryModule {
            rolled + (CASE WHEN rolled_wd + 3 > 4 THEN 5 ELSE 3 END) * INTERVAL 1 DAY
              AS plus_3bday
          FROM t""",
+
+    "ts_business_holidays" ->
+      """WITH cand AS (
+           SELECT e.event_id,
+             date_trunc('day', e.ts) + (r.range * INTERVAL 1 DAY) AS c,
+             date_trunc('day', e.ts) AS d0
+           FROM events e, range(0, 11) r
+           WHERE e.event_id < 2000),
+         ok AS (
+           SELECT event_id, c, d0 FROM cand
+           WHERE isodow(c) <= 5
+             AND CAST(c AS DATE) NOT IN
+               (DATE '2024-01-15', DATE '2024-01-16', DATE '2024-01-26'))
+         SELECT event_id, MIN(c) AS next_cbday,
+           MIN(c) <> ANY_VALUE(d0) AS is_off_day
+         FROM ok GROUP BY event_id""",
 
     "ts_tz_convert" ->
       """SELECT event_id, ts,

@@ -154,6 +154,43 @@ object DedupQueries extends QueryModule {
         .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_docs"))
     },
 
+    // segment-level dedup + reassembly (the CCNet/Dolma "paragraph
+    // dedup" shape, on fixed 20-word segments since the synthetic text
+    // has no paragraph breaks): segment map-side, keep the globally
+    // FIRST occurrence of each distinct segment text ((doc_id, k)
+    // order), then reassemble each document from its surviving
+    // segments. Two shuffles — one window keyed by segment text
+    // (high-cardinality, skew-free), one per-doc regroup — both scale
+    // with corpus size, never pairwise. Docs whose every segment was
+    // seen earlier come back with n_kept=0 and a NULL digest.
+    "dedup_segments" -> { (s, d) =>
+      import s.implicits._
+      val segLen = 20
+      val ws = split($"text", " ")
+      val nsegs = ceil(size(ws) / lit(segLen.toDouble)).cast("long")
+      val segs = Tables(s, d, "documents")
+        .select($"doc_id", ws.as("ws"), nsegs.as("n_segs"))
+        .withColumn("k", explode(sequence(lit(0L), $"n_segs" - 1)))
+        .select($"doc_id", $"n_segs", $"k",
+          array_join(slice($"ws", ($"k" * segLen + 1).cast("int"), lit(segLen)), " ")
+            .as("seg_text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"seg_text").orderBy($"doc_id", $"k")
+      val kept = segs
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct($"k", $"seg_text"))),
+              x => x("seg_text")), " ")).as("dedup_md5"))
+      Tables(s, d, "documents")
+        .select($"doc_id", nsegs.as("n_segs"))
+        .join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_segs",
+          coalesce($"n_kept", lit(0L)).as("n_kept"), $"dedup_md5")
+    },
+
     // MinHash/LSH signatures: 16 perms -> 4 band keys per doc, one scan
     "dedup_minhash_sig" -> { (s, d) =>
       signatures(Tables(s, d, "documents"))
@@ -260,6 +297,33 @@ object DedupQueries extends QueryModule {
       "dedup_exact_md5" ->
         """SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc, COUNT(*) AS n_docs
            FROM documents GROUP BY 1""",
+
+      "dedup_segments" ->
+        """WITH w AS (
+             SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(ceil(len(string_split(text, ' ')) / 20.0) AS BIGINT) AS n_segs
+             FROM documents),
+           seg AS (
+             SELECT doc_id, n_segs, ws,
+               UNNEST(range(0, n_segs)) AS k
+             FROM w),
+           seg2 AS (
+             SELECT doc_id, n_segs, k,
+               array_to_string(list_slice(ws, k * 20 + 1,
+                 least(k * 20 + 20, len(ws))), ' ') AS seg_text
+             FROM seg),
+           ranked AS (
+             SELECT doc_id, k, seg_text,
+               ROW_NUMBER() OVER (PARTITION BY seg_text
+                                  ORDER BY doc_id, k) AS rn
+             FROM seg2),
+           kept AS (
+             SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               md5(string_agg(seg_text, ' ' ORDER BY k)) AS dedup_md5
+             FROM ranked WHERE rn = 1 GROUP BY doc_id)
+           SELECT d.doc_id, d.n_segs,
+             COALESCE(kept.n_kept, 0) AS n_kept, kept.dedup_md5
+           FROM w d LEFT JOIN kept USING (doc_id)""",
 
       "dedup_minhash_sig" ->
         s"""WITH $sigCte SELECT doc_id, n_shingles,

@@ -167,6 +167,28 @@ object TextQueries extends QueryModule {
           lit(1.0) - $"n_distinct" / $"n_bigrams")
     },
 
+    // frequency-based quality signal: out-of-vocabulary ratio against
+    // a vocabulary DISCOVERED from the corpus itself (top-k words by
+    // count, deterministic count-desc/word-asc tiebreak — in
+    // production, the tokenizer vocab). Two aggregations: the vocab
+    // build shuffles distinct-word counts (tiny), then a broadcast
+    // membership join back; the per-doc ratio is one more partial agg.
+    // No round() on the ratio — exact int counts, identical division
+    // both engines (txt_repetition lesson).
+    "txt_oov_quality" -> { (s, d) =>
+      import s.implicits._
+      val wx = Tables(s, d, "documents")
+        .select($"doc_id", explode(words).as("w"))
+      val vocab = wx.groupBy($"w").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"w".asc).limit(10)
+        .select($"w")
+      wx.join(broadcast(vocab.withColumn("iv", lit(1))), Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(coalesce($"iv", lit(0))).as("n_invocab"))
+        .withColumn("oov_ratio", lit(1.0) - $"n_invocab" / $"n_tok")
+    },
+
     // benchmark decontamination: flag documents sharing any frequent
     // English bigram with the "benchmark" set (here: the en bigrams
     // with corpus count >= 20 — in production, the eval suite's
@@ -228,6 +250,22 @@ object TextQueries extends QueryModule {
            ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS ttr
            FROM documents""",
+
+      "txt_oov_quality" ->
+        """WITH wx AS (
+             SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+             FROM documents),
+           v AS (
+             SELECT w FROM wx GROUP BY w
+             ORDER BY COUNT(*) DESC, w ASC LIMIT 10),
+           j AS (
+             SELECT doc_id,
+               CASE WHEN w IN (SELECT w FROM v) THEN 1 ELSE 0 END AS iv
+             FROM wx)
+           SELECT doc_id, COUNT(*) AS n_tok,
+             CAST(SUM(iv) AS BIGINT) AS n_invocab,
+             1.0 - CAST(SUM(iv) AS DOUBLE) / COUNT(*) AS oov_ratio
+           FROM j GROUP BY doc_id""",
 
       "txt_stratified_sample" ->
         """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1)
