@@ -188,6 +188,46 @@ object TimeQueries extends QueryModule {
           expr("rolled + make_interval(0, 0, 0, extra)").as("plus_3bday"))
     },
 
+    // Series.autocorr(lag=1) (series.py autocorr -> corr(s, s.shift)):
+    // per-user lag-1 Pearson autocorrelation. The lag pairs come from
+    // one per-key window; the correlation then follows the
+    // decimal-moment discipline of agg_corr_cov so both engines
+    // compute the identical formula over exact sums.
+    "ts_autocorr" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val pairs = Tables(s, d, "events")
+        .select($"user_id", $"value".as("x"),
+          lag($"value", 1).over(w).as("y"))
+        .filter($"x".isNotNull && $"y".isNotNull)
+      val m = pairs.groupBy($"user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum($"x").as("sx"), dsum($"y").as("sy"),
+        dsum8(dec($"x") * dec($"x")).as("sxx"),
+        dsum8(dec($"y") * dec($"y")).as("syy"),
+        dsum8(dec($"x") * dec($"y")).as("sxy"))
+      val r = ($"n" * $"sxy" - $"sx" * $"sy") /
+        (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy"))
+      m.select($"user_id", $"n".cast("long").as("n_pairs"),
+        round(r, 6).as("autocorr_lag1"))
+    },
+
+    // resample(origin=..., offset=...) (resample.py origin/offset
+    // params): bins anchored at an arbitrary origin instead of the
+    // epoch — here 6h bins anchored at 02:00. Pure arithmetic binning
+    // (identical float-floor expression both engines), so the whole
+    // thing is still one partial-aggregated groupBy.
+    "ts_resample_origin" -> { (s, d) =>
+      import s.implicits._
+      val originUs = 1704074400000000L // 2024-01-01 02:00:00 UTC
+      val binUs = 21600000000L         // 6h
+      val idx = floor((unix_micros($"ts") - originUs) / lit(binUs.toDouble))
+      val bucket = timestamp_micros(lit(originUs) + idx.cast("long") * binUs)
+      Tables(s, d, "events")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+    },
+
     // CustomBusinessDay with a holiday calendar (offsets.pyx
     // CustomBusinessDay, holidays=[...]): roll forward past weekends
     // AND a user-supplied holiday set. The calendar is a parameter,
@@ -455,6 +495,34 @@ object TimeQueries extends QueryModule {
            rolled + (CASE WHEN rolled_wd + 3 > 4 THEN 5 ELSE 3 END) * INTERVAL 1 DAY
              AS plus_3bday
          FROM t""",
+
+    "ts_autocorr" ->
+      """WITH p AS (
+           SELECT user_id, "value" AS x,
+             LAG("value", 1) OVER (PARTITION BY user_id ORDER BY ts) AS y
+           FROM events),
+         f AS (SELECT * FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+         m AS (
+           SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(x AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(y AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(x AS DECIMAL(18,4)) * CAST(y AS DECIMAL(18,4)) AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+           FROM f GROUP BY user_id)
+         SELECT user_id, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS autocorr_lag1
+         FROM m""",
+
+    "ts_resample_origin" ->
+      """SELECT make_timestamp(1704074400000000 +
+             CAST(floor((epoch_us(ts) - 1704074400000000) / 21600000000.0) AS BIGINT)
+             * 21600000000) AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1""",
 
     "ts_business_holidays" ->
       """WITH cand AS (

@@ -391,6 +391,24 @@ object WindowQueries extends QueryModule {
         .withColumn("ewm_sum", round(col("ewm_sum"), 6))
     },
 
+    // rolling(window=5, step=3) (pandas 1.5+ `step` param,
+    // window/rolling.py): evaluate the window only at every step-th
+    // row. The step filter is a row_number predicate over the same
+    // exchange the window already needs — zero extra shuffles.
+    "win_rolling_step" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val frame = w.rowsBetween(-4, 0)
+      Tables(s, d, "events")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_in", count($"value").over(frame))
+        .withColumn("roll_sum",
+          when($"n_in" >= 5,
+            sum($"value".cast("decimal(18,4)")).over(frame).cast("double")))
+        .filter(($"rn" - 1) % 3 === 0)
+        .select($"user_id", $"event_id", $"rn", $"roll_sum")
+    },
+
     // times= irregular-spacing halflife (ewm.py:127 `times` param):
     // decay between observations = 2^(-Δt/halflife) over wall-clock
     // gaps, halflife = 1h
@@ -782,6 +800,18 @@ object WindowQueries extends QueryModule {
            FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
          SELECT user_id, ts, v AS value, ROUND(s, 6) AS ewm_sum
          FROM e""",
+
+    "win_rolling_step" ->
+      """SELECT user_id, event_id, rn, roll_sum FROM (
+           SELECT user_id, event_id,
+             ROW_NUMBER() OVER w2 AS rn,
+             CASE WHEN COUNT("value") OVER w >= 5
+                  THEN CAST(SUM(CAST("value" AS DECIMAL(18,4))) OVER w AS DOUBLE) END AS roll_sum
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+                  w2 AS (PARTITION BY user_id ORDER BY ts)) t
+         WHERE (rn - 1) % 3 = 0""",
 
     // same recursion order as Ewm.ewmMeanTimes: d = 2^(-(Δt_us/1e6)/hl)
     "win_ewm_times" ->

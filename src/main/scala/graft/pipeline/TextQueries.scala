@@ -167,6 +167,23 @@ object TextQueries extends QueryModule {
           lit(1.0) - $"n_distinct" / $"n_bigrams")
     },
 
+    // inverted index build (retrieval infrastructure over the corpus):
+    // word -> document frequency + the head of the sorted posting
+    // list. One distinct + one groupBy — both partial-aggregated;
+    // posting lists are capped at 20 ids so no group's state grows
+    // with corpus size (a real index would shard the full list).
+    "txt_inverted_index" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id", explode(words).as("w"))
+        .distinct()
+        .groupBy($"w")
+        .agg(count(lit(1)).as("df_docs"),
+          array_join(
+            transform(slice(sort_array(collect_list($"doc_id")), 1, 20),
+              x => x.cast("string")), ",").as("posting_head"))
+    },
+
     // frequency-based quality signal: out-of-vocabulary ratio against
     // a vocabulary DISCOVERED from the corpus itself (top-k words by
     // count, deterministic count-desc/word-asc tiebreak — in
@@ -250,6 +267,16 @@ object TextQueries extends QueryModule {
            ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS ttr
            FROM documents""",
+
+      "txt_inverted_index" ->
+        """WITH wx0 AS (
+             SELECT doc_id, UNNEST(string_split(text, ' ')) AS w
+             FROM documents),
+           wx AS (SELECT DISTINCT doc_id, w FROM wx0)
+           SELECT w, COUNT(*) AS df_docs,
+             array_to_string(list_slice(list_sort(list(doc_id)), 1, 20), ',')
+               AS posting_head
+           FROM wx GROUP BY w""",
 
       "txt_oov_quality" ->
         """WITH wx AS (

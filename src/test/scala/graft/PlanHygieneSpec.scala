@@ -51,6 +51,33 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("map-side pipeline ops plan zero shuffles") {
+    // chunking and the scalar text family must run inside the scan
+    // stage: any Exchange here would shuffle the full corpus at 100 TB
+    for (n <- Seq("pipe_chunk_overlap", "txt_tokens", "txt_quality",
+        "txt_redact", "txt_repetition", "txt_fingerprint", "str_right_ops")) {
+      val p = executed(n)
+      assert(!p.contains("Exchange"), s"$n plans a shuffle but must be map-side")
+    }
+  }
+
+  test("segment dedup shuffles by segment and doc only — never pairwise") {
+    val p = executed("dedup_segments")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 3, // seg-text window + doc regroup (+ AQE read variance)
+      s"dedup_segments plans $exchanges hash exchanges; expected <= 3")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "segment dedup must not plan any pairwise join")
+  }
+
+  test("skew pair: plain stays declarative SMJ, salted carries the salt key") {
+    val plain = executed("join_skew_plain")
+    assert(plain.contains("SortMergeJoin") || plain.contains("ShuffledHashJoin"),
+      "merge hint must force a shuffle join (broadcast would hide the skew)")
+    val salted = executed("join_skew_salted")
+    assert(salted.contains("salt"), "salted variant must join on the salt column")
+  }
+
   test("no partition-less window in the window/rank family") {
     // these builders are pure (no eager actions), so optimizing the
     // plan is cheap; a Window with an empty partitionSpec means the
