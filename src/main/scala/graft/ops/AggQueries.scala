@@ -246,6 +246,21 @@ object AggQueries extends QueryModule {
         .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt")
     },
 
+    // df.mode() frame-wide (frame.py mode: per-column most-frequent
+    // value; pandas returns modes sorted — we pin the FIRST, i.e.
+    // smallest, mode). Each column is one tiny count agg reduced to a
+    // single broadcastable row; the cross join of two 1-row frames is
+    // free at any scale.
+    "agg_mode_frame" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      def modeOf(c: String) = li.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, col(c).asc).limit(1).select(col(c))
+      modeOf("l_quantity").withColumnRenamed("l_quantity", "mode_qty")
+        .crossJoin(modeOf("l_returnflag")
+          .withColumnRenamed("l_returnflag", "mode_flag"))
+    },
+
     // ohlc over event time (groupby.pyx:1354): first/last via min_by/max_by
     // on the globally-unique ts
     "agg_ohlc" -> { (s, d) =>
@@ -727,6 +742,13 @@ object AggQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
            FROM lineitem GROUP BY l_returnflag, l_quantity) t
          WHERE rn = 1""",
+
+    "agg_mode_frame" ->
+      """SELECT
+           (SELECT l_quantity FROM lineitem GROUP BY l_quantity
+            ORDER BY COUNT(*) DESC, l_quantity ASC LIMIT 1) AS mode_qty,
+           (SELECT l_returnflag FROM lineitem GROUP BY l_returnflag
+            ORDER BY COUNT(*) DESC, l_returnflag ASC LIMIT 1) AS mode_flag""",
 
     "agg_ohlc" ->
       """SELECT event_type,

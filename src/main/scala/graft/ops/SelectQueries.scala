@@ -241,6 +241,32 @@ object SelectQueries extends QueryModule {
           array_min(nn).as("row_min"),
           size(nn).cast("long").as("row_count"),
           size(array_distinct(nn)).cast("long").as("row_nunique"))
+    },
+
+    // idxmax/idxmin(axis=1) + rank(axis=1, method='min') (frame.py
+    // idxmax :11472, rank axis=1): which column holds the row's
+    // max/min (first occurrence on ties, pandas order), and a
+    // column's min-rank within its row. Same map-side array-literal
+    // shape as sel_rowwise_stats — no shuffle.
+    "sel_rowwise_idxrank" -> { (s, d) =>
+      import s.implicits._
+      val cols = Seq(
+        "qty"   -> $"l_quantity".cast("double"),
+        "price" -> $"l_extendedprice".cast("double"),
+        "disc"  -> ($"l_discount" * 100).cast("double"),
+        "tax"   -> ($"l_tax" * 100).cast("double"))
+      val named = array(cols.map { case (n, c) =>
+        struct(lit(n).as("name"), c.as("v")) }: _*)
+      val vals = array(cols.map(_._2): _*)
+      Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 5000)
+        .select($"l_orderkey", $"l_linenumber",
+          element_at(filter(named, x => x("v") === array_max(vals)), 1)("name")
+            .as("idxmax_row"),
+          element_at(filter(named, x => x("v") === array_min(vals)), 1)("name")
+            .as("idxmin_row"),
+          (size(filter(vals, x => x < $"l_quantity".cast("double"))) + 1)
+            .cast("long").as("qty_rank_min"))
     }
   )
 
@@ -365,6 +391,23 @@ object SelectQueries extends QueryModule {
            list_min(nn) AS row_min,
            CAST(len(nn) AS BIGINT) AS row_count,
            CAST(len(list_distinct(nn)) AS BIGINT) AS row_nunique
+         FROM t""",
+
+    "sel_rowwise_idxrank" ->
+      """WITH t AS (
+           SELECT l_orderkey, l_linenumber,
+             [struct_pack(name := 'qty',   v := CAST(l_quantity AS DOUBLE)),
+              struct_pack(name := 'price', v := CAST(l_extendedprice AS DOUBLE)),
+              struct_pack(name := 'disc',  v := CAST(l_discount * 100 AS DOUBLE)),
+              struct_pack(name := 'tax',   v := CAST(l_tax * 100 AS DOUBLE))] AS named,
+             [CAST(l_quantity AS DOUBLE), CAST(l_extendedprice AS DOUBLE),
+              CAST(l_discount * 100 AS DOUBLE), CAST(l_tax * 100 AS DOUBLE)] AS vals,
+             CAST(l_quantity AS DOUBLE) AS q
+           FROM lineitem WHERE l_orderkey < 5000)
+         SELECT l_orderkey, l_linenumber,
+           list_filter(named, x -> x.v = list_max(vals))[1].name AS idxmax_row,
+           list_filter(named, x -> x.v = list_min(vals))[1].name AS idxmin_row,
+           CAST(len(list_filter(vals, x -> x < q)) + 1 AS BIGINT) AS qty_rank_min
          FROM t"""
   )
 }

@@ -96,6 +96,22 @@ object StreamQueries extends QueryModule {
       runToMemory(s, agg, OutputMode.Append())
     },
 
+    // stream-static enrichment join: the streaming fact side joins a
+    // batch dimension (user -> market segment) that Spark broadcasts
+    // per micro-batch — THE standard streaming-enrichment shape. No
+    // state store involved: the static side is re-resolvable, so at
+    // scale this costs one broadcast per trigger and the stream never
+    // shuffles for the join.
+    "stream_static_join" -> { (s, d) =>
+      val dim = s.read.parquet(s"$d/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = eventsStream(s, d)
+        .join(dim, Seq("user_id"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_val"))
+      runToMemory(s, agg, OutputMode.Complete())
+    },
+
     // stream-stream interval join (no pandas analogue; Spark-native
     // capability): clicks joined to same-user purchases that happen
     // within the following hour. Both sides are watermarked so the
@@ -192,6 +208,12 @@ object StreamQueries extends QueryModule {
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
          CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
          FROM events GROUP BY 1""",
+
+    "stream_static_join" ->
+      """SELECT c.c_mktsegment, COUNT(*) AS n,
+         CAST(SUM(CAST(e."value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val
+         FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         GROUP BY 1""",
 
     // each event lands in the two slide-aligned (hourly) windows that
     // cover it: start = floor_1h(t) and floor_1h(t) - 3600
