@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Codegen'd vector kernels for the similarity family.
+  *
+  * The higher-order-function dot product
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`) is semantically right
+  * and oracle-friendly, but HOF lambdas evaluate interpreted per
+  * element AND materialize the zipped products array per pair — on
+  * `sim_cosine_topk` that's Dim allocations × candidates × queries.
+  * [[DotProduct]] runs the identical left-to-right fused
+  * multiply-accumulate in generated Java: same float→double widening,
+  * same product rounding, same summation order, so results are
+  * bit-identical to the HOF form and the DuckDB `list_reduce` oracle —
+  * just without the intermediate array or lambda dispatch.
+  *
+  * (reference analogue: pandas delegates `Series.dot` to numpy BLAS —
+  * `frame.py:1458`; the Spark-native equivalent of "drop to the fast
+  * kernel" is a custom Expression inside whole-stage codegen.)
+  */
+object VectorExprs {
+
+  /** idempotent session registration: `graft_dot(a, b)` */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+  }
+}
+
+/** Fused multiply-accumulate over two float/double array columns,
+  * returning double. Null-safe (null array -> null); array elements
+  * are assumed non-null (embedding vectors). */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_dot expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      acc += xv * yv
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val gx = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val gy = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $gx * $gy;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -22,12 +22,14 @@ object SimilarityQueries extends QueryModule {
 
   private val Dim = 64
 
-  /** strict left-fold dot product of two float-array columns */
+  /** strict left-fold dot product of two float-array columns — the
+    * codegen'd DotProduct expression (functions/VectorExprs.scala):
+    * bit-identical to the HOF `aggregate(zip_with(...))` form (same
+    * widening, product rounding, and summation order) but a fused
+    * generated-Java loop with no intermediate array. Registered on
+    * the session by Tables(). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
 
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))

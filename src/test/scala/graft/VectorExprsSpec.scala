@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+
+/** DotProduct (codegen'd) must be bit-identical to the HOF
+  * aggregate(zip_with(...)) formulation it replaced — same widening,
+  * product rounding, and left-to-right summation order. */
+class VectorExprsSpec extends SparkSpec {
+
+  test("graft_dot equals the HOF fold bit-for-bit on float arrays") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Tables(spark, sf(), "embeddings").limit(200)
+      .select($"vec_id", $"embedding".as("a"),
+        reverse($"embedding").as("b"))
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val diffs = df
+      .select(call_function("graft_dot", $"a", $"b").as("fast"), hof.as("ref"))
+      .filter($"fast" =!= $"ref") // exact double equality, not tolerance
+      .count()
+    assert(diffs == 0, s"$diffs rows differ between codegen dot and HOF fold")
+  }
+
+  test("graft_dot handles double arrays and null inputs") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Seq(
+      (Some(Seq(1.0, 2.0, 3.0)), Some(Seq(4.0, 5.0, 6.0))),
+      (None, Some(Seq(1.0, 1.0, 1.0))))
+      .toDF("a", "b")
+    val got = df.select(call_function("graft_dot", $"a", $"b")).collect()
+    assert(got(0).getDouble(0) == 32.0)
+    assert(got(1).isNullAt(0))
+  }
+}
