@@ -25,11 +25,14 @@ import org.apache.spark.sql.types._
   */
 object VectorExprs {
 
-  /** idempotent session registration: `graft_dot(a, b)` */
+  /** idempotent session registration: `graft_dot(a, b)`,
+    * `graft_l2sq(a, b)` */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_dot",
       exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_l2sq",
+      exprs => L2Sq(exprs.head, exprs(1)), "scala_udf")
   }
 }
 
@@ -76,6 +79,62 @@ case class DotProduct(left: Expression, right: Expression)
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += $gx * $gy;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 distance over two float/double array columns — the same
+  * fused loop as [[DotProduct]] with the HOF's exact operation order
+  * per element: widen, subtract (round), square (round), accumulate. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_l2sq expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left); val rf = isFloat(right)
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val dd = xv - yv
+      acc += dd * dd
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val dd = ctx.freshName("dd")
+      val gx = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
+      val gy = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $dd = $gx - $gy;
+         |  $acc += $dd * $dd;
          |}
          |${ev.value} = $acc;
        """.stripMargin

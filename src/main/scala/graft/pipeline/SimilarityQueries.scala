@@ -31,6 +31,11 @@ object SimilarityQueries extends QueryModule {
   private def dot(a: Column, b: Column): Column =
     call_function("graft_dot", a, b)
 
+  /** squared-L2 sibling of `dot` — codegen'd L2Sq expression with the
+    * HOF fold's exact per-element operation order */
+  private def l2sq(a: Column, b: Column): Column =
+    call_function("graft_l2sq", a, b)
+
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -255,12 +260,6 @@ object SimilarityQueries extends QueryModule {
     "sim_pq_ann" -> { (s, d) =>
       import s.implicits._
       val M = 4; val Sub = 16; val Ks = 16
-      def l2sq(a: Column, b: Column): Column =
-        aggregate(
-          zip_with(a, b, (x, y) => {
-            val dd = x.cast("double") - y.cast("double"); dd * dd
-          }),
-          lit(0.0), (acc, v) => acc + v)
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
       val cb = e.filter($"vec_id" < Ks)
         .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
@@ -302,12 +301,6 @@ object SimilarityQueries extends QueryModule {
       import s.implicits._
       import graft.operators.KMeans
       val M = 4; val Sub = 16; val Ks = 16
-      def l2sq(a: Column, b: Column): Column =
-        aggregate(
-          zip_with(a, b, (x, y) => {
-            val dd = x.cast("double") - y.cast("double"); dd * dd
-          }),
-          lit(0.0), (acc, v) => acc + v)
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
       val cbs = (0 until M).map { m =>
         val sub = e.select($"vec_id",
@@ -361,12 +354,6 @@ object SimilarityQueries extends QueryModule {
     "sim_ivfpq_ann" -> { (s, d) =>
       import s.implicits._
       val K = 4; val M = 4; val Sub = 16; val Ks = 16
-      def l2sq(a: Column, b: Column): Column =
-        aggregate(
-          zip_with(a, b, (x, y) => {
-            val dd = x.cast("double") - y.cast("double"); dd * dd
-          }),
-          lit(0.0), (acc, v) => acc + v)
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
       // TRAINED coarse quantizer: 2 cosine-Lloyd iterations (the same
       // operators/KMeans.fit as sim_ivf_trained); cells are then

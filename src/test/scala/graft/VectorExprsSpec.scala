@@ -24,6 +24,23 @@ class VectorExprsSpec extends SparkSpec {
     assert(diffs == 0, s"$diffs rows differ between codegen dot and HOF fold")
   }
 
+  test("graft_l2sq equals the HOF fold bit-for-bit on float arrays") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Tables(spark, sf(), "embeddings").limit(200)
+      .select($"embedding".as("a"), reverse($"embedding").as("b"))
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => {
+        val dd = x.cast("double") - y.cast("double"); dd * dd
+      }),
+      lit(0.0), (acc, v) => acc + v)
+    val diffs = df
+      .select(call_function("graft_l2sq", $"a", $"b").as("fast"), hof.as("ref"))
+      .filter($"fast" =!= $"ref")
+      .count()
+    assert(diffs == 0, s"$diffs rows differ between codegen l2sq and HOF fold")
+  }
+
   test("graft_dot handles double arrays and null inputs") {
     import spark.implicits._
     VectorExprs.register(spark)
