@@ -33,6 +33,10 @@ object VectorExprs {
       exprs => DotProduct(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_l2sq",
       exprs => L2Sq(exprs.head, exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_lsh_bucket",
+      exprs => LshBucket(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
   }
 }
 
@@ -87,6 +91,64 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `bits`-bit hyperplane LSH bucket of a float-array embedding: bit j
+  * is the sign of the projection onto deterministic plane base+j with
+  * weight w(i, p) = ((i * 48271 + p * 28657) % 101) - 50 over 1-based
+  * dims — integer arithmetic identical to the SQL-visible formula, and
+  * the projection accumulates left-to-right exactly like the HOF
+  * `aggregate(sequence(...))` form it replaces, so buckets are
+  * bit-identical. All bits compute in one pass over the vector. */
+case class LshBucket(child: Expression, base: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < bits) {
+      var acc = 0.0
+      var i = 1
+      while (i <= n) {
+        val w = ((i * 48271 + (base + j) * 28657) % 101) - 50
+        acc += emb.getFloat(i - 1).toDouble * w.toDouble
+        i += 1
+      }
+      if (acc >= 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val w = ctx.freshName("w")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $c.numElements();
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $bits; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $i = 1; $i <= $n; $i++) {
+         |    int $w = (($i * 48271 + ($base + $j) * 28657) % 101) - 50;
+         |    $acc += (double)$c.getFloat($i - 1) * (double)$w;
+         |  }
+         |  if ($acc >= 0) $bucket |= (1L << $j);
+         |}
+         |${ev.value} = $bucket;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Squared L2 distance over two float/double array columns — the same

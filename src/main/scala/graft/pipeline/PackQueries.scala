@@ -58,6 +58,29 @@ object PackQueries extends QueryModule {
           array_join(chunk, " ").as("chunk_text"))
     },
 
+    // the AT-SCALE packing shape: each source is sharded into
+    // independently-packed segments (partition by (source, shard)),
+    // accepting ~1 ragged bin per shard boundary. Contiguity is
+    // sequential only WITHIN a shard, so parallelism scales with
+    // sources x shards instead of sources — the variant the per-source
+    // form's scaladoc promises
+    "pipe_pack_shards" -> { (s, d) =>
+      import s.implicits._
+      val shards = 4
+      val w = Window.partitionBy($"source", $"shard").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .withColumn("shard", pmod($"doc_id", lit(shards)))
+        .withColumn("n_tok", size(words))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", floor(($"cum" - $"n_tok") / lit(Budget)))
+        .groupBy($"source", $"shard", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+    },
+
     // contiguous token-budget packing per source, ordered by doc_id:
     // bin = floor(starting-token-offset / budget)
     "pipe_pack_sequences" -> { (s, d) =>
@@ -95,6 +118,21 @@ object PackQueries extends QueryModule {
                  array_to_string(list_slice(ws, 1 + k * $Stride,
                      least(k * $Stride + $ChunkSize, n)), ' ') AS chunk_text
           FROM k""",
+
+    "pipe_pack_shards" ->
+      s"""WITH t AS (
+            SELECT source, doc_id % 4 AS shard, doc_id,
+              len(string_split(text, ' ')) AS n_tok,
+              SUM(len(string_split(text, ' '))) OVER (
+                PARTITION BY source, doc_id % 4 ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS cum
+            FROM documents)
+          SELECT source, shard,
+                 CAST(floor((cum - n_tok) / $Budget.0) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM t GROUP BY 1, 2, 3""",
 
     "pipe_pack_sequences" ->
       s"""WITH t AS (

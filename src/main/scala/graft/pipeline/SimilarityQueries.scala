@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * At 100 TB the bucket key join replaces the quadratic cross join —
   * the same blocking pattern as the MinHash band join in DedupQueries.
   *
-  * Dot products use `zip_with` + `aggregate` higher-order functions
-  * (strict left-to-right fold, so the DuckDB `list_reduce` oracle is
-  * bit-identical); elements are cast float->double before multiply on
-  * both engines.
+  * Vector kernels (dot product, squared L2, LSH buckets) are custom
+  * codegen'd Catalyst expressions (functions/VectorExprs.scala) whose
+  * generated loops replay the strict left-to-right HOF fold order —
+  * so the DuckDB `list_reduce` oracles stay bit-identical; elements
+  * are cast float->double before multiply on both engines.
   */
 object SimilarityQueries extends QueryModule {
 
@@ -49,24 +50,21 @@ object SimilarityQueries extends QueryModule {
     s"${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)}))"
 
   /** Deterministic hyperplane weight for dim i (1-based), global plane
-    * index j. The Lehmer-style mix has period 101 > Dim, so no two
-    * planes are phase shifts of each other (the earlier mod-7 form
-    * made every plane a rotation of one 7-cycle — all tables were
-    * perfectly correlated and OR-amplification was a no-op). */
-  private def planeWeight(i: Column, j: Int): Column =
-    ((i * 48271 + lit(j * 28657)) % 101 - 50).cast("double")
-
+    * index j: ((i * 48271 + j * 28657) % 101) - 50. The Lehmer-style
+    * mix has period 101 > Dim, so no two planes are phase shifts of
+    * each other (the earlier mod-7 form made every plane a rotation of
+    * one 7-cycle — all tables were perfectly correlated and
+    * OR-amplification was a no-op). The Spark side lives inside the
+    * codegen'd LshBucket expression; this is the DuckDB mirror. */
   private def planeWeightSql(j: Int): String =
     s"CAST((i * 48271 + ${j * 28657}) % 101 - 50 AS DOUBLE)"
 
   /** `bits`-bit LSH bucket from the sign pattern of planes
-    * [base, base+bits), map-side. */
+    * [base, base+bits), map-side — the codegen'd LshBucket expression
+    * (one pass over the vector for all bits, bit-identical to the HOF
+    * per-plane fold it replaced). */
   private def lshBucket(emb: Column, base: Int = 0, bits: Int = 8): Column =
-    (0 until bits).map { j =>
-      val proj = aggregate(sequence(lit(1), lit(Dim)), lit(0.0),
-        (acc, i) => acc + element_at(emb, i).cast("double") * planeWeight(i, base + j))
-      when(proj >= 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    call_function("graft_lsh_bucket", emb, lit(base), lit(bits))
 
   private def lshBucketSql(emb: String, base: Int = 0, bits: Int = 8): String =
     (0 until bits).map { j =>
