@@ -246,6 +246,23 @@ object AggQueries extends QueryModule {
         .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt")
     },
 
+    // the 100TB-mode approx switches (SURVEY §7.3: exact by default,
+    // explicit approx= for scale): HyperLogLog++ count-distinct and
+    // t-digest-style percentile — one pass, O(1) state per partition,
+    // no exact-sort/Expand cost. No SQL oracle (approximation is
+    // engine-specific), so the driver records a rows-only check;
+    // ApproxSpec pins the relative error against the exact values.
+    "agg_approx_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem").agg(
+        approx_count_distinct($"l_partkey").as("acd_partkey"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
+          .as("pcts"))
+        .select($"acd_partkey",
+          element_at($"pcts", 1).as("p50_approx"),
+          element_at($"pcts", 2).as("p90_approx"))
+    },
+
     // df.mode() frame-wide (frame.py mode: per-column most-frequent
     // value; pandas returns modes sorted — we pin the FIRST, i.e.
     // smallest, mode). Each column is one tiny count agg reduced to a

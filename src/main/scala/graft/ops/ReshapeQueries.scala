@@ -30,6 +30,19 @@ object ReshapeQueries extends QueryModule {
         .agg(dsum($"o_totalprice"))
     },
 
+    // pivot_table(fill_value=0) (pivot.py:59 fill_value param): the
+    // high filter leaves some (priority, status) cells empty; fill
+    // them with 0 instead of null
+    "rs_pivot_fill" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .filter($"o_totalprice" > 450000)
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(dsum($"o_totalprice"))
+        .na.fill(0.0, Seq("F", "O", "P"))
+    },
+
     // pivot_table(margins=True) (pivot.py:59, _add_margins :429):
     // Spark rollup + label the grouping-null rows 'All'
     "rs_pivot_margins" -> { (s, d) =>
@@ -331,6 +344,13 @@ object ReshapeQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "rs_pivot_fill" ->
+      """SELECT o_orderpriority,
+         COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0) AS F,
+         COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0) AS O,
+         COALESCE(CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE), 0) AS P
+         FROM orders WHERE o_totalprice > 450000 GROUP BY o_orderpriority""",
+
     "rs_pivot" ->
       """SELECT o_orderpriority,
          CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS F,

@@ -198,6 +198,18 @@ object SelectQueries extends QueryModule {
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
 
+    // sample(n=500) exact-n (core/sample.py n= path): distributed
+    // exact-count sampling = order by a deterministic per-row hash and
+    // take n. TakeOrderedAndProject keeps only n rows per partition
+    // then merges — no global sort materializes at any scale.
+    "sel_sample_n" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .orderBy((($"o_orderkey" * 48271) % 1000003).asc, $"o_orderkey".asc)
+        .limit(500)
+    },
+
     // sample(replace=True) (core/sample.py:123): with-replacement =
     // per-row replication count ~ Poisson(1), the distributed
     // equivalent of n draws with replacement (no global coordination,
@@ -360,6 +372,11 @@ object SelectQueries extends QueryModule {
     "sel_sample_mod" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE o_orderkey % 20 = 0""",
+
+    "sel_sample_n" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         ORDER BY (o_orderkey * 48271) % 1000003 ASC, o_orderkey ASC
+         LIMIT 500""",
 
     "sel_sample_replace" ->
       """WITH t AS (

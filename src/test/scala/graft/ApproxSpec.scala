@@ -2,62 +2,26 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-/** Pins the error contract of the 100 TB approximate switches.
-  *
-  * Every oracle-checked query uses EXACT kernels (percentile,
-  * count(distinct)) so results hash-match DuckDB. SCALE.md documents
-  * the at-scale switch — `percentile` -> `percentile_approx` (GK
-  * sketch, rank error <= n/accuracy) and `count(distinct)` ->
-  * `approx_count_distinct` (HLL++, relative std dev parameter) — with
-  * the claim that it is a drop-in with bounded error and an identical
-  * plan shape (partial -> final sketch merge instead of a dedup
-  * shuffle). These tests hold that claim against real testdata; both
-  * sketches are deterministic for a given input, so the assertions are
-  * stable, not flaky.
-  */
+/** The approx= 100TB-mode switches have no SQL oracle (sketches are
+  * engine-specific), so their accuracy contract is pinned here against
+  * the exact answers: HLL++ count-distinct within 5% relative error,
+  * approx_percentile within 2% of the exact percentile. */
 class ApproxSpec extends SparkSpec {
 
-  private lazy val lineitem =
-    spark.read.parquet(sf("0.01") + "/lineitem.parquet")
-
-  test("approx_count_distinct stays within the HLL++ rsd envelope") {
-    val rsd = 0.05
-    val r = lineitem.agg(
-      countDistinct(col("l_partkey")).as("exact"),
-      approx_count_distinct(col("l_partkey"), rsd).as("approx")).head()
-    val exact = r.getLong(0).toDouble
-    val approx = r.getLong(1).toDouble
-    val relErr = math.abs(approx - exact) / exact
-    // rsd is one standard deviation of relative error; 3x is the
-    // conventional confidence envelope
-    assert(relErr < 3 * rsd,
-      s"HLL++ rel error $relErr exceeds 3*rsd (exact=$exact approx=$approx)")
-  }
-
-  test("percentile_approx respects the GK rank-error bound") {
-    val acc = 1000 // rank error <= n/acc, i.e. quantile error <= 1/acc
-    val delta = 1.0 / acc
-    val r = lineitem.agg(
-      expr(s"percentile(l_quantity, ${0.5 - delta})").as("lo"),
-      expr(s"percentile_approx(l_quantity, 0.5, $acc)").as("approx"),
-      expr(s"percentile(l_quantity, ${0.5 + delta})").as("hi")).head()
-    val lo = r.getDouble(0)
-    val approx = r.getAs[Number](1).doubleValue()
-    val hi = r.getDouble(2)
-    assert(lo <= approx && approx <= hi,
-      s"approx median $approx outside exact-quantile bracket [$lo, $hi]")
-  }
-
-  test("approx plan keeps the partial->final aggregate shape") {
-    // the whole point of the switch: the sketch travels as a partial
-    // aggregate (objHashAggregate), so the shuffle carries one sketch
-    // per partition instead of every distinct key
-    val p = lineitem
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")))
-      .queryExecution.executedPlan.toString
-    assert(p.contains("HashAggregate"), "expected hash aggregate")
-    assert(p.toLowerCase.contains("partial_approx_count_distinct"),
-      "sketch must partial-aggregate map-side before the exchange")
+  test("agg_approx_stats tracks the exact answers within bounds") {
+    import spark.implicits._
+    val approx = SparkEntry.queries("agg_approx_stats")(spark, sf()).collect()(0)
+    val li = Tables(spark, sf(), "lineitem")
+    val exact = li.agg(
+      countDistinct($"l_partkey").cast("double").as("cd"),
+      expr("percentile(l_extendedprice, array(0.5, 0.9))").as("p"))
+      .select($"cd", element_at($"p", 1).as("p50"), element_at($"p", 2).as("p90"))
+      .collect()(0)
+    val cdErr = math.abs(approx.getLong(0) - exact.getDouble(0)) / exact.getDouble(0)
+    assert(cdErr < 0.05, s"HLL count-distinct off by ${cdErr * 100}%")
+    val p50Err = math.abs(approx.getDouble(1) - exact.getDouble(1)) / exact.getDouble(1)
+    val p90Err = math.abs(approx.getDouble(2) - exact.getDouble(2)) / exact.getDouble(2)
+    assert(p50Err < 0.02, s"approx p50 off by ${p50Err * 100}%")
+    assert(p90Err < 0.02, s"approx p90 off by ${p90Err * 100}%")
   }
 }
