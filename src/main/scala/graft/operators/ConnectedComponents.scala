@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   * verified pair edges, components give each document a canonical
   * cluster representative (the minimum doc id reachable from it).
   *
-  * Algorithm: every vertex starts labeled with itself; each round a
-  * vertex takes the min of its own label and its neighbors' labels.
-  * Converges in `diameter(G)` rounds — near-dup components are
-  * quasi-cliques (every member pairs with most others), so the
-  * diameter is tiny and 3-5 rounds suffice in practice. Each round is
-  * two shuffles (edge-label join + min-aggregate), both keyed on
-  * vertex id, so AQE coalesces them; there is no driver-side graph
-  * state, only a per-round `count` action for the convergence test.
+  * Algorithm: every vertex starts labeled with itself; each round
+  * does (a) a neighbor step — a vertex takes the min of its own label
+  * and its neighbors' labels — and (b) a pointer-jumping step — the
+  * vertex then adopts its label's label (path compression, the
+  * Shiloach-Vishkin shortcut). The neighbor step alone converges in
+  * `diameter(G)` rounds, which a long-chain component can push past
+  * any fixed cap (round-3 finding: the sf0.1 semantic graph has a
+  * 519-vertex component with diameter > 25, which silently split);
+  * with pointer jumping label depth halves every round, so
+  * convergence is O(log n) rounds on ANY graph — 25 is then a wide
+  * margin, not a correctness bet. Each round is three keyed shuffles
+  * (edge-label join + min-aggregate + label-parent join); there is no
+  * driver-side graph state, only a per-round `count` action for the
+  * convergence test.
   *
   * Scale notes (100 TB corpus, ~10^9 vertices):
   *  - per-round state is one (id, label) row per vertex — O(V) rows of
@@ -26,11 +32,11 @@ import org.apache.spark.sql.functions._
   *    dominates. On a real cluster use `spark.sparkContext
   *    .setCheckpointDir` + `checkpoint()` for fault-tolerant
   *    truncation instead;
-  *  - for adversarial long-chain graphs the O(diameter) bound is the
-  *    limit; the fix is the large-star/small-star algorithm
-  *    (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  *    SoCC'14), which converges in O(log^2 n) rounds with the same
-  *    join-shape per round. Dedup graphs never need it.
+  *  - the same round shape is the building block of large-star/
+  *    small-star (Kiveris et al., "Connected Components in MapReduce
+  *    and Beyond", SoCC'14), which additionally rewires edges; the
+  *    label-side pointer jumping here already gives the O(log n)
+  *    round bound that matters for correctness.
   */
 object ConnectedComponents {
 
@@ -48,16 +54,24 @@ object ConnectedComponents {
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
-      // min label among each vertex's neighbors
+      // (a) min label among each vertex's neighbors
       val nbrMin = und.join(cur, und("src") === cur("id"))
         .groupBy(und("dst").as("nid")).agg(min("label").as("nl"))
-      val next = cur.join(nbrMin, cur("id") === col("nid"), "left")
+      val stepped = cur.join(nbrMin, cur("id") === col("nid"), "left")
         .select(cur("id"),
-          least(cur("label"), coalesce(col("nl"), cur("label"))).as("label"),
-          (col("nl") < cur("label")).as("chg"))
+          least(cur("label"), coalesce(col("nl"), cur("label"))).as("label"))
+      // (b) pointer jumping: adopt the label's own label (labels only
+      // decrease and every label is a vertex id, so the lookup always
+      // resolves; left join keeps isolated vertices)
+      val par = stepped.select(col("id").as("pid"), col("label").as("plabel"))
+      val next = stepped.join(par, stepped("label") === col("pid"), "left")
+        .select(stepped("id"),
+          coalesce(col("plabel"), stepped("label")).as("label"))
         .localCheckpoint(true)
-      changed = next.filter(col("chg")).count()
-      cur = next.select(col("id"), col("label"))
+      changed = next.as("n")
+        .join(cur.as("c"), col("n.id") === col("c.id"))
+        .filter(col("n.label") < col("c.label")).count()
+      cur = next
       it += 1
     }
     cur

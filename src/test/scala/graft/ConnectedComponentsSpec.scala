@@ -37,4 +37,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     val got = run(5, clique)
     assert(got.size == 5 && got.values.forall(_ == 1L))
   }
+
+  test("long chain beyond the round cap converges via pointer jumping") {
+    // a 200-vertex path has diameter 199 — plain min-label propagation
+    // under maxIter=25 silently splits it (the round-3 sf0.1
+    // dedup_semantic_clusters bug); pointer jumping needs O(log n)
+    // rounds. Worst-case label ordering: chain descending so the min
+    // label sits at the far end.
+    val n = 200L
+    val edges = (1L until n).map(i => (i + 1, i)) // 200-199, ..., 2-1
+    val got = run(n, edges)
+    assert((1L to n).forall(got(_) == 1L),
+      s"chain split into ${got.values.toSet.size} labels")
+  }
 }
