@@ -29,6 +29,17 @@ object SetQueries extends QueryModule {
         .select($"o_orderkey", $"o_totalprice")
     },
 
+    // nlargest(keep='last') (methods/selectn.py:140 keep param): on
+    // value ties prefer the LATER row — same TakeOrderedAndProject,
+    // tiebreak flipped to key descending
+    "set_nlargest_keeplast" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "lineitem").filter($"l_orderkey" < 3000)
+        .orderBy($"l_quantity".desc, $"l_orderkey".desc, $"l_linenumber".desc)
+        .limit(50)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    },
+
     // nsmallest(50)
     "set_nsmallest" -> { (s, d) =>
       import s.implicits._
@@ -230,6 +241,12 @@ object SetQueries extends QueryModule {
     "set_nsmallest" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice ASC, o_orderkey ASC LIMIT 50""",
+
+    "set_nlargest_keeplast" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_orderkey < 3000
+         ORDER BY l_quantity DESC, l_orderkey DESC, l_linenumber DESC
+         LIMIT 50""",
 
     "set_nlargest_keepall" ->
       """WITH sub AS (

@@ -192,6 +192,20 @@ object StringQueries extends QueryModule {
           instr($"text", "zzz_absent").as("pos_absent"))
     },
 
+    // Series.str.get_dummies(sep='|') (accessor.py get_dummies): a
+    // delimited multi-label string becomes one indicator column per
+    // label — pure map-side array_contains over the split, the
+    // multi-label sibling of pd.get_dummies
+    "str_get_dummies" -> { (s, d) =>
+      import s.implicits._
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val tags = split(concat_ws("|", $"lang", $"source"), "\\|")
+      Tables(s, d, "documents")
+        .select($"doc_id" +: langs.map(l =>
+          array_contains(tags, l).cast("int").as(s"tag_$l")) :+
+          array_contains(tags, "src0").cast("int").as("tag_src0"): _*)
+    },
+
     // right-anchored + predicate tail of the accessor (accessor.py:
     // rfind :2872, rindex (rfind that raises) :2918, rpartition :3133,
     // casefold :3226, fullmatch :1450, get :1028, isascii). rfind uses
@@ -357,6 +371,19 @@ object StringQueries extends QueryModule {
            regexp_matches(regexp_extract(source, '([0-9]+)', 1), '^[0-9]+$') AS num_part_is_digit,
            regexp_matches(' 	 ', '^\s+$') AS ws_is_space,
            SUBSTR(w1, 1, 2) || 'XX' || SUBSTR(w1, 6) AS slice_replaced
+         FROM t""",
+
+    "str_get_dummies" ->
+      """WITH t AS (
+           SELECT doc_id, string_split(lang || '|' || source, '|') AS tags
+           FROM documents)
+         SELECT doc_id,
+           CAST(list_contains(tags, 'de') AS INT) AS tag_de,
+           CAST(list_contains(tags, 'en') AS INT) AS tag_en,
+           CAST(list_contains(tags, 'es') AS INT) AS tag_es,
+           CAST(list_contains(tags, 'fr') AS INT) AS tag_fr,
+           CAST(list_contains(tags, 'zh') AS INT) AS tag_zh,
+           CAST(list_contains(tags, 'src0') AS INT) AS tag_src0
          FROM t""",
 
     "str_right_ops" ->
