@@ -167,6 +167,27 @@ object TextQueries extends QueryModule {
           lit(1.0) - $"n_distinct" / $"n_bigrams")
     },
 
+    // the BPE tokenizer-training inner loop, distributed: count
+    // adjacent character pairs weighted by word frequency (the
+    // highest-count pair is the next merge). Word counts first — the
+    // classic optimization, pairs then weigh by word frequency
+    // instead of rescanning the corpus — so the heavy corpus scan
+    // feeds one tiny distinct-word aggregate; pair explosion runs
+    // over the vocabulary, not the corpus.
+    "txt_bpe_pairs" -> { (s, d) =>
+      import s.implicits._
+      val wc = Tables(s, d, "documents")
+        .select(explode(words).as("w"))
+        .groupBy($"w").agg(count(lit(1)).as("wc"))
+        .filter(length($"w") >= 2)
+      wc.select($"wc", explode(
+          transform(sequence(lit(1), length($"w") - 1),
+            i => $"w".substr(i, lit(2)))).as("pair"))
+        .groupBy($"pair").agg(sum($"wc").as("n"))
+        .orderBy($"n".desc, $"pair".asc)
+        .limit(20)
+    },
+
     // inverted index build (retrieval infrastructure over the corpus):
     // word -> document frequency + the head of the sorted posting
     // list. One distinct + one groupBy — both partial-aggregated;
@@ -267,6 +288,19 @@ object TextQueries extends QueryModule {
            ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
              / len(string_split(text, ' ')), 6) AS ttr
            FROM documents""",
+
+      "txt_bpe_pairs" ->
+        """WITH wc AS (
+             SELECT w, COUNT(*) AS wc FROM (
+               SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+             GROUP BY w HAVING length(w) >= 2),
+           p AS (
+             SELECT wc, UNNEST(list_transform(range(1, length(w)),
+               i -> substr(w, CAST(i AS INT), 2))) AS pair
+             FROM wc)
+           SELECT pair, CAST(SUM(wc) AS BIGINT) AS n
+           FROM p GROUP BY pair
+           ORDER BY n DESC, pair ASC LIMIT 20""",
 
       "txt_inverted_index" ->
         """WITH wx0 AS (
