@@ -246,6 +246,25 @@ object AggQueries extends QueryModule {
         .select($"l_returnflag", $"l_quantity".as("mode_qty"), $"cnt")
     },
 
+    // groupby(dropna=) with NULL group keys (groupby.py dropna param;
+    // FIXTURES null matrix): pandas DEFAULT drops NaN keys, SQL/Spark
+    // keep the NULL group — the mapping is dropna=True == pre-filter
+    // key IS NOT NULL, dropna=False == plain groupBy. Both modes in
+    // one result, keyed by a mode column; sentinel nulls derived
+    // deterministically.
+    "agg_group_dropna" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select(when(pmod($"event_id", lit(13)) === 0, lit(null))
+          .otherwise($"event_type").as("k"), $"value")
+      def agg(df: org.apache.spark.sql.DataFrame, mode: String) =
+        df.groupBy($"k")
+          .agg(count(lit(1)).as("n"), dsum($"value").as("sum_val"))
+          .withColumn("mode", lit(mode))
+      agg(ev.filter($"k".isNotNull), "dropna_true")
+        .unionByName(agg(ev, "dropna_false"))
+    },
+
     // the 100TB-mode approx switches (SURVEY §7.3: exact by default,
     // explicit approx= for scale): HyperLogLog++ count-distinct and
     // t-digest-style percentile — one pass, O(1) state per partition,
@@ -759,6 +778,22 @@ object AggQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_quantity ASC) AS rn
            FROM lineitem GROUP BY l_returnflag, l_quantity) t
          WHERE rn = 1""",
+
+    "agg_group_dropna" ->
+      """WITH ev AS (
+           SELECT CASE WHEN event_id % 13 = 0 THEN NULL
+                       ELSE event_type END AS k,
+                  "value"
+           FROM events)
+         SELECT k, COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+           'dropna_true' AS mode
+         FROM ev WHERE k IS NOT NULL GROUP BY k
+         UNION ALL
+         SELECT k, COUNT(*) AS n,
+           CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
+           'dropna_false' AS mode
+         FROM ev GROUP BY k""",
 
     "agg_mode_frame" ->
       """SELECT

@@ -158,6 +158,23 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
     },
 
+    // pandas merge matches NaN keys to each other (merge.py key
+    // semantics — NaN is a joinable value there), while SQL/Spark
+    // equality never matches NULL. The pandas behavior maps to
+    // null-safe equality (`<=>` / IS NOT DISTINCT FROM) — pinned here
+    // with a dim that carries an explicit NULL-key row.
+    "join_null_keys" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .filter($"event_id" < 2000)
+        .select($"event_id",
+          when(pmod($"event_id", lit(13)) === 0, lit(null))
+            .otherwise($"event_type").as("k"))
+      val dim = Seq(("click", 1), ("view", 2), (null, 0)).toDF("k", "code")
+      ev.join(broadcast(dim), ev("k") <=> dim("k"))
+        .select($"event_id", dim("code"))
+    },
+
     // skew-stress pair: a derived key where ~90% of lineitem rows land
     // on key 0, joined to a 1001-key dim. The merge hint forces a
     // shuffle join (the dim would otherwise broadcast and hide the
@@ -478,6 +495,16 @@ object JoinQueries extends QueryModule {
               AS dim(flag, label)
            ON l_returnflag = flag
          GROUP BY label""",
+
+    "join_null_keys" ->
+      """WITH ev AS (
+           SELECT event_id,
+             CASE WHEN event_id % 13 = 0 THEN NULL
+                  ELSE event_type END AS k
+           FROM events WHERE event_id < 2000),
+         dim(k, code) AS (VALUES ('click', 1), ('view', 2), (NULL, 0))
+         SELECT e.event_id, d.code
+         FROM ev e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k""",
 
     "join_skew_plain" ->
       """WITH dim AS (
