@@ -595,6 +595,34 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n"))
     },
 
+    // per-group Spearman (method='average' ranks): within a group the
+    // ranks come from ordinary per-key windows — fully partitioned,
+    // the scale-parallel sibling of the GlobalOrder-based global form
+    "agg_spearman_grouped" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 5000)
+        .select($"l_returnflag".as("g"), $"l_quantity".as("xv"),
+          $"l_discount".as("yv"))
+      def avgRank(v: Column) =
+        rank().over(Window.partitionBy($"g").orderBy(v)) +
+          (count(lit(1)).over(Window.partitionBy($"g", v)) - 1) / lit(2.0)
+      val ranked = base.select($"g",
+        avgRank($"xv").as("rx"), avgRank($"yv").as("ry"))
+      def d1(c: Column) = c.cast("decimal(18,1)")
+      val m = ranked.groupBy($"g").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(d1($"rx")).cast("double").as("sx"),
+        sum(d1($"ry")).cast("double").as("sy"),
+        sum((d1($"rx") * d1($"rx")).cast("decimal(38,2)")).cast("double").as("sxx"),
+        sum((d1($"ry") * d1($"ry")).cast("decimal(38,2)")).cast("double").as("syy"),
+        sum((d1($"rx") * d1($"ry")).cast("decimal(38,2)")).cast("double").as("sxy"))
+      m.select($"g".as("l_returnflag"),
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)
+          .as("spearman_qd"))
+    },
+
     // Kendall tau-b on the FULL orders table via Knight's O(n log n)
     // merge-sort Aggregator (graft.functions.KendallTau; ref
     // algos.pyx:1988 nancorr_kendall is the O(n^2) pandas kernel).
@@ -999,6 +1027,31 @@ object AggQueries extends QueryModule {
          ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(o_totalprice)), 4) AS geomean_price,
          COUNT(*) AS n
          FROM orders GROUP BY o_orderstatus""",
+
+    "agg_spearman_grouped" ->
+      """WITH base AS (
+           SELECT l_returnflag AS g, l_quantity AS xv, l_discount AS yv
+           FROM lineitem WHERE l_orderkey < 5000),
+         r AS (
+           SELECT g,
+             RANK() OVER (PARTITION BY g ORDER BY xv)
+               + (COUNT(*) OVER (PARTITION BY g, xv) - 1) / 2.0 AS rx,
+             RANK() OVER (PARTITION BY g ORDER BY yv)
+               + (COUNT(*) OVER (PARTITION BY g, yv) - 1) / 2.0 AS ry
+           FROM base),
+         m AS (
+           SELECT g,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(rx AS DECIMAL(18,1))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(ry AS DECIMAL(18,1))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CAST(rx AS DECIMAL(18,1)) * CAST(rx AS DECIMAL(18,1)) AS DECIMAL(38,2))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CAST(ry AS DECIMAL(18,1)) * CAST(ry AS DECIMAL(18,1)) AS DECIMAL(38,2))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CAST(rx AS DECIMAL(18,1)) * CAST(ry AS DECIMAL(18,1)) AS DECIMAL(38,2))) AS DOUBLE) AS sxy
+           FROM r GROUP BY g)
+         SELECT g AS l_returnflag,
+           ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6) AS spearman_qd
+         FROM m""",
 
     "agg_kendall" ->
       """WITH o AS (

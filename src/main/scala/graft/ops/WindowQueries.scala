@@ -391,6 +391,23 @@ object WindowQueries extends QueryModule {
         .withColumn("ewm_sum", round(col("ewm_sum"), 6))
     },
 
+    // rolling('1h', closed=) full surface (window/rolling.py closed
+    // param): right=(t-w, t] is win_rolling_time; here the other three
+    // — both=[t-w, t], left=[t-w, t), neither=(t-w, t) — as shifted
+    // micros range bounds over the SAME exchange+sort.
+    "win_rolling_closed" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      val both = ord.rangeBetween(-3600000000L, 0)
+      val left = ord.rangeBetween(-3600000000L, -1)
+      val neither = ord.rangeBetween(-3599999999L, -1)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          count($"value").over(both).as("n_both"),
+          count($"value").over(left).as("n_left"),
+          count($"value").over(neither).as("n_neither"))
+    },
+
     // rolling(window=5, step=3) (pandas 1.5+ `step` param,
     // window/rolling.py): evaluate the window only at every step-th
     // row. The step filter is a row_number predicate over the same
@@ -800,6 +817,19 @@ object WindowQueries extends QueryModule {
            FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
          SELECT user_id, ts, v AS value, ROUND(s, 6) AS ewm_sum
          FROM e""",
+
+    "win_rolling_closed" ->
+      """SELECT user_id, event_id,
+         COUNT("value") OVER wb AS n_both,
+         COUNT("value") OVER wl AS n_left,
+         COUNT("value") OVER wn AS n_neither
+         FROM events
+         WINDOW wb AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                wl AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING),
+                wn AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 3599999999 PRECEDING AND 1 PRECEDING)""",
 
     "win_rolling_step" ->
       """SELECT user_id, event_id, rn, roll_sum FROM (
