@@ -55,6 +55,29 @@ object MultimodalQueries extends QueryModule {
         .toDF("doc_id", "n_bytes", "mean_byte", "byte_fp")
     },
 
+    // audio framing: fixed-length overlapped windows over the sample
+    // stream (frame_length=32, hop_length=16 — the spectrogram access
+    // pattern; librosa/torchaudio framing semantics: full frames
+    // only). One explode per frame, per-frame energy as the decode
+    // stub — map-side fan-out, zero shuffles, the same shape a real
+    // STFT pre-pass needs at corpus scale.
+    "mm_audio_frames" -> { (s, d) =>
+      import s.implicits._
+      val frameLen = 32; val hop = 16
+      val len = length($"text")
+      val nf = (floor((len - frameLen) / hop) + 1).cast("long")
+      val offset = $"k" * hop + 1
+      val energy = aggregate(
+        transform(sequence(offset, offset + (frameLen - 1)),
+          i => ascii($"text".substr(i.cast("int"), lit(1))).cast("long")),
+        lit(0L), (acc, x) => acc + x)
+      Tables(s, d, "documents")
+        .filter(len >= frameLen)
+        .withColumn("k", explode(sequence(lit(0L), nf - 1)))
+        .select($"doc_id", $"k".as("frame_id"),
+          offset.as("sample_start"), energy.as("frame_energy"))
+    },
+
     // frame sampling: stride-16 byte subsampling (the video
     // frame-sample access pattern) + fingerprint of the sampled frames
     "mm_frame_sample" -> { (s, d) =>
@@ -85,6 +108,22 @@ object MultimodalQueries extends QueryModule {
            / LENGTH(text) AS mean_byte,
          ${wordHashSql("text")} AS byte_fp
          FROM documents""",
+
+    "mm_audio_frames" ->
+      """WITH t AS (
+           SELECT doc_id, text, LENGTH(text) AS len
+           FROM documents WHERE LENGTH(text) >= 32),
+         f AS (
+           SELECT doc_id, text,
+             UNNEST(range(0, (len - 32) // 16 + 1)) AS k
+           FROM t)
+         SELECT doc_id, k AS frame_id,
+           k * 16 + 1 AS sample_start,
+           list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(range(k * 16 + 1, k * 16 + 33),
+               i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+             (a, b) -> a + b) AS frame_energy
+         FROM f""",
 
     "mm_frame_sample" ->
       s"""SELECT doc_id,
