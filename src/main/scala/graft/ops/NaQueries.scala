@@ -111,6 +111,29 @@ object NaQueries extends QueryModule {
         .select($"event_id", $"user_id", $"interp")
     },
 
+    // interpolate(method='nearest') (missing.py:205 method list; scipy
+    // interp1d kind='nearest' takes the LEFT bracket at exact
+    // midpoints): fill with whichever non-null bracket is closer by
+    // row position. Same two-window bracket shape as linear.
+    "na_interp_nearest" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"user_id").orderBy($"ts")
+      val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      withHoles(s, d)
+        .withColumn("rn", row_number().over(ord).cast("double"))
+        .withColumn("pv", last($"reading", ignoreNulls = true).over(back))
+        .withColumn("prn", max(when($"reading".isNotNull, $"rn")).over(back))
+        .withColumn("nv", first($"reading", ignoreNulls = true).over(fwd))
+        .withColumn("nrn", min(when($"reading".isNotNull, $"rn")).over(fwd))
+        .withColumn("interp",
+          when($"reading".isNotNull, $"reading")
+            .when($"pv".isNotNull && $"nv".isNotNull,
+              when($"rn" - $"prn" <= $"nrn" - $"rn", $"pv").otherwise($"nv"))
+            .when($"pv".isNotNull, $"pv"))
+        .select($"event_id", $"user_id", $"interp")
+    },
+
     // interpolate(method='time') (missing.py:370): like linear but
     // weighted by actual timestamp distance, not row position
     "na_interpolate_time" -> { (s, d) =>
@@ -273,6 +296,30 @@ object NaQueries extends QueryModule {
              CASE WHEN reading IS NOT NULL THEN reading
                   WHEN pv IS NOT NULL AND nv IS NOT NULL
                     THEN pv + (nv - pv) * (rn - prn) / (nrn - prn)
+                  WHEN pv IS NOT NULL THEN pv END AS interp
+           FROM t2""",
+
+      "na_interp_nearest" ->
+        s"""WITH h AS ($holes),
+           t AS (
+             SELECT event_id, user_id, reading,
+               CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS DOUBLE) AS rn,
+               last_value(reading IGNORE NULLS) OVER wb AS pv,
+               first_value(reading IGNORE NULLS) OVER wf AS nv
+             FROM h
+             WINDOW wb AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                    wf AS (PARTITION BY user_id ORDER BY ts ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           t2 AS (
+             SELECT event_id, user_id, reading, rn, pv, nv,
+               MAX(CASE WHEN reading IS NOT NULL THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prn,
+               MIN(CASE WHEN reading IS NOT NULL THEN rn END)
+                 OVER (PARTITION BY user_id ORDER BY rn ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nrn
+             FROM t)
+           SELECT event_id, user_id,
+             CASE WHEN reading IS NOT NULL THEN reading
+                  WHEN pv IS NOT NULL AND nv IS NOT NULL
+                    THEN CASE WHEN rn - prn <= nrn - rn THEN pv ELSE nv END
                   WHEN pv IS NOT NULL THEN pv END AS interp
            FROM t2""",
 
