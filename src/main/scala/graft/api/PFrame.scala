@@ -309,10 +309,15 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
     * of `idCol` become the output columns, each remaining (numeric)
     * column becomes a row labeled by `metric`. */
   def transposeSmall(idCol: String, maxRows: Int = 1000): PFrame = {
-    val n = df.count()
+    val cnts = df.agg(F.count(lit(1)), countDistinct(col(idCol))).collect()(0)
+    val n = cnts.getLong(0)
     require(n <= maxRows,
       s"transposeSmall: $n rows would become $n columns (max $maxRows); " +
       "transpose only a reduced/aggregated frame")
+    require(cnts.getLong(1) == n,
+      s"transposeSmall: '$idCol' has duplicate values — each row becomes " +
+      "a column, so labels must be unique (pivot+first would silently " +
+      "drop data)")
     val valueCols = df.columns.filterNot(_ == idCol)
     val melted = df.select(
       col(idCol).cast("string").as("__k"),
@@ -362,9 +367,13 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
     val cats = df.select(colName).distinct().collect()
       .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
     val kept = if (dropFirst) cats.drop(1) else cats
-    val dummies = kept.map(c =>
-      when(col(colName) === lit(c), 1).otherwise(0)
-        .as(s"${prefix}_${c.replaceAll("[^A-Za-z0-9]+", "_")}"))
+    val names = kept.map(c => s"${prefix}_${c.replaceAll("[^A-Za-z0-9]+", "_")}")
+    require(names.distinct.length == names.length,
+      s"getDummies: sanitized column names collide (${names.mkString(", ")});" +
+      " rename the categories or use a different prefix")
+    val dummies = kept.zip(names).map { case (c, nm) =>
+      when(col(colName) === lit(c), 1).otherwise(0).as(nm)
+    }
     val nan =
       if (dummyNa) Seq(when(col(colName).isNull, 1).otherwise(0).as(s"${prefix}_nan"))
       else Nil
@@ -397,6 +406,12 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
     * "update in place, never add rows" contract. */
   def update(other: PFrame, on: String): PFrame = {
     val shared = df.columns.filter(c => c != on && other.df.columns.contains(c))
+    // pandas raises on a duplicate axis; a duplicate key here would fan
+    // the left join out and silently add rows, so guard up front
+    val ocnts = other.df.agg(F.count(lit(1)), countDistinct(col(on))).collect()(0)
+    require(ocnts.getLong(0) == ocnts.getLong(1),
+      s"update: duplicate '$on' keys in other (pandas raises on a " +
+      "duplicate axis; a non-unique right side would multiply rows)")
     val o = other.df.select((on +: shared.toSeq).map(c =>
       col(c).as(if (c == on) c else s"__u_$c")): _*)
     val joined = df.join(o, Seq(on), "left")

@@ -128,12 +128,18 @@ class KendallTauAgg(maxRows: Long)
   def outputEncoder: Encoder[Double] = Encoders.scalaDouble
 }
 
+/** Single home for the exact-tau ceiling so the guard, the default
+  * instance, and the spec can never drift apart. */
+private[graft] object KendallLimits {
+  final val MaxExactRows: Long = 200L * 1000 * 1000
+}
+
 /** Default instance with the documented single-task ceiling (2e8 rows
   * of two doubles ≈ 3.2 GB buffer — the most an executor should hold),
   * plus the scale-recommended forms. */
-object KendallTau extends KendallTauAgg(200L * 1000 * 1000) {
+object KendallTau extends KendallTauAgg(KendallLimits.MaxExactRows) {
 
-  private[graft] final val MaxExactRows = 200L * 1000 * 1000
+  private[graft] def MaxExactRows: Long = KendallLimits.MaxExactRows
 
   /** Per-group tau-b: the partition-parallel form — each group's
     * O(n log n) finish runs in its own task, so this scales with group

@@ -41,8 +41,9 @@ object VectorExprs {
 }
 
 /** Fused multiply-accumulate over two float/double array columns,
-  * returning double. Null-safe (null array -> null); array elements
-  * are assumed non-null (embedding vectors). */
+  * returning double. Mirrors the HOF contract exactly: null array,
+  * length mismatch (zip_with null-pads), or any null element (poisons
+  * the fold) all yield NULL. */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -58,11 +59,15 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // HOF contract: zip_with null-pads a length mismatch and a null
+    // element poisons the fold — both yield NULL, so we must too
+    if (x.numElements() != y.numElements()) return null
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -76,15 +81,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       val gx = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
       val gy = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $gx * $gy;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += $gx * $gy;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -108,6 +120,13 @@ case class LshBucket(child: Expression, base: Int, bits: Int)
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
     val n = emb.numElements()
+    // HOF contract: a null element made every projection null, and
+    // when(null >= 0, bit).otherwise(0) zeroed every bit -> bucket 0
+    var i0 = 0
+    while (i0 < n) {
+      if (emb.isNullAt(i0)) return 0L
+      i0 += 1
+    }
     var bucket = 0L
     var j = 0
     while (j < bits) {
@@ -132,10 +151,16 @@ case class LshBucket(child: Expression, base: Int, bits: Int)
       val acc = ctx.freshName("acc")
       val w = ctx.freshName("w")
       val bucket = ctx.freshName("bucket")
+      val i0 = ctx.freshName("i0")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = $c.numElements();
+         |boolean $anyNull = false;
+         |for (int $i0 = 0; $i0 < $n; $i0++) {
+         |  if ($c.isNullAt($i0)) { $anyNull = true; break; }
+         |}
          |long $bucket = 0L;
-         |for (int $j = 0; $j < $bits; $j++) {
+         |if (!$anyNull) for (int $j = 0; $j < $bits; $j++) {
          |  double $acc = 0.0;
          |  for (int $i = 1; $i <= $n; $i++) {
          |    int $w = (($i * 48271 + ($base + $j) * 28657) % 101) - 50;
@@ -169,11 +194,13 @@ case class L2Sq(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val lf = isFloat(left); val rf = isFloat(right)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       val dd = xv - yv
@@ -189,16 +216,23 @@ case class L2Sq(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       val dd = ctx.freshName("dd")
+      val bad = ctx.freshName("bad")
       val gx = if (isFloat(left)) s"(double)$a.getFloat($i)" else s"$a.getDouble($i)"
       val gy = if (isFloat(right)) s"(double)$b.getFloat($i)" else s"$b.getDouble($i)"
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $dd = $gx - $gy;
-         |  $acc += $dd * $dd;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    double $dd = $gx - $gy;
+         |    $acc += $dd * $dd;
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -219,6 +219,34 @@ class PFrameSpec extends SparkSpec {
     assert(upd.map(_.getString(1)).toSeq == Seq("a", "B", "C"))
   }
 
+  test("update rejects duplicate keys in other instead of multiplying rows") {
+    import spark.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val dup = Seq((2L, 1.0), (2L, 2.0)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      PFrame(df).update(PFrame(dup), on = "id")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("transposeSmall rejects duplicate labels instead of dropping data") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0), ("a", 2.0)).toDF("k", "x")
+    val e = intercept[IllegalArgumentException] {
+      PFrame(df).transposeSmall("k")
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("getDummies rejects colliding sanitized category names") {
+    import spark.implicits._
+    val df = Seq((1L, "a b"), (2L, "a-b")).toDF("id", "cat")
+    val e = intercept[IllegalArgumentException] {
+      PFrame(df).getDummies("cat", "cat")
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("transposeSmall guards row count and round-trips values") {
     import spark.implicits._
     val df = Seq(("a", 1.0, 10.0), ("b", 2.0, 20.0)).toDF("k", "x", "y")

@@ -52,4 +52,22 @@ class VectorExprsSpec extends SparkSpec {
     assert(got(0).getDouble(0) == 32.0)
     assert(got(1).isNullAt(0))
   }
+
+  test("kernels mirror the HOF null contract: length mismatch and null elements -> NULL") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    // length mismatch: zip_with null-pads -> fold poisoned -> NULL
+    val mismatch = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0)))
+      .toDF("a", "b")
+      .select(call_function("graft_dot", $"a", $"b").as("d"),
+        call_function("graft_l2sq", $"a", $"b").as("l"))
+      .collect()(0)
+    assert(mismatch.isNullAt(0) && mismatch.isNullAt(1))
+    // null element: same poisoning
+    val nullElem = Seq((Seq(Some(1.0), None, Some(3.0)), Seq(Some(1.0), Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+      .select(call_function("graft_dot", $"a", $"b").as("d"))
+      .collect()(0)
+    assert(nullElem.isNullAt(0))
+  }
 }
