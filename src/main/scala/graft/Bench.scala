@@ -62,25 +62,48 @@ object Bench {
     // warmup: codegen + parquet footer caches + JIT
     exec("q1_groupby_agg")
 
+    // A rep that throws must NOT contribute a timing sample: with
+    // min-of-reps a fast crash would deflate the query's number and the
+    // total, making a regression look like a speedup. Failed reps are
+    // dropped from min/total and surfaced in a "failed" map instead; a
+    // query with zero successful reps reports null and fails the run's
+    // exit code.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = headline.map { name =>
       val samples = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try exec(name)
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { exec(name); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
       name -> samples
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v.min }
-      .mkString("{", ",", "}")
-    val raw = results.map { case (k, v) =>
-      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    def minOk(v: Seq[(Double, Boolean)]): Option[Double] = {
+      val ok = v.collect { case (t, true) => t }
+      if (ok.isEmpty) None else Some(ok.min)
+    }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + minOk(v).map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"sf":"$sfDir"}""")
+    val raw = results.map { case (k, v) =>
+      "\"" + k + "\":" +
+        v.map { case (t, ok) => if (ok) t.toString else "null" }
+          .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val failed = results.collect {
+      case (k, v) if v.exists(!_._2) =>
+        "\"" + k + "\":" + v.count(!_._2)
+    }.mkString("{", ",", "}")
+    val total = results.flatMap { case (_, v) => minOk(v) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"failed":$failed,"sf":"$sfDir"}""")
+    if (results.exists { case (_, v) => minOk(v).isEmpty }) {
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

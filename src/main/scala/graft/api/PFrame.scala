@@ -363,8 +363,19 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
     * pandas' category order. The dummy columns themselves are pure
     * map-side CASE expressions — no shuffle at any scale. */
   def getDummies(colName: String, prefix: String,
-      dropFirst: Boolean = false, dummyNa: Boolean = false): PFrame = {
-    val cats = df.select(colName).distinct().collect()
+      dropFirst: Boolean = false, dummyNa: Boolean = false,
+      maxCategories: Int = 10000): PFrame = {
+    // cap mirrors spark.sql.pivotMaxValues (and transposeSmall's
+    // guard): a high-cardinality column must fail loudly, not OOM the
+    // driver through an unbounded collect
+    val discovered = df.select(colName).distinct()
+      .limit(maxCategories + 1).collect()
+    require(discovered.length <= maxCategories,
+      s"getDummies: column '$colName' has more than $maxCategories " +
+      "distinct values; one output column per category would be " +
+      "unusable at this cardinality — bucket the column first (cut/" +
+      "qcut) or raise maxCategories explicitly")
+    val cats = discovered
       .map(_.get(0)).filter(_ != null).map(_.toString).sorted.toSeq
     val kept = if (dropFirst) cats.drop(1) else cats
     val names = kept.map(c => s"${prefix}_${c.replaceAll("[^A-Za-z0-9]+", "_")}")

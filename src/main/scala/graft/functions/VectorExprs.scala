@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
@@ -48,6 +49,12 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // Can produce NULL from non-null inputs (length mismatch, null
+  // element). Without this, non-nullable children would make
+  // nullSafeCodeGen emit `false = true;` (Janino failure) and the
+  // optimizer could prune IsNotNull filters it must not.
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
@@ -117,6 +124,16 @@ case class LshBucket(child: Expression, base: Int, bits: Int)
 
   override def dataType: DataType = LongType
 
+  // HOF contract: a NULL embedding nulled every projection, and
+  // when(null >= 0, bit).otherwise(0) zeroed every bit — bucket 0,
+  // never SQL NULL. eval/doGenCode below preserve that for null input.
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L else nullSafeEval(v)
+  }
+
   override def nullSafeEval(input: Any): Any = {
     val emb = input.asInstanceOf[ArrayData]
     val n = emb.numElements()
@@ -143,34 +160,40 @@ case class LshBucket(child: Expression, base: Int, bits: Int)
     bucket
   }
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => {
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val n = ctx.freshName("n")
-      val acc = ctx.freshName("acc")
-      val w = ctx.freshName("w")
-      val bucket = ctx.freshName("bucket")
-      val i0 = ctx.freshName("i0")
-      val anyNull = ctx.freshName("anyNull")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // hand-rolled (not nullSafeCodeGen): output is non-nullable but a
+    // null input must yield bucket 0, so guard the child's isNull here
+    val childGen = child.genCode(ctx)
+    val c = childGen.value
+    val i = ctx.freshName("i")
+    val j = ctx.freshName("j")
+    val n = ctx.freshName("n")
+    val acc = ctx.freshName("acc")
+    val w = ctx.freshName("w")
+    val i0 = ctx.freshName("i0")
+    val anyNull = ctx.freshName("anyNull")
+    val body =
       s"""
-         |int $n = $c.numElements();
-         |boolean $anyNull = false;
-         |for (int $i0 = 0; $i0 < $n; $i0++) {
-         |  if ($c.isNullAt($i0)) { $anyNull = true; break; }
-         |}
-         |long $bucket = 0L;
-         |if (!$anyNull) for (int $j = 0; $j < $bits; $j++) {
-         |  double $acc = 0.0;
-         |  for (int $i = 1; $i <= $n; $i++) {
-         |    int $w = (($i * 48271 + ($base + $j) * 28657) % 101) - 50;
-         |    $acc += (double)$c.getFloat($i - 1) * (double)$w;
+         |${childGen.code}
+         |long ${ev.value} = 0L;
+         |if (!(${childGen.isNull})) {
+         |  int $n = $c.numElements();
+         |  boolean $anyNull = false;
+         |  for (int $i0 = 0; $i0 < $n; $i0++) {
+         |    if ($c.isNullAt($i0)) { $anyNull = true; break; }
          |  }
-         |  if ($acc >= 0) $bucket |= (1L << $j);
+         |  if (!$anyNull) for (int $j = 0; $j < $bits; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 1; $i <= $n; $i++) {
+         |      int $w = (($i * 48271 + ($base + $j) * 28657) % 101) - 50;
+         |      $acc += (double)$c.getFloat($i - 1) * (double)$w;
+         |    }
+         |    if ($acc >= 0) ${ev.value} |= (1L << $j);
+         |  }
          |}
-         |${ev.value} = $bucket;
        """.stripMargin
-    })
+    ev.copy(code = code"$body", isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -183,6 +206,9 @@ case class L2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+
+  // NULL reachable from non-null inputs — same rationale as DotProduct.
+  override def nullable: Boolean = true
 
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true

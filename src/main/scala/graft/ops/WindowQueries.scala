@@ -843,7 +843,10 @@ object WindowQueries extends QueryModule {
                   w2 AS (PARTITION BY user_id ORDER BY ts)) t
          WHERE (rn - 1) % 3 = 0""",
 
-    // same recursion order as Ewm.ewmMeanTimes: d = 2^(-(Δt_us/1e6)/hl)
+    // same recursion order as Ewm.ewmMeanTimes: d = 2^(-(Δt_us/1e6)/hl).
+    // Null-robust like the engine: a null v leaves num/den/ltus (time of
+    // last OBSERVED value) untouched and emits the carried mean, so the
+    // oracle no longer leans on the fixture having zero null values.
     "win_ewm_times" ->
       """WITH RECURSIVE r AS (
            SELECT user_id, ts, epoch_us(ts) AS tus,
@@ -852,14 +855,22 @@ object WindowQueries extends QueryModule {
            FROM events),
          e AS (
            SELECT user_id, ts, tus, v, rn,
-             v AS num, CAST(1.0 AS DOUBLE) AS den
+             CASE WHEN v IS NULL THEN CAST(0.0 AS DOUBLE) ELSE v END AS num,
+             CASE WHEN v IS NULL THEN CAST(0.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS den,
+             CASE WHEN v IS NULL THEN NULL ELSE tus END AS ltus
            FROM r WHERE rn = 1
            UNION ALL
            SELECT r.user_id, r.ts, r.tus, r.v, r.rn,
-             POWER(2.0, -((r.tus - e.tus) / 1000000.0) / 3600.0) * e.num + r.v,
-             POWER(2.0, -((r.tus - e.tus) / 1000000.0) / 3600.0) * e.den + 1.0
+             CASE WHEN r.v IS NULL THEN e.num
+                  WHEN e.ltus IS NULL THEN r.v
+                  ELSE POWER(2.0, -((r.tus - e.ltus) / 1000000.0) / 3600.0) * e.num + r.v END,
+             CASE WHEN r.v IS NULL THEN e.den
+                  WHEN e.ltus IS NULL THEN CAST(1.0 AS DOUBLE)
+                  ELSE POWER(2.0, -((r.tus - e.ltus) / 1000000.0) / 3600.0) * e.den + 1.0 END,
+             CASE WHEN r.v IS NULL THEN e.ltus ELSE r.tus END
            FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
-         SELECT user_id, ts, v AS value, ROUND(num / den, 5) AS ewm_tmean
+         SELECT user_id, ts, v AS value,
+                CASE WHEN den > 0 THEN ROUND(num / den, 5) END AS ewm_tmean
          FROM e"""
   )
 }

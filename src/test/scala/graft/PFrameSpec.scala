@@ -271,6 +271,18 @@ class PFrameSpec extends SparkSpec {
     assert(got(1).getDouble(1) == 11.0 && got(1).getDouble(2) == 2.5)
   }
 
+  test("getDummies fails loudly above the category cap") {
+    import spark.implicits._
+    val df = (1 to 20).map(i => (i.toLong, s"cat$i")).toDF("id", "cat")
+    val e = intercept[IllegalArgumentException] {
+      PFrame(df).getDummies("cat", "cat", maxCategories = 10)
+    }
+    assert(e.getMessage.contains("distinct values"))
+    // at-or-below the cap still works
+    assert(PFrame(df).getDummies("cat", "cat", maxCategories = 20)
+      .df.columns.length == 21)
+  }
+
   test("getDummies drop_first + dummy_na over sorted categories") {
     import spark.implicits._
     val df = Seq((1L, "b"), (2L, "a"), (3L, null.asInstanceOf[String]), (4L, "c"))

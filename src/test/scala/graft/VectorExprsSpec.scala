@@ -70,4 +70,34 @@ class VectorExprsSpec extends SparkSpec {
       .collect()(0)
     assert(nullElem.isNullAt(0))
   }
+
+  test("dot/l2sq stay nullable on NON-nullable inputs (no Janino fallback, no bogus non-null schema)") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    // array(lit...) children are non-nullable — before the nullable
+    // override this path generated `false = true;` and fell back to
+    // the interpreted evaluator with a schema promising non-null
+    val df = Seq((1.0, 2.0)).toDF("x", "y")
+      .select(array($"x", $"y").as("a"), array($"y").as("b"))
+      .select(call_function("graft_dot", $"a", $"b").as("d"),
+        call_function("graft_l2sq", $"a", $"b").as("l"))
+    assert(df.schema("d").nullable && df.schema("l").nullable)
+    val r = df.collect()(0) // length mismatch -> NULL through codegen
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("graft_lsh_bucket maps a NULL embedding to bucket 0, matching the HOF form") {
+    import spark.implicits._
+    VectorExprs.register(spark)
+    val df = Seq(
+      (1L, Some(Seq(1.0f, -2.0f, 0.5f, 3.0f))),
+      (2L, None: Option[Seq[Float]]))
+      .toDF("id", "embedding")
+      .select($"id",
+        call_function("graft_lsh_bucket", $"embedding", lit(7), lit(8)).as("bkt"))
+    assert(!df.schema("bkt").nullable)
+    val rows = df.orderBy($"id").collect()
+    assert(!rows(0).isNullAt(1)) // real embedding buckets normally
+    assert(rows(1).getLong(1) == 0L) // null embedding -> bucket 0, not SQL NULL
+  }
 }
