@@ -23,6 +23,7 @@ object SparkEntry {
     PackQueries,
     SimilarityQueries,
     TextQueries,
+    BpeQueries,
     MultimodalQueries,
     SourceQueries,
     StreamQueries
