@@ -119,6 +119,50 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
   def setIndex(cols: String*): PFrame = copy(index = cols)
   def resetIndex: PFrame = copy(index = Nil)
 
+  // ---- MultiIndex level utilities (indexes/multi.py:201) ----------
+  // Under the index-as-columns model a MultiIndex is just `index` with
+  // several names, so level surgery is pure metadata — no plan change,
+  // no shuffle, free at any scale.
+
+  /** df.swaplevel(i, j) — swap two index levels (default: last two,
+    * like pandas). Levels address by position or name. */
+  def swaplevel(i: Int = -2, j: Int = -1): PFrame = {
+    require(index.size >= 2, s"swaplevel: needs >=2 index levels, have ${index.size}")
+    def pos(k: Int) = if (k < 0) index.size + k else k
+    val (a, b) = (pos(i), pos(j))
+    require(a >= 0 && a < index.size && b >= 0 && b < index.size,
+      s"swaplevel: level out of range ($i, $j) for ${index.size} levels")
+    copy(index = index.updated(a, index(b)).updated(b, index(a)))
+  }
+
+  /** df.droplevel(level) — remove an index level BY NAME; the column
+    * itself stays (pandas drops the labels; the columns model keeps
+    * data and demotes the column out of the index). */
+  def droplevel(level: String): PFrame = {
+    require(index.contains(level), s"droplevel: '$level' not in index $index")
+    copy(index = index.filterNot(_ == level))
+  }
+
+  /** df.reorder_levels(order) — permute index levels by name. Must be
+    * a permutation of the current levels (pandas raises otherwise). */
+  def reorderLevels(order: Seq[String]): PFrame = {
+    require(order.sorted == index.sorted,
+      s"reorderLevels: $order is not a permutation of $index")
+    copy(index = order)
+  }
+
+  /** df.sort_index(level=, ascending=) — order by a subset of index
+    * levels first (remaining levels tie-break in index order, matching
+    * pandas' sort_remaining=True default). */
+  def sortIndex(level: Seq[String] = Nil, ascending: Boolean = true): PFrame = {
+    require(index.nonEmpty, "sortIndex: requires a set index")
+    val lead = if (level.isEmpty) index else level
+    require(lead.forall(index.contains),
+      s"sortIndex: level(s) ${lead.filterNot(index.contains)} not in index $index")
+    val by = lead ++ index.filterNot(lead.contains)
+    copy(df = df.orderBy(by.map(c => if (ascending) col(c).asc else col(c).desc): _*))
+  }
+
   /** df.sort_values(by, ascending): top-level order is only observable
     * through head/limit on a distributed engine */
   def sortValues(by: Seq[String], ascending: Seq[Boolean] = Nil): PFrame = {

@@ -138,6 +138,34 @@ object JoinQueries extends QueryModule {
         .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
     },
 
+    // binned range join — the at-scale form of join_range_bands for a
+    // LARGE interval table (indexes/interval.py:164 analogue). The
+    // broadcast theta join above degenerates to nested-loop when the
+    // band table outgrows the broadcast threshold; here each point maps
+    // to its bin (floor(x/W)) and each band explodes into the bins it
+    // covers, turning the containment predicate into an EQUI-join on
+    // the bin key (shuffle-partitionable, AQE-skew-splittable) plus an
+    // exact residual filter. Each (point, band) pair meets in exactly
+    // one bin — the point's own — so no post-join dedup is needed.
+    "join_range_binned" -> { (s, d) =>
+      import s.implicits._
+      val W = 25.0
+      val bands = s.createDataFrame(Seq(
+        ("p00", 900.0, 925.0), ("p25", 925.0, 950.0),
+        ("p50", 950.0, 975.0), ("p75", 975.0, 1000.0)))
+        .toDF("band", "lo", "hi")
+        // cover floor(lo/W)..floor(hi/W); an aligned-exclusive hi adds
+        // one empty bin that the residual filter eliminates
+        .withColumn("bin", explode(sequence(
+          floor($"lo" / W).cast("long"), floor($"hi" / W).cast("long"))))
+      Tables(s, d, "part")
+        .withColumn("bin", floor($"p_retailprice" / W).cast("long"))
+        .join(bands, Seq("bin"))
+        .filter($"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("sum_price"))
+    },
+
     // skew-salted join: l_returnflag has only 3 heavy keys, the
     // pathological-skew shape. Salt the fact key with a hash bucket and
     // explode the dim side by the salt range so each heavy key spreads
@@ -478,6 +506,17 @@ object JoinQueries extends QueryModule {
          GROUP BY r_name, n_name""",
 
     "join_range_bands" ->
+      """SELECT band, COUNT(*) AS n_parts,
+         CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM part
+         JOIN (VALUES ('p00', 900.0, 925.0), ('p25', 925.0, 950.0),
+                      ('p50', 950.0, 975.0), ('p75', 975.0, 1000.0))
+              AS bands(band, lo, hi)
+           ON p_retailprice >= lo AND p_retailprice < hi
+         GROUP BY band""",
+
+    // binned form is semantically identical to the theta form
+    "join_range_binned" ->
       """SELECT band, COUNT(*) AS n_parts,
          CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM part

@@ -102,6 +102,29 @@ object SelectQueries extends QueryModule {
         .select($"c_custkey", $"c_name", $"c_acctbal")
     },
 
+    // MultiIndex level utilities (indexes/multi.py:201): swaplevel /
+    // reorder_levels / sort_index(level=) / droplevel over the
+    // index-as-columns model. Level surgery is metadata-only (zero plan
+    // cost); the observable result is the sort_index ordering — lead
+    // level first, remaining levels tie-breaking in post-swap index
+    // order — pinned by a head() sample over a unique total order.
+    "sel_multiindex_levels" -> { (s, d) =>
+      import s.implicits._
+      import graft.api.PFrame
+      val pf = PFrame(Tables(s, d, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", $"l_linenumber",
+            $"l_orderkey", $"l_quantity"))
+        .setIndex("l_returnflag", "l_linestatus", "l_linenumber", "l_orderkey")
+        .swaplevel() // (flag, status, orderkey, linenumber)
+        .reorderLevels(Seq("l_linenumber", "l_returnflag", "l_linestatus", "l_orderkey"))
+        .sortIndex() // full index order — unique via (orderkey, linenumber)
+        .head(200)
+        .droplevel("l_linestatus") // metadata-only: column survives
+      require(pf.index == Seq("l_linenumber", "l_returnflag", "l_orderkey"),
+        s"MultiIndex surgery produced ${pf.index}")
+      pf.toDF
+    },
+
     // between_time (generic.py:9223): time-of-day filter on the ts index
     "sel_between_time" -> { (s, d) =>
       import s.implicits._
@@ -325,6 +348,15 @@ object SelectQueries extends QueryModule {
     "sel_between_time" ->
       """SELECT event_id, ts, event_type FROM events
          WHERE EXTRACT(hour FROM ts) >= 9 AND EXTRACT(hour FROM ts) < 12""",
+
+    // post-surgery sort order: lead level l_linenumber, then the
+    // remaining post-swap levels (flag, status, orderkey); unique via
+    // (orderkey, linenumber) so the LIMIT sample is deterministic
+    "sel_multiindex_levels" ->
+      """SELECT l_returnflag, l_linestatus, l_linenumber, l_orderkey, l_quantity
+         FROM lineitem
+         ORDER BY l_linenumber, l_returnflag, l_linestatus, l_orderkey
+         LIMIT 200""",
 
     "sel_truncate" ->
       """SELECT o_orderkey, o_orderdate, o_totalprice FROM orders

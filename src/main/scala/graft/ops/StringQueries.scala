@@ -13,6 +13,28 @@ import org.apache.spark.sql.functions._
   */
 object StringQueries extends QueryModule {
 
+  import org.apache.spark.sql.Column
+
+  /** pandas str.index (accessor.py:2896): find that RAISES when the
+    * substring is absent. On a distributed engine "raise" means fail
+    * the query loudly via raise_error — per-row exceptions don't exist.
+    * 0-based like pandas. */
+  def strictIndex(text: Column, sub: String): Column = {
+    val p = locate(sub, text)
+    when(p === 0, raise_error(
+        concat(lit(s"str.index: substring '$sub' not found in: "), text)))
+      .otherwise(p.cast("long") - 1)
+  }
+
+  /** pandas str.rindex (accessor.py:2918): right-anchored strict find,
+    * reverse-locate identity as in str_right_ops. */
+  def strictRindex(text: Column, sub: String): Column = {
+    val rp = locate(sub.reverse, reverse(text))
+    when(rp === 0, raise_error(
+        concat(lit(s"str.rindex: substring '$sub' not found in: "), text)))
+      .otherwise((length(text) - rp + 1 - sub.length).cast("long"))
+  }
+
   def queries: Map[String, Q] = Map(
     // len/upper/lower/trim/substr (object_array.py:328 len, :438 case)
     "str_basic" -> { (s, d) =>
@@ -233,6 +255,33 @@ object StringQueries extends QueryModule {
           (length($"text") === octet_length($"text")).as("is_ascii"))
     },
 
+    // str.encode / str.decode (accessor.py:3250 encode, :3233 decode):
+    // UTF-8 bytes as a first-class binary column, hex-projected for the
+    // hash harness, plus the decode(encode(x)) == x identity. The
+    // binary column is the same BinaryType the multimodal family uses.
+    "str_encode_decode" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .select($"doc_id",
+          hex(encode(substring($"text", 1, 24), "UTF-8")).as("enc_hex"),
+          octet_length($"text").cast("long").as("n_bytes"),
+          (decode(encode($"text", "UTF-8"), "UTF-8") === $"text").as("roundtrip_ok"))
+    },
+
+    // strict index/rindex (accessor.py:2896/:2918 — the find variants
+    // that raise on a missing substring). The filter keeps rows where
+    // 'the' occurs; strictIndex/strictRindex would fail the query
+    // loudly if the guard ever let a miss through (StringOpsSpec pins
+    // the raising path).
+    "str_index_strict" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .filter($"text".contains("the"))
+        .select($"doc_id",
+          strictIndex($"text", "the").as("index_the"),
+          strictRindex($"text", "the").as("rindex_the"))
+    },
+
     // findall / count / slice_replace / partition
     // (accessor.py findall -> re.findall per row; count :2316;
     // slice_replace :2036; partition :3077). findall's list output is
@@ -409,6 +458,23 @@ object StringQueries extends QueryModule {
          CASE WHEN instr(text, 'table') IS NULL THEN 0 ELSE instr(text, 'table') END AS pos_table,
          CASE WHEN instr(text, 'zzz_absent') IS NULL THEN 0 ELSE instr(text, 'zzz_absent') END AS pos_absent
          FROM documents""",
+
+    "str_encode_decode" ->
+      """SELECT doc_id,
+         hex(encode(substr(text, 1, 24))) AS enc_hex,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         decode(encode(text)) = text AS roundtrip_ok
+         FROM documents""",
+
+    "str_index_strict" ->
+      """WITH t AS (
+           SELECT doc_id, text, strpos(text, 'the') AS p,
+             strpos(reverse(text), reverse('the')) AS rp
+           FROM documents WHERE contains(text, 'the'))
+         SELECT doc_id,
+           CAST(p - 1 AS BIGINT) AS index_the,
+           CAST(length(text) - rp + 1 - length('the') AS BIGINT) AS rindex_the
+         FROM t""",
 
     "str_findall_slice" ->
       """SELECT doc_id,

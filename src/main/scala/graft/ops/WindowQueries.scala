@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.{QueryModule, Tables}
 import graft.OracleNum._
-import graft.functions.Ewm
+import graft.functions.{Ewm, WinTypes}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -287,6 +287,27 @@ object WindowQueries extends QueryModule {
         .select($"user_id", $"event_id",
           (lag(v, 3).over(w) * 0.1 + lag(v, 2).over(w) * 0.2 +
             lag(v, 1).over(w) * 0.3 + v * 0.4).as("wma_4"))
+    },
+
+    // scipy win_type families (rolling.py:862 `win_type=` ->
+    // scipy.signal.get_window): gaussian/triang/hamming tap arrays
+    // generated closed-form in WinTypes, pre-normalized, then the same
+    // lag dot-product as win_weighted — one Window spec, all three
+    // shapes in a single pass, fully codegen'd. Rows with fewer than M
+    // observations yield NULL via lag-null propagation (min_periods=M).
+    "win_weighted_wintypes" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts")
+      val v = $"value"
+      def dot(taps: Seq[Double]) = round(
+        taps.zipWithIndex.map { case (t, j) =>
+          lag(v, taps.length - 1 - j).over(w) * lit(t)
+        }.reduce(_ + _), 6)
+      Tables(s, d, "events")
+        .select($"user_id", $"event_id",
+          dot(WinTypes.normalized(WinTypes.gaussian(5, 1.0))).as("wma_gauss"),
+          dot(WinTypes.normalized(WinTypes.triang(5))).as("wma_triang"),
+          dot(WinTypes.normalized(WinTypes.hamming(5))).as("wma_hamming"))
     },
 
     // rolling median via sorted window array (roll_median_c
@@ -613,6 +634,21 @@ object WindowQueries extends QueryModule {
          LAG("value", 3) OVER w * 0.1 + LAG("value", 2) OVER w * 0.2 +
          LAG("value", 1) OVER w * 0.3 + "value" * 0.4 AS wma_4
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)""",
+
+    // the same normalized tap doubles as the engine (WinTypes),
+    // rendered in scientific notation so DuckDB parses them as DOUBLE
+    // literals (a plain decimal literal would be DECIMAL-typed)
+    "win_weighted_wintypes" -> {
+      def dotSql(taps: Seq[Double]): String =
+        taps.zipWithIndex.map { case (t, j) =>
+          f"""LAG("value", ${taps.length - 1 - j}) OVER w * $t%.17e"""
+        }.mkString(" + ")
+      s"""SELECT user_id, event_id,
+         ROUND(${dotSql(WinTypes.normalized(WinTypes.gaussian(5, 1.0)))}, 6) AS wma_gauss,
+         ROUND(${dotSql(WinTypes.normalized(WinTypes.triang(5)))}, 6) AS wma_triang,
+         ROUND(${dotSql(WinTypes.normalized(WinTypes.hamming(5)))}, 6) AS wma_hamming
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)"""
+    },
 
     "win_rolling_median" ->
       """WITH t AS (

@@ -142,6 +142,57 @@ object SourceQueries extends QueryModule {
         .jdbc(url, "orders_rt", props))
     },
 
+    // read_csv's option surface (io/parsers/readers.py:1045):
+    //   na_values       -> nullValue option (sentinel "N/A" -> NULL)
+    //   dtype map       -> explicit read schema (no inference pass)
+    //   parse_dates     -> TimestampType in the schema + timestampFormat
+    //   skiprows        -> comment='#' (Spark's reader drops marked
+    //                      lines anywhere; a distributed scan has no
+    //                      "first N physical lines" — preamble rows are
+    //                      marked, not positional)
+    //   on_bad_lines    -> mode=DROPMALFORMED (schema-violating rows
+    //                      dropped at scan time)
+    // The fixture CSV is adversarial: '#' preamble lines, deterministic
+    // "N/A" prices (o_orderkey % 97 = 0) and unparseable custkeys
+    // (o_orderkey % 101 = 0); the oracle applies the same arithmetic to
+    // the original table, so every option must actually fire to match.
+    "src_csv_opts" -> { (s, d) =>
+      import s.implicits._
+      val path = tmpDir(d, "csv_opts")
+      val lines = Tables(s, d, "orders").select(concat_ws(",",
+          $"o_orderkey",
+          when($"o_orderkey" % 101 === 0, lit("not_a_number"))
+            .otherwise($"o_custkey".cast("string")),
+          $"o_orderstatus",
+          when($"o_orderkey" % 97 === 0, lit("N/A"))
+            .otherwise($"o_totalprice".cast("decimal(18,4)").cast("string")),
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss")).as("value"))
+      val preamble = s.createDataset(Seq(
+        "# graft csv_opts fixture — preamble line 1",
+        "# preamble line 2 (skiprows analogue)")).toDF("value")
+      preamble.union(lines).coalesce(4)
+        .write.mode("overwrite").text(path)
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq( // the dtype= map
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType)))
+      s.read.schema(schema)
+        .option("comment", "#")
+        .option("nullValue", "N/A")
+        .option("mode", "DROPMALFORMED")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(when($"o_totalprice".isNull, 1L).otherwise(0L)).as("n_na"),
+          dsum($"o_totalprice").as("sum_price"),
+          min($"o_orderdate").as("min_date"),
+          max($"o_custkey").as("max_cust"))
+    },
+
     // read_fwf (io/parsers/readers.py:1210) -> text scan + substring
     // projection. No fixed-width reader exists in Spark; the idiomatic
     // mapping is a line scan with per-field substring/cast — all
@@ -181,6 +232,20 @@ object SourceQueries extends QueryModule {
          FROM customer JOIN orders ON c_custkey = o_custkey
          GROUP BY c_mktsegment""",
     "src_jdbc_roundtrip" -> oracleAgg,
-    "src_fwf" -> oracleAgg
+    "src_fwf" -> oracleAgg,
+    // replay the fixture's deterministic damage on the original rows:
+    // %101 rows were malformed (dropped), %97 prices were "N/A" (NULL)
+    "src_csv_opts" ->
+      """WITH t AS (
+           SELECT o_orderstatus,
+             CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_totalprice END AS p,
+             o_orderdate, o_custkey
+           FROM orders WHERE o_orderkey % 101 <> 0)
+         SELECT o_orderstatus, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_na,
+           CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           MIN(o_orderdate) AS min_date,
+           MAX(o_custkey) AS max_cust
+         FROM t GROUP BY o_orderstatus"""
   )
 }

@@ -271,6 +271,27 @@ class PFrameSpec extends SparkSpec {
     assert(got(1).getDouble(1) == 11.0 && got(1).getDouble(2) == 2.5)
   }
 
+  test("MultiIndex level utilities: swaplevel/droplevel/reorderLevels/sortIndex") {
+    import spark.implicits._
+    val pf = PFrame(Seq((1, "a", 10.0), (2, "b", 20.0)).toDF("k1", "k2", "v"))
+      .setIndex("k1", "k2")
+    assert(pf.swaplevel().index == Seq("k2", "k1"))
+    assert(pf.swaplevel(0, 1).index == Seq("k2", "k1"))
+    assert(pf.droplevel("k1").index == Seq("k2"))
+    assert(pf.droplevel("k1").columns.contains("k1")) // column survives
+    assert(pf.reorderLevels(Seq("k2", "k1")).index == Seq("k2", "k1"))
+    intercept[IllegalArgumentException] { pf.droplevel("nope") }
+    intercept[IllegalArgumentException] { pf.reorderLevels(Seq("k2", "k2")) }
+    intercept[IllegalArgumentException] { pf.setIndex("k1").swaplevel() }
+    // sort_index(level="k2") leads with k2, tie-breaks with k1
+    val sorted = PFrame(Seq((2, "a", 1.0), (1, "a", 2.0), (1, "b", 3.0))
+        .toDF("k1", "k2", "v"))
+      .setIndex("k1", "k2")
+      .sortIndex(level = Seq("k2"))
+      .df.collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(sorted == Seq((1, "a"), (2, "a"), (1, "b")))
+  }
+
   test("getDummies fails loudly above the category cap") {
     import spark.implicits._
     val df = (1 to 20).map(i => (i.toLong, s"cat$i")).toDF("id", "cat")

@@ -70,6 +70,15 @@ class PlanHygieneSpec extends SparkSpec {
       "segment dedup must not plan any pairwise join")
   }
 
+  test("binned range join plans an equi-join on the bin key, not a nested loop") {
+    val p = executed("join_range_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the binned form exists to avoid the theta/nested-loop shape")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      "expected a hash/merge EQUI-join on the bin key")
+    assert(p.contains("bin"), "join should key on the computed bin column")
+  }
+
   test("skew pair: plain stays declarative SMJ, salted carries the salt key") {
     val plain = executed("join_skew_plain")
     assert(plain.contains("SortMergeJoin") || plain.contains("ShuffledHashJoin"),
