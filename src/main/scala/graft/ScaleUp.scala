@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-stress data generator: replicate the driver's sf0.1 tables by
+  * an integer factor R with key-space shifting, producing an sf1-shaped
+  * dataset for differential + throughput testing one decade up.
+  *
+  * Replication model (replica i in 0..R-1 adds `i * OFFSET` to every
+  * key column): foreign-key relationships are preserved replica-locally
+  * (orders->customer, lineitem->orders/part/supplier all shift by the
+  * same offset), so per-key group sizes, join fan-outs and per-user
+  * event streams keep their sf0.1 shape while global cardinality grows
+  * by R. That makes "R x rows -> ~R x time" the honest linear-scaling
+  * expectation for every partitionable operator. `region`/`nation` stay
+  * fixed, as in TPC-H's scaling rules. Timestamps are NOT shifted:
+  * time-bucketed operators keep a constant bin count with R x rows per
+  * bin — the denser-stream regime a bigger cluster actually sees.
+  *
+  * `documents`/`embeddings` replicate with identical payloads: the
+  * corpus becomes 10 exact copies, which is a deliberately adversarial
+  * regime for the dedup family (every LSH bucket carries R duplicates,
+  * every near-dup cluster grows by R) and a neutral one for ANN.
+  *
+  * Each table is written as a SINGLE parquet file (matching the
+  * driver's testdata layout, which tools/check.py's DuckDB views and
+  * `Tables` both expect); scan parallelism at read time comes from
+  * row-group splits under spark.sql.files.maxPartitionBytes.
+  */
+object ScaleUp {
+  // larger than any sf0.1 key (max o_orderkey ~ 600k) times any sane R
+  val OFFSET = 10_000_000L
+
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/sf1"
+    val r = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val keyCols: Map[String, Seq[String]] = Map(
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"),
+      // dimension constants — copied, not replicated
+      "region" -> Nil,
+      "nation" -> Nil
+    )
+
+    keyCols.foreach { case (table, keys) =>
+      // events.ts is parquet TIMESTAMP(NANOS): read as long (session
+      // config above) and rewrite as micros TimestampType, same
+      // conversion Tables applies at query time — the sf1 copy is then
+      // natively readable by Spark and DuckDB alike
+      val base = Tables(spark, src, table)
+      val scaled: DataFrame =
+        if (keys.isEmpty) base
+        else (0 until r).map { i =>
+          keys.foldLeft(base) { (df, k) =>
+            df.withColumn(k, col(k) + lit(i * OFFSET))
+          }
+        }.reduce(_ unionAll _)
+      writeSingleFile(spark, scaled, s"$dst/$table.parquet")
+      println(s"[scaleup] $table: ${if (keys.isEmpty) "copied" else s"x$r"}")
+    }
+    spark.stop()
+  }
+
+  /** Write df as one parquet FILE at `path` (not a directory), matching
+    * the driver's testdata layout. */
+  private def writeSingleFile(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = path + ".tmpdir"
+    df.coalesce(1).write.mode("overwrite")
+      // 32 MiB row groups so a single file still yields enough
+      // input splits for a parallel local scan
+      .option("parquet.block.size", (32L * 1024 * 1024).toString)
+      .parquet(tmp)
+    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
+      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
+    // clean the now-empty staging dir (_SUCCESS, crc files)
+    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => Files.delete(p))
+  }
+}
