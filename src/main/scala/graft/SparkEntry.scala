@@ -23,6 +23,7 @@ object SparkEntry {
     PackQueries,
     SimilarityQueries,
     TextQueries,
+    RetrievalQueries,
     BpeQueries,
     MultimodalQueries,
     SourceQueries,

@@ -1,0 +1,240 @@
+package graft.pipeline
+
+import graft.{QueryModule, Tables}
+import graft.OracleNum._
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus retrieval + statistical-LM scoring for training-data
+  * pipelines: tf-idf term weighting, BM25 ranking, token-budget corpus
+  * selection, and bigram-LM log-likelihood quality scoring.
+  *
+  * pandas has no retrieval surface (users hand-roll these with
+  * value_counts/merge/groupby — e.g. pandas' own docs build tf-idf from
+  * str.split + explode + groupby); here each is a first-class
+  * distributed query with the shape that survives 100 TB:
+  *
+  *  - the heavy corpus scan feeds ONE (doc,term) partial aggregation;
+  *  - vocabulary-sized statistics (df, idf, first-word counts) come
+  *    back as broadcast joins — model tables scale with vocab, not
+  *    corpus;
+  *  - every float reduction is a decimal sum of pre-rounded terms
+  *    (OracleNum discipline), so scores are bit-identical across
+  *    engines and shuffle orders;
+  *  - rankings order by ROUND(score, 6) with an exact tiebreak, so a
+  *    sub-ulp ln() difference between engines can never flip a rank.
+  */
+object RetrievalQueries extends QueryModule {
+
+  private def words: Column = split(col("text"), " ")
+
+  /** adjacent word pairs as "w1 w2" strings, map-side (TextQueries) */
+  private def bigramsOf(w: Column): Column =
+    transform(sequence(lit(1), size(w) - 1),
+      i => concat(element_at(w, i), lit(" "), element_at(w, i + 1)))
+
+  private val BmQuery = Seq("join", "vector", "stream", "window")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  def queries: Map[String, Q] = Map(
+    // tf-idf (the classic term-weighting primitive): top-5 terms per
+    // sampled doc by (tf * ln(N/df)). One (doc,term) partial agg over
+    // the exploded corpus; df is vocabulary-sized and broadcast back;
+    // the per-doc top-k is a window over the sampled docs only.
+    // Ranking key is ROUND(tfidf,6) + term asc so cross-engine ln()
+    // ulp noise cannot reorder.
+    "txt_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val tok = Tables(s, d, "documents")
+        .select($"doc_id", size(words).cast("long").as("n_tok"),
+          explode(words).as("term"))
+      val tc = tok.groupBy($"doc_id", $"n_tok", $"term")
+        .agg(count(lit(1)).as("cnt"))
+      val dft = tc.groupBy($"term").agg(count(lit(1)).as("df"))
+      val nDocs = Tables(s, d, "documents").agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy($"doc_id")
+        .orderBy($"tfidf".desc, $"term".asc)
+      tc.filter($"doc_id" % 20 === 0)
+        .join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(($"cnt".cast("double") / $"n_tok") *
+          log($"n_docs".cast("double") / $"df"), 6))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"doc_id", $"term", $"cnt", $"df", $"tfidf", $"rk")
+    },
+
+    // BM25 ranking (Robertson/Spärck Jones; k1=1.2, b=0.75): top-20
+    // docs for a fixed query. Same (doc,term) agg restricted to the
+    // query terms map-side BEFORE the shuffle (the aggregation carries
+    // 4 terms per doc, not the vocabulary); avgdl and per-term idf are
+    // one broadcast row each. Per-doc score = decimal sum of per-term
+    // contributions pre-rounded to 8dp — shuffle-order-proof.
+    "txt_bm25" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+        .select($"doc_id", size(words).cast("long").as("dl"),
+          explode(words).as("term"))
+      val hits = docs.filter($"term".isin(BmQuery.map(lit): _*))
+        .groupBy($"doc_id", $"dl", $"term").agg(count(lit(1)).as("cnt"))
+      val stats = Tables(s, d, "documents")
+        .agg(count(lit(1)).as("n_docs"),
+          dsum(size(words).cast("double")).as("sum_dl"))
+      val dft = hits.groupBy($"term").agg(count(lit(1)).as("df"))
+      val idf = log(($"n_docs" - $"df" + 0.5) / ($"df" + 0.5) + 1.0)
+      val contrib = idf * ($"cnt" * (K1 + 1.0)) /
+        ($"cnt" + lit(K1) * (lit(1.0 - B) + lit(B) * $"dl" / ($"sum_dl" / $"n_docs")))
+      // top-20 via orderBy+limit = TakeOrderedAndProject (distributed
+      // partial top-k, no single-partition global window — the per-doc
+      // score frame is corpus-sized at scale); rk is then a window
+      // over the 20 survivors only
+      val w = Window.orderBy($"score".desc, $"doc_id".asc)
+      hits
+        .join(broadcast(dft), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .groupBy($"doc_id")
+        .agg(sum(round(contrib, 8).cast(DecimalType(38, 8)))
+          .cast("double").as("score_raw"),
+          count(lit(1)).as("n_terms"))
+        .withColumn("score", round($"score_raw", 6))
+        .orderBy($"score".desc, $"doc_id".asc).limit(20)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select($"doc_id", $"n_terms", $"score", $"rk")
+    },
+
+    // token-budget corpus selection: per source, keep the largest docs
+    // (the quality proxy here; in production, a model score) until the
+    // running token total hits the budget. One shuffle on source, one
+    // running-sum window — integer-exact, skew-bounded by per-source
+    // doc counts.
+    "pipe_token_budget" -> { (s, d) =>
+      import s.implicits._
+      val budget = 2000L
+      val w = Window.partitionBy($"source")
+        .orderBy($"n_tok".desc, $"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .select($"source", $"doc_id", size(words).cast("long").as("n_tok"))
+        .withColumn("cum_tok", sum($"n_tok").over(w))
+        .filter($"cum_tok" <= budget)
+    },
+
+    // bigram-LM quality scoring: train add-1-smoothed bigram
+    // conditionals on the corpus itself (the CCNet/KenLM filtering
+    // shape), then score every doc by its average log-likelihood
+    // avg ln((c12+1)/(c1+V)). Model tables (bigram counts, first-word
+    // counts, vocab size) scale with the vocabulary; the corpus-sized
+    // side joins them declaratively (AQE broadcasts them at this
+    // scale). Per-doc sum = decimal sum of 8dp-rounded lls.
+    "txt_bigram_lm" -> { (s, d) =>
+      import s.implicits._
+      val inst = Tables(s, d, "documents")
+        .select($"doc_id", explode(bigramsOf(words)).as("bigram"))
+        .withColumn("w1", substring_index($"bigram", " ", 1))
+      val c12 = inst.groupBy($"bigram").agg(count(lit(1)).as("c12"))
+      val c1 = inst.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val vocab = Tables(s, d, "documents")
+        .select(explode(words).as("w")).agg(countDistinct($"w").as("v"))
+      val ll = log(($"c12" + 1.0) / ($"c1" + $"v"))
+      inst
+        .join(c12, Seq("bigram"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(round(ll, 8).cast(DecimalType(38, 8)))
+            .cast("double").as("ll_sum"))
+        .withColumn("ll_avg", round($"ll_sum" / $"n_bigrams", 6))
+        .select($"doc_id", $"n_bigrams", $"ll_avg")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "txt_tfidf" ->
+      """WITH tok AS (
+           SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok,
+             unnest(string_split(text,' ')) AS term
+           FROM documents),
+         tc AS (SELECT doc_id, n_tok, term, COUNT(*) AS cnt FROM tok GROUP BY 1,2,3),
+         dft AS (SELECT term, COUNT(*) AS df FROM tc GROUP BY 1),
+         n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         s AS (
+           SELECT tc.doc_id, tc.term, tc.cnt, dft.df,
+             ROUND((CAST(tc.cnt AS DOUBLE)/tc.n_tok) *
+               ln(CAST(n.n_docs AS DOUBLE)/dft.df), 6) AS tfidf
+           FROM tc JOIN dft USING(term) CROSS JOIN n
+           WHERE tc.doc_id % 20 = 0),
+         r AS (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+               FROM s)
+         SELECT doc_id, term, cnt, df, tfidf, rk FROM r WHERE rk <= 5""",
+
+    "txt_bm25" ->
+      """WITH tok AS (
+           SELECT doc_id, CAST(len(string_split(text,' ')) AS BIGINT) AS dl,
+             unnest(string_split(text,' ')) AS term
+           FROM documents),
+         hits AS (
+           SELECT doc_id, dl, term, COUNT(*) AS cnt FROM tok
+           WHERE term IN ('join','vector','stream','window')
+           GROUP BY 1,2,3),
+         stats AS (
+           SELECT COUNT(*) AS n_docs,
+             CAST(SUM(CAST(len(string_split(text,' ')) AS DECIMAL(18,4))) AS DOUBLE) AS sum_dl
+           FROM documents),
+         dft AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY 1),
+         per AS (
+           SELECT h.doc_id,
+             ROUND(ln((s.n_docs - d.df + 0.5)/(d.df + 0.5) + 1.0) *
+               (h.cnt * (1.2 + 1.0)) /
+               (h.cnt + 1.2 * (1.0 - 0.75 + 0.75 * h.dl / (s.sum_dl / s.n_docs))), 8) AS c
+           FROM hits h JOIN dft d USING(term) CROSS JOIN stats s),
+         agg AS (
+           SELECT doc_id,
+             CAST(SUM(CAST(c AS DECIMAL(38,8))) AS DOUBLE) AS score_raw,
+             COUNT(*) AS n_terms
+           FROM per GROUP BY 1),
+         r AS (
+           SELECT doc_id, n_terms, ROUND(score_raw, 6) AS score,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score_raw, 6) DESC, doc_id ASC) AS rk
+           FROM agg)
+         SELECT doc_id, n_terms, score, rk FROM r WHERE rk <= 20""",
+
+    "pipe_token_budget" ->
+      """WITH t AS (
+           SELECT source, doc_id,
+             CAST(len(string_split(text,' ')) AS BIGINT) AS n_tok
+           FROM documents),
+         c AS (
+           SELECT source, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+               ORDER BY n_tok DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+           FROM t)
+         SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 2000""",
+
+    "txt_bigram_lm" ->
+      """WITH inst AS (
+           SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1
+           FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text,' '))),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+             FROM documents)),
+         c12 AS (SELECT bigram, COUNT(*) AS c12 FROM inst GROUP BY 1),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY 1),
+         v AS (
+           SELECT COUNT(DISTINCT w) AS v FROM (
+             SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+         per AS (
+           SELECT i.doc_id,
+             ROUND(ln((c12.c12 + 1.0)/(c1.c1 + v.v)), 8) AS ll
+           FROM inst i JOIN c12 USING(bigram) JOIN c1 USING(w1) CROSS JOIN v)
+         SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(CAST(ll AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS ll_avg
+         FROM per GROUP BY 1"""
+  )
+}

@@ -38,13 +38,17 @@ object StreamQueries extends QueryModule {
     dir.toString
   }
 
-  /** streaming view of the events table (nanos->micros like Tables) */
+  /** streaming view of the events table (nanos->micros like Tables;
+    * conditional — a rewritten copy, e.g. ScaleUp's sf1, already
+    * carries a real TimestampType ts) */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val staticDf = s.read.parquet(s"$d/events.parquet")
-    s.readStream
+    val raw = s.readStream
       .schema(staticDf.schema)
       .parquet(streamDir(d))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (staticDf.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
   }
 
   /** run a streaming frame to completion into a memory sink */
