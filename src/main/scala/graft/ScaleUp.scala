@@ -23,10 +23,13 @@ import org.apache.spark.sql.functions._
   * regime for the dedup family (every LSH bucket carries R duplicates,
   * every near-dup cluster grows by R) and a neutral one for ANN.
   *
-  * Each table is written as a SINGLE parquet file (matching the
-  * driver's testdata layout, which tools/check.py's DuckDB views and
-  * `Tables` both expect); scan parallelism at read time comes from
-  * row-group splits under spark.sql.files.maxPartitionBytes.
+  * Replicated tables are written as a DIRECTORY of parquet part files
+  * (named `<table>.parquet`, so `Tables`' path convention still
+  * resolves): explode-heavy operators (shingling, bigrams) amplify a
+  * physically-small documents table into 10^8 rows, and a single-file
+  * single-row-group fixture would pin that whole computation to one
+  * task regardless of split size — exactly the multi-file layout a
+  * real table has at scale. tools/check.py globs directory tables.
   */
 object ScaleUp {
   // larger than any sf0.1 key (max o_orderkey ~ 600k) times any sane R
@@ -72,27 +75,12 @@ object ScaleUp {
             df.withColumn(k, col(k) + lit(i * OFFSET))
           }
         }.reduce(_ unionAll _)
-      writeSingleFile(spark, scaled, s"$dst/$table.parquet")
-      println(s"[scaleup] $table: ${if (keys.isEmpty) "copied" else s"x$r"}")
+      val parts = if (keys.isEmpty) 1 else 24
+      scaled.repartition(parts).write.mode("overwrite")
+        .option("parquet.block.size", (8L * 1024 * 1024).toString)
+        .parquet(s"$dst/$table.parquet")
+      println(s"[scaleup] $table: ${if (keys.isEmpty) "copied" else s"x$r"} ($parts files)")
     }
     spark.stop()
-  }
-
-  /** Write df as one parquet FILE at `path` (not a directory), matching
-    * the driver's testdata layout. */
-  private def writeSingleFile(spark: SparkSession, df: DataFrame, path: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val tmp = path + ".tmpdir"
-    df.coalesce(1).write.mode("overwrite")
-      // 32 MiB row groups so a single file still yields enough
-      // input splits for a parallel local scan
-      .option("parquet.block.size", (32L * 1024 * 1024).toString)
-      .parquet(tmp)
-    val part = Files.list(Paths.get(tmp)).filter(_.toString.endsWith(".parquet"))
-      .findFirst().orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
-    Files.move(part, Paths.get(path), StandardCopyOption.REPLACE_EXISTING)
-    // clean the now-empty staging dir (_SUCCESS, crc files)
-    Files.walk(Paths.get(tmp)).sorted(java.util.Comparator.reverseOrder())
-      .forEach(p => Files.delete(p))
   }
 }

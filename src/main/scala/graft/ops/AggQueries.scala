@@ -4,6 +4,7 @@ import graft.{OracleNum, QueryModule, Tables}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import OracleNum._
 
 /** GroupBy/aggregation surface (SURVEY.md §2.4).
@@ -131,16 +132,24 @@ object AggQueries extends QueryModule {
     },
 
     // first/last in row order (group_nth groupby.pyx:1778, group_last :1713):
-    // min_by/max_by keyed on the globally-unique event ts
+    // min_by/max_by keyed on a TOTAL order: ts alone assumed globally-
+    // unique timestamps, which held in the sf0.x fixtures but not in
+    // the sf1 replication (and not in real data) — the sf1 differential
+    // caught Spark and DuckDB picking different rows among ts ties.
+    // The composite (ts, event_id) is encoded as one exact integer
+    // (micros * 1e10 + id, < 1e26 so DECIMAL(38,0)/HUGEINT-exact both
+    // engines) because DuckDB's arg_min has no struct-key overload.
     "agg_first_last" -> { (s, d) =>
       import s.implicits._
+      val key = unix_micros($"ts").cast(DecimalType(38, 0)) *
+        lit(10000000000L) + $"event_id"
       Tables(s, d, "events")
         .groupBy($"event_type")
         .agg(
-          min_by($"value", $"ts").as("first_value"),
-          max_by($"value", $"ts").as("last_value"),
-          min_by($"user_id", $"ts").as("first_user"),
-          max_by($"user_id", $"ts").as("last_user"))
+          min_by($"value", key).as("first_value"),
+          max_by($"value", key).as("last_value"),
+          min_by($"user_id", key).as("first_user"),
+          max_by($"user_id", key).as("last_user"))
     },
 
     // nth row per group (nth selector groupby/groupby.py:4297):
@@ -745,12 +754,16 @@ object AggQueries extends QueryModule {
          FROM f""",
 
     "agg_first_last" ->
-      """SELECT event_type,
-         arg_min("value", ts) AS first_value,
-         arg_max("value", ts) AS last_value,
-         arg_min(user_id, ts) AS first_user,
-         arg_max(user_id, ts) AS last_user
-         FROM events GROUP BY event_type""",
+      """WITH e AS (
+           SELECT event_type, "value", user_id,
+             CAST(epoch_us(ts) AS HUGEINT) * 10000000000 + event_id AS k
+           FROM events)
+         SELECT event_type,
+         arg_min("value", k) AS first_value,
+         arg_max("value", k) AS last_value,
+         arg_min(user_id, k) AS first_user,
+         arg_max(user_id, k) AS last_user
+         FROM e GROUP BY event_type""",
 
     "agg_nth" ->
       """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice FROM (

@@ -331,10 +331,13 @@ object ReshapeQueries extends QueryModule {
     // matrix + partial-agg sum, via PFrame.dot
     "rs_dot" -> { (s, d) =>
       import s.implicits._
+      // bal through the decimal-sum discipline: a raw double sum over
+      // 1.5M rows differs between engines by an ulp (order-sensitive),
+      // which the sf1 differential caught flipping round(.., 6)
       val a = Tables(s, d, "customer")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).cast("double").as("n"),
-          sum($"c_acctbal").cast("double").as("bal"))
+          sum($"c_acctbal".cast("decimal(38,6)")).cast("double").as("bal"))
       val weights = Seq(("n", 1.0, 0.5), ("bal", 0.001, 2.0))
         .toDF("j", "w1", "w2")
       graft.api.PFrame(a).dot(graft.api.PFrame(weights), "c_mktsegment", "j")
@@ -534,7 +537,7 @@ object ReshapeQueries extends QueryModule {
       """WITH a AS (
            SELECT c_mktsegment,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(c_acctbal) AS DOUBLE) AS bal
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS bal
            FROM customer GROUP BY 1)
          SELECT c_mktsegment,
            ROUND(n * 1.0 + bal * 0.001, 6) AS w1,

@@ -25,16 +25,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StreamQueries extends QueryModule {
 
-  /** The file stream source wants a directory; expose the single
-    * events parquet through a symlink dir (testdata stays read-only).
+  /** The file stream source wants a flat directory of files; expose
+    * the events parquet through symlinks (testdata stays read-only).
+    * A single-file table links once; a directory table (ScaleUp's sf1
+    * layout) links each part file flat — the file source does not
+    * recurse into subdirectories.
     */
   private def streamDir(d: String): String = {
     import java.nio.file.{Files, Paths}
     val dir = Paths.get("/tmp/graft_stream", Integer.toHexString(d.hashCode))
     Files.createDirectories(dir)
-    val link = dir.resolve("events.parquet")
-    if (!Files.exists(link))
-      Files.createSymbolicLink(link, Paths.get(d, "events.parquet"))
+    val src = Paths.get(d, "events.parquet")
+    if (Files.isDirectory(src)) {
+      Files.list(src).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        val link = dir.resolve(p.getFileName)
+        if (!Files.exists(link)) Files.createSymbolicLink(link, p)
+      }
+    } else {
+      val link = dir.resolve("events.parquet")
+      if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    }
     dir.toString
   }
 

@@ -106,4 +106,30 @@ class PlanHygieneSpec extends SparkSpec {
       assert(bad.isEmpty, s"$n plans a partition-less window")
     }
   }
+
+  test("bm25 takes top-k distributed, never a global window over the corpus") {
+    val p = executed("txt_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as TakeOrderedAndProject (per-partition heaps), not sort-all")
+    // the only Window allowed is the rank over the <=20 survivors,
+    // which must sit ABOVE the TakeOrderedAndProject in the plan text
+    val winIdx = p.indexOf("Window")
+    val topIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx < topIdx,
+      "the rank window must apply to the top-k result, not the corpus-sized frame")
+  }
+
+  test("retrieval model statistics broadcast; no unbroadcast pairwise joins") {
+    // the 1-row stat frames (n_docs, avgdl, vocab size) legitimately
+    // plan as broadcast nested-loop cross joins; what must never
+    // appear is an UNbroadcast cartesian of distributed frames
+    for (n <- Seq("txt_tfidf", "txt_bm25", "txt_bigram_lm")) {
+      val p = executed(n)
+      assert(!p.contains("CartesianProduct"),
+        s"$n must not plan an unbroadcast cartesian product")
+    }
+    // df in tfidf and the corpus stats in bm25 are explicit broadcasts
+    assert(executed("txt_tfidf").contains("BroadcastExchange"),
+      "tfidf's df table must broadcast, not shuffle the (doc,term) frame")
+  }
 }

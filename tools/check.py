@@ -33,7 +33,9 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):  # ScaleUp writes directory tables
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_noracle = 0
@@ -79,6 +81,13 @@ def main():
             continue
         n_pass += 1
         print(f"  [pass     ] {name}: {len(got_rows)} rows")
+    # queries that threw in Verify write no output dir — surface them
+    # loudly instead of letting the dir-driven loop skip them
+    fj = f"{out_dir}/failed.json"
+    if os.path.exists(fj):
+        for name, err in json.load(open(fj)).items():
+            n_fail += 1
+            print(f"  [FAIL-run ] {name}: threw in Verify: {err[:200]}")
     print(f"== {n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
     sys.exit(1 if n_fail else 0)
 
