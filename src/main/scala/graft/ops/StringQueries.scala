@@ -114,6 +114,45 @@ object StringQueries extends QueryModule {
           get_json_object($"props", "$.k").cast("int").as("k_val"))
     },
 
+    // json_normalize (io/json/_normalize.py:269): nested JSON records
+    // flatten to one row per record_path element, meta fields repeated
+    // per row and nested-object fields joined with sep='_'. The nested
+    // JSON is BUILT in-flight from lineitem groups (to_json of a
+    // struct holding a sorted items array + an hdr object) and then
+    // normalized with from_json + explode + struct-field projection;
+    // the oracle is the direct relational projection of the same rows,
+    // so the differential proves the whole JSON roundtrip lossless —
+    // including shortest-roundtrip double formatting. At scale both
+    // halves are map-side; the only shuffle is the groupBy that builds
+    // the fixture.
+    "str_json_normalize" -> { (s, d) =>
+      import s.implicits._
+      val nested = Tables(s, d, "lineitem")
+        .filter($"l_orderkey" < 1000)
+        .groupBy($"l_orderkey")
+        .agg(
+          sort_array(collect_list(struct(
+            $"l_linenumber".as("ln"), $"l_quantity".as("qty"),
+            $"l_extendedprice".as("price")))).as("items"),
+          max($"l_returnflag").as("flag"),
+          count(lit(1)).as("n"))
+        .select(to_json(struct(
+          $"l_orderkey".as("okey"),
+          struct($"flag", $"n").as("hdr"),
+          $"items")).as("doc"))
+      val schema = "STRUCT<okey: BIGINT, " +
+        "hdr: STRUCT<flag: STRING, n: BIGINT>, " +
+        "items: ARRAY<STRUCT<ln: INT, qty: DOUBLE, price: DOUBLE>>>"
+      nested
+        .select(from_json($"doc", schema, Map.empty[String, String]).as("j"))
+        .select($"j.okey".as("okey"),
+          $"j.hdr.flag".as("hdr_flag"), $"j.hdr.n".as("hdr_n"),
+          explode($"j.items").as("it"))
+        .select($"okey", $"hdr_flag", $"hdr_n",
+          $"it.ln".as("items_ln"), $"it.qty".as("items_qty"),
+          $"it.price".as("items_price"))
+    },
+
     // extractall (accessor.py:2743): every regex match becomes its own
     // row with a match index — regexp_extract_all + posexplode. Docs
     // with no match drop out (both engines: explode/unnest of empty).
@@ -364,6 +403,16 @@ object StringQueries extends QueryModule {
       """SELECT event_id,
          CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k_val
          FROM events WHERE event_id < 2000""",
+
+    // the relational projection the JSON roundtrip must reproduce
+    "str_json_normalize" ->
+      """SELECT l_orderkey AS okey,
+         MAX(l_returnflag) OVER (PARTITION BY l_orderkey) AS hdr_flag,
+         COUNT(*) OVER (PARTITION BY l_orderkey) AS hdr_n,
+         l_linenumber AS items_ln,
+         l_quantity AS items_qty,
+         l_extendedprice AS items_price
+         FROM lineitem WHERE l_orderkey < 1000""",
 
     "str_extractall" ->
       """WITH m AS (

@@ -4,6 +4,7 @@ import graft.{QueryModule, Tables}
 import graft.functions.PortableHash
 import graft.functions.PortableHash._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -275,6 +276,60 @@ object DedupQueries extends QueryModule {
         .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
         .filter($"hamming" <= 3)
         .select($"da", $"db", $"sa", $"sb", $"hamming")
+    },
+
+    // exact substring-SPAN dedup (the "Deduplicating Training Data
+    // Makes Language Models Better" ExactSubstr operator, Lee et al.
+    // 2021, arXiv:2107.06499 — their single-machine suffix array
+    // re-expressed as the distributed rolling-window form): every
+    // stride-th 40-char window of every doc is keyed by md5, keys held
+    // by >= 2 DISTINCT docs mark cross-corpus duplicated spans
+    // (intra-doc repetition is txt_repetition's job), and each doc's
+    // hit offsets are merged into maximal intervals with one
+    // gaps-and-islands window, yielding per-doc duplicated-char
+    // coverage — the quantity the removal step cuts.
+    //
+    // At 100 TB: the exploded frame is corpus_chars/stride rows of
+    // (16-byte key, doc_id, offset) — the span-key groupBy partial-
+    // aggregates map-side and the duplicated-key set (vastly smaller
+    // than the corpus; dup spans are the exception, not the rule)
+    // comes back via one equi-join that AQE broadcasts when it fits.
+    // The interval-merge window partitions by doc_id — per-doc state,
+    // no skew. md5 is used (not xxhash64) for oracle parity; the
+    // 128-bit width also makes cross-doc hash collisions a non-issue
+    // at corpus scale.
+    "dedup_substring_spans" -> { (s, d) =>
+      import s.implicits._
+      val k = 40
+      val stride = 10
+      val spans = Tables(s, d, "documents")
+        .filter(length($"text") >= k)
+        .select($"doc_id", $"n_chars", $"text",
+          explode(sequence(lit(0), length($"text") - k, lit(stride))).as("off"))
+        .select($"doc_id", $"n_chars", $"off",
+          md5($"text".substr($"off" + lit(1), lit(k))).as("sk"))
+      val dupKeys = spans.groupBy($"sk")
+        .agg(countDistinct($"doc_id").as("nd"))
+        .filter($"nd" >= 2)
+        .select($"sk")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"off")
+      val prevEnd = max($"off" + k)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+      val islands = spans.join(dupKeys, Seq("sk"))
+        .withColumn("new_isl",
+          when(prevEnd.isNull || prevEnd < $"off", 1).otherwise(0))
+        .withColumn("isl", sum($"new_isl").over(w))
+      islands
+        .groupBy($"doc_id", $"n_chars", $"isl")
+        .agg(count(lit(1)).as("nsp"), min($"off").as("st"),
+          (max($"off") + k).as("en"))
+        .groupBy($"doc_id", $"n_chars")
+        .agg(sum($"nsp").as("n_dup_spans"),
+          count(lit(1)).as("n_intervals"),
+          sum($"en" - $"st").as("dup_chars"))
+        .select($"doc_id", $"n_dup_spans", $"n_intervals", $"dup_chars",
+          round($"dup_chars".cast("double") / $"n_chars", 6).as("dup_ratio"))
     }
   )
 
@@ -376,7 +431,51 @@ object DedupQueries extends QueryModule {
              a.simhash AS sa, b.simhash AS sb,
              bit_count(xor(a.simhash, b.simhash)) AS hamming
            FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+      // Spark sequence(0, stop, 10) includes stop; DuckDB range's upper
+      // bound is exclusive, hence stop + 1
+      "dedup_substring_spans" ->
+        """WITH d AS (
+             SELECT doc_id, n_chars, text FROM documents
+             WHERE LENGTH(text) >= 40),
+           sp AS (
+             SELECT doc_id, n_chars, text,
+               UNNEST(range(0, LENGTH(text) - 40 + 1, 10)) AS off
+             FROM d),
+           keyed AS (
+             SELECT doc_id, n_chars, off,
+               md5(SUBSTR(text, off + 1, 40)) AS sk
+             FROM sp),
+           dk AS (
+             SELECT sk FROM keyed
+             GROUP BY sk HAVING COUNT(DISTINCT doc_id) >= 2),
+           dup AS (SELECT keyed.* FROM keyed JOIN dk USING (sk)),
+           isl AS (
+             SELECT doc_id, n_chars, off,
+               CASE WHEN max(off + 40) OVER (
+                      PARTITION BY doc_id ORDER BY off
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                 OR max(off + 40) OVER (
+                      PARTITION BY doc_id ORDER BY off
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) < off
+                 THEN 1 ELSE 0 END AS new_isl
+             FROM dup),
+           isl2 AS (
+             SELECT doc_id, n_chars, off,
+               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+             FROM isl),
+           m AS (
+             SELECT doc_id, n_chars, isl,
+               COUNT(*) AS nsp, MIN(off) AS st, MAX(off) + 40 AS en
+             FROM isl2 GROUP BY 1, 2, 3)
+           SELECT doc_id,
+             CAST(SUM(nsp) AS BIGINT) AS n_dup_spans,
+             COUNT(*) AS n_intervals,
+             CAST(SUM(en - st) AS BIGINT) AS dup_chars,
+             ROUND(CAST(SUM(en - st) AS DOUBLE) / n_chars, 6) AS dup_ratio
+           FROM m GROUP BY doc_id, n_chars"""
     )
   }
 }

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.{QueryModule, Tables}
+import graft.functions.PortableHash.{P, wordHash, wordHashSql}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -96,6 +97,39 @@ object PackQueries extends QueryModule {
           sum($"n_tok").as("n_tokens"),
           min($"doc_id").as("first_doc"),
           max($"doc_id").as("last_doc"))
+    },
+
+    // deterministic corpus shuffle + train/val/test split — the last
+    // step before a training run. Both are pure functions of the doc
+    // id through the portable hash (domain-separated "split:"/
+    // "shuffle:" keys, so membership and order are independent), which
+    // makes the split STABLE under corpus growth — a doc never changes
+    // split when new data arrives — and the shuffle reproducible
+    // across runs, the two properties a random() split lacks.
+    //
+    // The within-split position is a global ordinal over
+    // (split, shuffle_key): GlobalOrder range-partitions on a fused
+    // numeric sort key (split_id stacked above the hash), so there is
+    // NO row_number window partitioned by the 3-value split column —
+    // that plan would funnel 80% of a 100 TB corpus through one task.
+    // Per-split offsets come back as a 3-row broadcast.
+    "pipe_shuffle_split" -> { (s, d) =>
+      import s.implicits._
+      val idStr = $"doc_id".cast("string")
+      val bucket = wordHash(concat(lit("split:"), idStr)) % 100
+      val splitId = when(bucket < 80, 0L).when(bucket < 90, 1L).otherwise(2L)
+      val tagged = Tables(s, d, "documents")
+        .select($"doc_id", splitId.as("split_id"),
+          wordHash(concat(lit("shuffle:"), idStr)).as("shuffle_key"))
+        .withColumn("sort_key", $"split_id" * lit(P) + $"shuffle_key")
+      val ord = graft.operators.GlobalOrder
+        .zipOrdinal(tagged, Seq($"sort_key", $"doc_id"))
+      val offsets = ord.groupBy($"split_id").agg(min($"__ord").as("off"))
+      ord.join(broadcast(offsets), Seq("split_id"))
+        .select($"doc_id",
+          when($"split_id" === 0, "train").when($"split_id" === 1, "val")
+            .otherwise("test").as("split"),
+          $"shuffle_key", ($"__ord" - $"off").as("pos"))
     }
   )
 
@@ -146,6 +180,23 @@ object PackQueries extends QueryModule {
                  CAST(COUNT(*) AS BIGINT) AS n_docs,
                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-          FROM t GROUP BY 1, 2"""
+          FROM t GROUP BY 1, 2""",
+
+    "pipe_shuffle_split" ->
+      s"""WITH t AS (
+            SELECT doc_id,
+              ${wordHashSql("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+              ${wordHashSql("'shuffle:' || CAST(doc_id AS VARCHAR)")} AS shuffle_key
+            FROM documents),
+          s AS (
+            SELECT doc_id,
+              CASE WHEN bucket < 80 THEN 'train'
+                   WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+              shuffle_key
+            FROM t)
+          SELECT doc_id, split, shuffle_key,
+            ROW_NUMBER() OVER (PARTITION BY split
+                               ORDER BY shuffle_key, doc_id) - 1 AS pos
+          FROM s"""
   )
 }

@@ -107,6 +107,32 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("substring-span dedup joins on the span key — never pairwise, windows per doc") {
+    val p = executed("dedup_substring_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "span dedup must stay an equi-join on the span hash")
+    val bad = optimized("dedup_substring_spans").collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "the interval-merge window must partition by doc_id")
+  }
+
+  test("shuffle-split computes positions via range partition, not a 3-value window") {
+    // a row_number window partitioned by the train/val/test column
+    // would funnel 80% of the corpus through one task; positions must
+    // come from GlobalOrder (range partition on the fused sort key)
+    // with the split offsets broadcast back
+    val p = executed("pipe_shuffle_split")
+    assert(p.contains("__go_pid"),
+      "expected GlobalOrder's bucketed-ordinal machinery in the plan")
+    val bad = optimized("pipe_shuffle_split").collect {
+      case w: LWindow if w.partitionSpec.isEmpty => w
+    }
+    assert(bad.isEmpty, "no partition-less window allowed")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the 3-row per-split offset table must broadcast")
+  }
+
   test("bm25 takes top-k distributed, never a global window over the corpus") {
     val p = executed("txt_bm25")
     assert(p.contains("TakeOrderedAndProject"),
