@@ -89,6 +89,59 @@ object SourceQueries extends QueryModule {
         .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"))
     },
 
+    // dynamic partition overwrite — the BACKFILL operator (pandas'
+    // closest analogue is df.update/combine_first + to_parquet, but at
+    // scale a correction never rewrites the table; it replaces exactly
+    // the partitions it touches). Write the full table partitioned by
+    // status, then overwrite ONLY the F partition with corrected rows
+    // (a deterministic bad-record filter) under
+    // partitionOverwriteMode=dynamic; O and P must survive untouched —
+    // static mode would truncate them, and the oracle's per-status
+    // counts catch exactly that.
+    "src_partition_overwrite" -> { (s, d) =>
+      import s.implicits._
+      val path = tmpDir(d, "part_overwrite")
+      val orders = Tables(s, d, "orders")
+      orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      val saved = s.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      try {
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        orders.filter($"o_orderstatus" === "F" && pmod($"o_orderkey", lit(10)) =!= 0)
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      s.read.parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_price"),
+          max($"o_orderkey").as("max_key"))
+    },
+
+    // schema-evolution read (mergeSchema): batch 2 of a long-lived
+    // dataset gains a column; the merged scan must surface it as null
+    // for batch-1 rows — pandas' concat-by-name semantics at the
+    // STORAGE layer. mergeSchema pays a footer-read per file at plan
+    // time, so production tables pin the schema in a metastore and
+    // evolve it there; the per-status counts + the new column's
+    // non-null count pin the union-by-name semantics either way.
+    "src_merge_schema" -> { (s, d) =>
+      import s.implicits._
+      val path = tmpDir(d, "merge_schema")
+      val orders = Tables(s, d, "orders")
+      orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+        .write.mode("overwrite").parquet(s"$path/batch=1")
+      orders.select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+          $"o_orderpriority")
+        .write.mode("overwrite").parquet(s"$path/batch=2")
+      s.read.option("mergeSchema", "true").parquet(path)
+        .groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          count($"o_orderpriority").as("n_with_priority"),
+          countDistinct($"batch").as("n_batches"),
+          dsum($"o_totalprice").as("sum_price"))
+    },
+
     // bucketed tables + co-located join (pandas has no storage-level
     // layout concept — Spark-native capability, SURVEY §4). Both sides
     // are written with bucketBy(8, custkey) + sortBy, so the join
@@ -226,6 +279,24 @@ object SourceQueries extends QueryModule {
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM orders WHERE o_orderstatus = 'F'""",
+
+    // untouched partitions keep ALL their rows; only F loses the
+    // key%10=0 records — a truncating (static-mode) overwrite would
+    // zero out O and P
+    "src_partition_overwrite" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+         MAX(o_orderkey) AS max_key
+         FROM orders
+         WHERE o_orderstatus <> 'F' OR o_orderkey % 10 <> 0
+         GROUP BY o_orderstatus""",
+
+    "src_merge_schema" ->
+      """SELECT o_orderstatus, 2 * COUNT(*) AS n,
+         COUNT(*) AS n_with_priority,
+         CAST(2 AS BIGINT) AS n_batches,
+         CAST(2 * SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM orders GROUP BY o_orderstatus""",
     "src_bucketed_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
