@@ -85,6 +85,29 @@ object ReshapeQueries extends QueryModule {
         .na.fill(0)
     },
 
+    // crosstab(margins=True) (pivot.py:982, margins via _add_margins):
+    // row totals as an extra column and an 'All' total row. Spark's
+    // pivot only composes with plain groupBy (not rollup), so the All
+    // ROW is a second aggregation over the already-pivoted frame —
+    // group-count-sized input, so the corpus is still scanned and
+    // shuffled exactly once; the All COLUMN is map arithmetic.
+    "rs_crosstab_margins" -> { (s, d) =>
+      import s.implicits._
+      val nations = (0 to 6).map(_.toString)
+      val counts = Tables(s, d, "customer")
+        .filter($"c_nationkey" <= 6)
+        .groupBy($"c_mktsegment")
+        .pivot("c_nationkey", nations)
+        .agg(count(lit(1)))
+        .na.fill(0)
+      val allRow = counts.groupBy(lit("All").as("c_mktsegment"))
+        .agg(nations.map(c => sum(col(c)).as(c)).head,
+          nations.map(c => sum(col(c)).as(c)).tail: _*)
+      val total = nations.map(col).reduce(_ + _)
+      counts.unionByName(allRow)
+        .select($"c_mktsegment" +: nations.map(col) :+ total.as("All"): _*)
+    },
+
     // crosstab(normalize='index') (pivot.py:1078 _normalize): each
     // cell / its row total. The row total is computed from the
     // already-pivoted counts — pure map arithmetic after the one
@@ -386,6 +409,17 @@ object ReshapeQueries extends QueryModule {
       """SELECT doc_id, word, LENGTH(word) AS wlen
          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
                FROM documents WHERE doc_id < 50)""",
+
+    "rs_crosstab_margins" -> {
+      val cols = (0 to 6)
+        .map(k => s"""COALESCE(COUNT(CASE WHEN c_nationkey = $k THEN 1 END), 0) AS "$k"""")
+        .mkString(",\n         ")
+      s"""SELECT COALESCE(c_mktsegment, 'All') AS c_mktsegment,
+         $cols,
+         COUNT(*) AS "All"
+         FROM customer WHERE c_nationkey <= 6
+         GROUP BY ROLLUP (c_mktsegment)"""
+    },
 
     "rs_pivot_margins" ->
       """SELECT COALESCE(o_orderpriority, 'All') AS priority,

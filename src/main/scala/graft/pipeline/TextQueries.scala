@@ -75,6 +75,32 @@ object TextQueries extends QueryModule {
             .as("quality_score"))
     },
 
+    // model-based quality filtering — the learned-classifier step of a
+    // curation pipeline (fastText/DSIR-style quality models; pandas
+    // has no analogue). The weight vector stands in for a trained
+    // model's and would arrive as a broadcast at scale; scoring is
+    // pure map-side feature arithmetic + dot product. The score stays
+    // in LOGIT space: the keep decision (z > 0) is threshold-identical
+    // to sigmoid(z) > 0.5 but avoids exp(), whose last-ulp differences
+    // across libm implementations the cross-engine hash would catch.
+    // Every feature and the accumulation are plain IEEE ops evaluated
+    // in the same left-to-right order in both engines — bit-identical
+    // without any decimal-sum machinery.
+    "txt_quality_lr" -> { (s, d) =>
+      import s.implicits._
+      val nWords = size(words).cast("double")
+      val nChars = length($"text").cast("double")
+      val stopR = markerCount(Seq("the", "a", "of")).cast("double") / nWords
+      val awl = (nChars - nWords + 1) / nWords
+      val lenF = least(nWords / 100.0, lit(1.0))
+      val distR = size(array_distinct(words)).cast("double") / nWords
+      val z = lit(-2.0) + lit(3.0) * stopR + lit(0.1) * awl +
+        lit(1.5) * lenF + lit(1.0) * distR
+      Tables(s, d, "documents")
+        .select($"doc_id", round(z, 6).as("quality_logit"),
+          (z > 0.0).as("keep"))
+    },
+
     // token counting: whitespace tokens + BPE-ish regex token count +
     // distinct-token ratio
     "txt_tokens" -> { (s, d) =>
@@ -279,6 +305,26 @@ object TextQueries extends QueryModule {
              * (1.0 - CAST(${markerCountSql(Markers.flatMap(_._2))} AS DOUBLE)
                 / len(string_split(text, ' '))), 6) AS quality_score
            FROM documents""",
+
+      // same feature formulas and left-to-right accumulation order as
+      // the Spark side — plain IEEE arithmetic, bit-identical
+      "txt_quality_lr" ->
+        s"""WITH f AS (
+             SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS nw,
+               CAST(LENGTH(text) AS DOUBLE) AS nc,
+               CAST(${markerCountSql(Seq("the", "a", "of"))} AS DOUBLE) AS stop,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS nd
+             FROM documents),
+           z AS (
+             SELECT doc_id,
+               -2.0 + 3.0 * (stop / nw) + 0.1 * ((nc - nw + 1) / nw)
+                 + 1.5 * LEAST(nw / 100.0, 1.0) + 1.0 * (nd / nw) AS z
+             FROM f)
+           -- + 0.0 folds DuckDB's ROUND(-1e-9, 6) = -0.0 to the +0.0
+           -- Spark's round produces (IEEE: -0.0 + 0.0 = +0.0)
+           SELECT doc_id, ROUND(z, 6) + 0.0 AS quality_logit, z > 0 AS keep
+           FROM z""",
 
       "txt_tokens" ->
         """SELECT doc_id,
