@@ -75,7 +75,9 @@ object ScaleUp {
             df.withColumn(k, col(k) + lit(i * OFFSET))
           }
         }.reduce(_ unionAll _)
-      val parts = if (keys.isEmpty) 1 else 24
+      // file count grows with the replication factor (24 at r=10, 96
+      // at r=100) so per-file size stays steady as the decades climb
+      val parts = if (keys.isEmpty) 1 else math.max(24, math.min(96, (r * 2.4).toInt))
       scaled.repartition(parts).write.mode("overwrite")
         .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .parquet(s"$dst/$table.parquet")
