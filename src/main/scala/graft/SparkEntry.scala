@@ -24,6 +24,7 @@ object SparkEntry {
     SimilarityQueries,
     TextQueries,
     RetrievalQueries,
+    ProfileQueries,
     BpeQueries,
     MultimodalQueries,
     SourceQueries,

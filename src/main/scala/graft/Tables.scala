@@ -28,6 +28,7 @@ object Tables {
     // central session hook: make the graft custom expressions available
     // to every query (idempotent map-put, no measurable overhead)
     graft.functions.VectorExprs.register(spark)
+    graft.functions.BloomExprs.register(spark)
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events" && df.schema("ts").dataType == LongType)
       df.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -593,6 +593,28 @@ object AggQueries extends QueryModule {
         .as("spearman_qd"))
     },
 
+    // weighted group stats (np.average's weights= / sample-weighted
+    // pipelines): wmean = S(w*x)/S(w), wvar = S(w*x^2)/S(w) - wmean^2.
+    // The second moment's terms reach ~1e13 with 8 true decimals —
+    // beyond double's 16 significant digits — so products are computed
+    // in NARROW exact decimals ((11,4)^2 -> scale 8, x integral (2,0)
+    // weight) that stay inside both engines' exact 38-digit range; the
+    // sums are then order-free and bit-equal, and the derived stats
+    // recompute identically from them on both sides.
+    "agg_weighted_stats" -> { (s, d) =>
+      import s.implicits._
+      val w = $"l_quantity".cast("decimal(2,0)")  // integral 1..50
+      val x = $"l_extendedprice".cast("decimal(11,4)")
+      val t = Tables(s, d, "lineitem").groupBy($"l_returnflag").agg(
+        sum(w).cast("double").as("sw"),
+        sum(w * x).cast("double").as("swx"),
+        sum((x * x) * w).cast("double").as("swx2"))
+      t.select($"l_returnflag",
+        round($"swx" / $"sw", 6).as("wmean"),
+        round($"swx2" / $"sw" - ($"swx" / $"sw") * ($"swx" / $"sw"), 4)
+          .as("wvar"))
+    },
+
     // custom typed Aggregator via udaf (§2.11 agg-with-UDF surface):
     // geometric mean; log-sum reassociation error << rounding grain
     "agg_geomean" -> { (s, d) =>
@@ -1040,6 +1062,26 @@ object AggQueries extends QueryModule {
          ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(o_totalprice)), 4) AS geomean_price,
          COUNT(*) AS n
          FROM orders GROUP BY o_orderstatus""",
+
+    "agg_weighted_stats" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+             CAST(l_quantity AS DECIMAL(2,0)) AS w,
+             -- 19,4 (not 11,4): below width 19 DuckDB keeps the int64
+             -- multiply path and x*x overflows DECIMAL(18); at 19 the
+             -- product is exact hugeint DECIMAL(38,8) = Spark's (23,8)
+             CAST(l_extendedprice AS DECIMAL(19,4)) AS x
+           FROM lineitem),
+         m AS (
+           SELECT l_returnflag,
+             CAST(SUM(w) AS DOUBLE) AS sw,
+             CAST(SUM(w * x) AS DOUBLE) AS swx,
+             CAST(SUM((x * x) * w) AS DOUBLE) AS swx2
+           FROM b GROUP BY l_returnflag)
+         SELECT l_returnflag,
+           ROUND(swx / sw, 6) AS wmean,
+           ROUND(swx2 / sw - (swx / sw) * (swx / sw), 4) AS wvar
+         FROM m""",
 
     "agg_spearman_grouped" ->
       """WITH base AS (

@@ -425,6 +425,25 @@ object JoinQueries extends QueryModule {
       merged.select($"user_id", $"ts",
         last($"click_val", ignoreNulls = true).over(w).as("click_ff"),
         last($"purch_val", ignoreNulls = true).over(w).as("purch_ff"))
+    },
+
+    // Bloom-pruned semi join (functions/BloomExprs.scala): build side
+    // too big to broadcast-hash at 100 TB but tiny as a sketch; the
+    // probe side is pre-filtered map-side INSIDE its scan stage, so
+    // the shuffle feeding the exact semi join carries only matches +
+    // the 1% fpp tail. Exact join on survivors removes false
+    // positives -> result identical to the plain semi join oracle.
+    "join_bloom_semi" -> { (s, d) =>
+      import s.implicits._
+      val keys = Tables(s, d, "orders")
+        .filter($"o_totalprice" > 400000).select($"o_orderkey")
+      val bytes = graft.functions.BloomExprs.buildBytes(
+        keys, "o_orderkey", expectedItems = keys.count())
+      val pruned = Tables(s, d, "lineitem")
+        .filter(call_function("graft_bloom_contains", lit(bytes), $"l_orderkey"))
+      pruned.join(keys, pruned("l_orderkey") === keys("o_orderkey"), "left_semi")
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
     }
   )
 
@@ -478,6 +497,14 @@ object JoinQueries extends QueryModule {
     "join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+
+    "join_bloom_semi" ->
+      """SELECT l_returnflag, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM lineitem
+         WHERE l_orderkey IN (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+         GROUP BY l_returnflag""",
 
     "join_anti" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer

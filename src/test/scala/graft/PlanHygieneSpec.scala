@@ -79,6 +79,23 @@ class PlanHygieneSpec extends SparkSpec {
     assert(p.contains("bin"), "join should key on the computed bin column")
   }
 
+  test("bloom semi join probes map-side: the filter sits below the join") {
+    // inspect the optimized LOGICAL plan: the AQE wrapper around the
+    // physical plan has no children, so physical collect can't descend
+    val p = optimized("join_bloom_semi")
+    val filters = p.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.exists(_.isInstanceOf[graft.functions.BloomMightContain]) => f
+    }
+    assert(filters.nonEmpty, "expected a Filter carrying the bloom probe")
+    // the probe must pre-filter the scan: no Join below that Filter
+    val joinBelow = filters.head.child.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joinBelow.isEmpty,
+      "bloom probe must pre-filter the scan, not run above the join")
+  }
+
   test("skew pair: plain stays declarative SMJ, salted carries the salt key") {
     val plain = executed("join_skew_plain")
     assert(plain.contains("SortMergeJoin") || plain.contains("ShuffledHashJoin"),
