@@ -330,6 +330,38 @@ object DedupQueries extends QueryModule {
           sum($"en" - $"st").as("dup_chars"))
         .select($"doc_id", $"n_dup_spans", $"n_intervals", $"dup_chars",
           round($"dup_chars".cast("double") / $"n_chars", 6).as("dup_ratio"))
+    },
+
+    // incremental-ingest dedup: a new batch arrives against a standing
+    // corpus ("history"). At 100 TB history dwarfs the batch, so the
+    // anti-join must NOT shuffle history against every batch row:
+    // a Bloom filter over history's content hashes (distributed build,
+    // functions/BloomExprs.scala) splits the batch MAP-SIDE into
+    // definitely-new rows (no false negatives -> skip the join
+    // entirely) and maybe-seen candidates; only the candidates — true
+    // dups + the fpp tail — reach the exact anti-join. Result is
+    // exactly the plain anti-join's, which is what the oracle runs.
+    // (history/batch split = doc_id mod 3 to keep the fixture
+    // deterministic at any scale factor)
+    "dedup_incremental" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables(s, d, "documents")
+      val hist = docs.filter($"doc_id" % 3 =!= 0)
+      val batch = docs.filter($"doc_id" % 3 === 0)
+      val bytes = graft.functions.BloomExprs.buildBytes(
+        hist.select(xxhash64($"text").as("k")), "k", hist.count())
+      val probed = batch.select($"doc_id", $"text",
+        call_function("graft_bloom_contains",
+          lit(bytes), xxhash64($"text")).as("maybe_seen"))
+      val fresh = probed.filter(!$"maybe_seen")
+      val candidates = probed.filter($"maybe_seen")
+      val survivors = candidates
+        .join(hist.select(md5($"text").as("hd")).distinct(),
+          md5(candidates("text")) === col("hd"), "left_anti")
+        .unionByName(fresh)
+      // intra-batch dedup on the survivors: canonical keep per digest
+      survivors.groupBy(md5($"text").as("digest"))
+        .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_in_batch"))
     }
   )
 
@@ -475,7 +507,16 @@ object DedupQueries extends QueryModule {
              COUNT(*) AS n_intervals,
              CAST(SUM(en - st) AS BIGINT) AS dup_chars,
              ROUND(CAST(SUM(en - st) AS DOUBLE) / n_chars, 6) AS dup_ratio
-           FROM m GROUP BY doc_id, n_chars"""
+           FROM m GROUP BY doc_id, n_chars""",
+
+      "dedup_incremental" ->
+        """SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc,
+           COUNT(*) AS n_in_batch
+           FROM documents
+           WHERE doc_id % 3 = 0
+             AND md5(text) NOT IN (
+               SELECT md5(text) FROM documents WHERE doc_id % 3 <> 0)
+           GROUP BY 1"""
     )
   }
 }
