@@ -130,27 +130,60 @@ object RetrievalQueries extends QueryModule {
     // side joins them declaratively (AQE broadcasts them at this
     // scale). Per-doc sum = decimal sum of 8dp-rounded lls.
     "txt_bigram_lm" -> { (s, d) =>
+      bigramLmScores(s, d).select(col("doc_id"), col("n_bigrams"),
+        col("ll_avg"))
+    },
+
+    // CCNet-style perplexity-bucketed sampling: score every doc with
+    // the bigram LM, bucket by FIXED score cutoffs (CCNet applies
+    // constant head/middle/tail perplexity thresholds learned once on
+    // a held-out sample — constants keep the bucketing map-side; a
+    // global ntile would be the partition-less-window anti-pattern),
+    // then keep head fully, middle at 50%, tail at 10% via the
+    // deterministic integer hash. Everything after the scoring
+    // aggregation is scan-local arithmetic.
+    "pipe_ppl_sample" -> { (s, d) =>
       import s.implicits._
-      val inst = Tables(s, d, "documents")
-        .select($"doc_id", explode(bigramsOf(words)).as("bigram"))
-        .withColumn("w1", substring_index($"bigram", " ", 1))
-      val c12 = inst.groupBy($"bigram").agg(count(lit(1)).as("c12"))
-      val c1 = inst.groupBy($"w1").agg(count(lit(1)).as("c1"))
-      val vocab = Tables(s, d, "documents")
-        .select(explode(words).as("w")).agg(countDistinct($"w").as("v"))
-      val ll = log(($"c12" + 1.0) / ($"c1" + $"v"))
-      inst
-        .join(c12, Seq("bigram"))
-        .join(c1, Seq("w1"))
-        .crossJoin(broadcast(vocab))
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(round(ll, 8).cast(DecimalType(38, 8)))
-            .cast("double").as("ll_sum"))
-        .withColumn("ll_avg", round($"ll_sum" / $"n_bigrams", 6))
-        .select($"doc_id", $"n_bigrams", $"ll_avg")
+      val M = 1000000L
+      val b = bigramLmScores(s, d)
+        .withColumn("bucket",
+          when($"ll_avg" >= -3.374, "head")
+            .when($"ll_avg" >= -3.40, "middle").otherwise("tail"))
+        .withColumn("thr",
+          when($"bucket" === "head", 1000000L)
+            .when($"bucket" === "middle", 500000L).otherwise(100000L))
+        .withColumn("keep", ($"doc_id" * 48271L) % M < $"thr")
+      b.groupBy($"bucket").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"),
+        sum(when($"keep", $"n_bigrams").otherwise(0L)).as("tok_kept"))
     }
   )
+
+  /** shared bigram-LM scorer: (doc_id, n_bigrams, ll_avg) with the
+    * add-1-smoothed average log-likelihood, decimal-exact per doc */
+  private def bigramLmScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val inst = Tables(s, d, "documents")
+      .select($"doc_id", explode(bigramsOf(words)).as("bigram"))
+      .withColumn("w1", substring_index($"bigram", " ", 1))
+    val c12 = inst.groupBy($"bigram").agg(count(lit(1)).as("c12"))
+    val c1 = inst.groupBy($"w1").agg(count(lit(1)).as("c1"))
+    val vocab = Tables(s, d, "documents")
+      .select(explode(words).as("w")).agg(countDistinct($"w").as("v"))
+    val ll = log(($"c12" + 1.0) / ($"c1" + $"v"))
+    inst
+      .join(c12, Seq("bigram"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(round(ll, 8).cast(DecimalType(38, 8)))
+          .cast("double").as("ll_sum"))
+      .withColumn("ll_avg", round($"ll_sum" / $"n_bigrams", 6))
+      .select($"doc_id", $"n_bigrams", $"ll_avg")
+  }
 
   def oracle: Map[String, String] = Map(
     "txt_tfidf" ->
@@ -235,6 +268,43 @@ object RetrievalQueries extends QueryModule {
            FROM inst i JOIN c12 USING(bigram) JOIN c1 USING(w1) CROSS JOIN v)
          SELECT doc_id, COUNT(*) AS n_bigrams,
            ROUND(CAST(SUM(CAST(ll AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS ll_avg
-         FROM per GROUP BY 1"""
+         FROM per GROUP BY 1""",
+
+    "pipe_ppl_sample" ->
+      """WITH inst AS (
+           SELECT doc_id, bigram, split_part(bigram, ' ', 1) AS w1
+           FROM (
+             SELECT doc_id,
+               unnest(list_transform(range(1, len(string_split(text,' '))),
+                 i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1])) AS bigram
+             FROM documents)),
+         c12 AS (SELECT bigram, COUNT(*) AS c12 FROM inst GROUP BY 1),
+         c1 AS (SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY 1),
+         v AS (
+           SELECT COUNT(DISTINCT w) AS v FROM (
+             SELECT unnest(string_split(text,' ')) AS w FROM documents)),
+         per AS (
+           SELECT i.doc_id,
+             ROUND(ln((c12.c12 + 1.0)/(c1.c1 + v.v)), 8) AS ll
+           FROM inst i JOIN c12 USING(bigram) JOIN c1 USING(w1) CROSS JOIN v),
+         sc AS (
+           SELECT doc_id, COUNT(*) AS n_bigrams,
+             ROUND(CAST(SUM(CAST(ll AS DECIMAL(38,8))) AS DOUBLE) / COUNT(*), 6) AS ll_avg
+           FROM per GROUP BY 1),
+         b AS (
+           SELECT *,
+             CASE WHEN ll_avg >= -3.374 THEN 'head'
+                  WHEN ll_avg >= -3.40 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CASE WHEN ll_avg >= -3.374 THEN 1000000
+                  WHEN ll_avg >= -3.40 THEN 500000
+                  ELSE 100000 END AS thr
+           FROM sc)
+         SELECT bucket, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN (doc_id * 48271) % 1000000 < thr
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN (doc_id * 48271) % 1000000 < thr
+             THEN n_bigrams ELSE 0 END) AS BIGINT) AS tok_kept
+         FROM b GROUP BY 1"""
   )
 }
