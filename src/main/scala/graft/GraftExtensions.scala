@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions._
+import graft.plans.AsofStrategy
+
+/** Cluster-deployment registration point: installs every graft custom
+  * piece into a session at construction time via the standard
+  * extensions hook, so a cluster user needs only
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * (or `.withExtensions(new GraftExtensions)`) and gets the native
+  * as-of join strategy plus all `graft_*` SQL functions in EVERY
+  * session of the application — no per-query `register` calls, and
+  * catalog-level (not temp) function registration.
+  *
+  * The in-repo query paths keep their lazy per-session `register`
+  * hooks (Tables.apply / AsofJoin.backward) so the library also works
+  * without any config; this class is the "deploy it on a real
+  * cluster" front door and is spec-pinned by GraftExtensionsSpec.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AsofStrategy)
+
+    def fn(name: String, builder: Seq[Expression] => Expression): Unit =
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft", name), builder))
+
+    fn("graft_dot", es => DotProduct(es.head, es(1)))
+    fn("graft_l2sq", es => L2Sq(es.head, es(1)))
+    fn("graft_lsh_bucket", es => LshBucket(es.head,
+      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]))
+    fn("graft_bloom_contains", es => BloomMightContain(es(1),
+      es.head.eval().asInstanceOf[Array[Byte]]))
+    fn("graft_poly_hash", es => PolyHash(es.head))
+    fn("graft_shingle_hash64", es => ShingleHash64s(es.head))
+    fn("graft_minhash_bands", es => MinHashBandKeys(es.head))
+  }
+}
