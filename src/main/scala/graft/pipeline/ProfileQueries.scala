@@ -62,6 +62,32 @@ object ProfileQueries extends QueryModule {
         profileCol(li, "l_discount_null", discN, dec4,
           Some(round(dsum($"v") / count($"v"), 6)))
       ).reduce(_ unionAll _)
+    },
+
+    // data-quality expectations (the Great-Expectations-style contract
+    // gate an ingest pipeline runs before accepting a batch): each
+    // rule is a map-side predicate counted in ONE scan of the fact
+    // table, except referential integrity which is one anti-join
+    // (bloom-prunable at scale, see dedup_incremental). Passing rules
+    // report 0 — a pass is as informative as a violation count.
+    "pipe_expectations" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      val scanRules = li.agg(
+        sum(when($"l_orderkey".isNull, 1L).otherwise(0L)).as("not_null_orderkey"),
+        sum(when(!$"l_quantity".between(1, 49), 1L).otherwise(0L)).as("range_quantity"),
+        sum(when(!$"l_returnflag".isin("A", "R"), 1L).otherwise(0L)).as("set_returnflag"),
+        (count(lit(1)) - countDistinct($"l_orderkey" * 10 + $"l_linenumber"))
+          .as("unique_order_line"))
+      val unpivoted = Seq("not_null_orderkey", "range_quantity",
+        "set_returnflag", "unique_order_line").map(r =>
+        scanRules.select(lit(r).as("rule"), col(r).as("n_violations")))
+        .reduce(_ unionAll _)
+      val orphans = li.join(Tables(s, d, "orders"),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+        .select(lit("ref_orders").as("rule"), $"n_violations")
+      unpivoted.unionAll(orphans)
     }
   )
 
@@ -91,6 +117,26 @@ object ProfileQueries extends QueryModule {
         row("l_discount_null", "NULLIF(l_discount, 0.0)", dec4,
           dmean("NULLIF(l_discount, 0.0)"))
       ).mkString(" UNION ALL ")
-    }
+    },
+
+    "pipe_expectations" ->
+      """SELECT 'not_null_orderkey' AS rule,
+           CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations FROM lineitem
+         UNION ALL
+         SELECT 'range_quantity',
+           CAST(SUM(CASE WHEN l_quantity NOT BETWEEN 1 AND 49 THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+         UNION ALL
+         SELECT 'set_returnflag',
+           CAST(SUM(CASE WHEN l_returnflag NOT IN ('A','R') THEN 1 ELSE 0 END) AS BIGINT)
+           FROM lineitem
+         UNION ALL
+         SELECT 'unique_order_line',
+           COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+           FROM lineitem
+         UNION ALL
+         SELECT 'ref_orders', COUNT(*) FROM lineitem
+         WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)"""
   )
 }
