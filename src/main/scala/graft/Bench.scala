@@ -38,7 +38,9 @@ object Bench {
     "sim_cosine_topk",     // brute-force ANN baseline
     "txt_tokens",          // scalar text analysis sweep
     "join_skew_plain",     // 90%-one-key shuffle join, AQE skew split
-    "join_skew_salted"     // same join, explicit x16 salting
+    "join_skew_salted",    // same join, explicit x16 salting
+    "join_bloom_semi",     // bloom-pruned semi join (map-side probe)
+    "pipe_curation"        // end-to-end curation composite
   )
 
   def main(args: Array[String]): Unit = {
