@@ -593,6 +593,29 @@ object AggQueries extends QueryModule {
         .as("spearman_qd"))
     },
 
+    // Tukey-fence outlier detection per group (the describe() +
+    // boolean-mask workflow pandas users run for data cleaning): exact
+    // per-group quartiles -> 1.5*IQR fences broadcast back -> map-side
+    // outlier count. Fences derive from the same exact interpolated
+    // percentiles both engines compute, so boundary comparisons agree
+    // bit-for-bit; two scans, the second joined to a tiny broadcast.
+    "agg_outlier_iqr" -> { (s, d) =>
+      import s.implicits._
+      val q = Tables(s, d, "lineitem").groupBy($"l_returnflag").agg(
+        expr("percentile(l_extendedprice, 0.25)").as("q1"),
+        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+        .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
+        .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
+      Tables(s, d, "lineitem")
+        .join(broadcast(q), Seq("l_returnflag"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when($"l_extendedprice" < $"lo" || $"l_extendedprice" > $"hi",
+            1L).otherwise(0L)).as("n_outliers"),
+          round(min($"lo"), 6).as("fence_lo"),
+          round(max($"hi"), 6).as("fence_hi"))
+    },
+
     // weighted group stats (np.average's weights= / sample-weighted
     // pipelines): wmean = S(w*x)/S(w), wvar = S(w*x^2)/S(w) - wmean^2.
     // The second moment's terms reach ~1e13 with 8 true decimals —
@@ -1062,6 +1085,25 @@ object AggQueries extends QueryModule {
          ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(o_totalprice)), 4) AS geomean_price,
          COUNT(*) AS n
          FROM orders GROUP BY o_orderstatus""",
+
+    "agg_outlier_iqr" ->
+      """WITH q AS (
+           SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.25) AS q1,
+             quantile_cont(l_extendedprice, 0.75) AS q3
+           FROM lineitem GROUP BY 1),
+         f AS (
+           SELECT l_returnflag,
+             q1 - 1.5 * (q3 - q1) AS lo,
+             q3 + 1.5 * (q3 - q1) AS hi
+           FROM q)
+         SELECT l.l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN l_extendedprice < lo OR l_extendedprice > hi
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ROUND(MIN(lo), 6) AS fence_lo,
+           ROUND(MAX(hi), 6) AS fence_hi
+         FROM lineitem l JOIN f USING (l_returnflag)
+         GROUP BY 1""",
 
     "agg_weighted_stats" ->
       """WITH b AS (

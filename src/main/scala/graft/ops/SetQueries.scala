@@ -230,10 +230,54 @@ object SetQueries extends QueryModule {
           least(greatest($"o_totalprice", lit(10000.0)), lit(450000.0)))
         .filter($"o_totalprice" =!= $"other")
         .select($"o_orderkey", $"o_totalprice".as("self"), $"other")
+    },
+
+    // SCD2 dimension merge (the warehouse form of pandas' update/
+    // combine_first workflow): current rows are version 1, an update
+    // batch (changed balances + brand-new keys) is version 2; each
+    // key's history closes via lead(version) — updated keys get their
+    // v1 row closed and v2 open, untouched/inserted keys stay open.
+    // One shuffle by key; versions per key are tiny, so the window
+    // state is O(1) and the plan scales with the dimension, not its
+    // history depth.
+    "set_scd2" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables(s, d, "customer")
+      val v1 = cust.select($"c_custkey".as("k"),
+        $"c_acctbal".as("bal"), lit(1L).as("version"))
+      val updates = cust.filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey".as("k"),
+          ($"c_acctbal" + 100.0).as("bal"), lit(2L).as("version"))
+      val inserts = cust.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 1000000L).as("k"),
+          $"c_acctbal".as("bal"), lit(2L).as("version"))
+      val w = Window.partitionBy($"k").orderBy($"version")
+      v1.unionAll(updates).unionAll(inserts)
+        .select($"k", $"version", $"bal",
+          lead($"version", 1).over(w).as("valid_to"),
+          lead($"version", 1).over(w).isNull.as("is_current"))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "set_scd2" ->
+      """WITH v1 AS (
+           SELECT c_custkey AS k, c_acctbal AS bal, CAST(1 AS BIGINT) AS version
+           FROM customer),
+         up AS (
+           SELECT c_custkey AS k, c_acctbal + 100.0 AS bal, CAST(2 AS BIGINT) AS version
+           FROM customer WHERE c_custkey % 7 = 0),
+         ins AS (
+           SELECT c_custkey + 1000000 AS k, c_acctbal AS bal, CAST(2 AS BIGINT) AS version
+           FROM customer WHERE c_custkey % 13 = 0),
+         a AS (
+           SELECT * FROM v1 UNION ALL SELECT * FROM up
+           UNION ALL SELECT * FROM ins)
+         SELECT k, version, bal,
+           LEAD(version) OVER (PARTITION BY k ORDER BY version) AS valid_to,
+           LEAD(version) OVER (PARTITION BY k ORDER BY version) IS NULL AS is_current
+         FROM a""",
+
     "set_nlargest" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50""",
