@@ -427,6 +427,30 @@ object JoinQueries extends QueryModule {
         last($"purch_val", ignoreNulls = true).over(w).as("purch_ff"))
     },
 
+    // TPC-H Q21-shaped correlated EXISTS / NOT EXISTS composite (the
+    // hardest classic multi-join shape; pandas users express it as
+    // chained isin/merge masks): late lines that share an order with
+    // ANOTHER supplier's line (semi, equi + non-equi conjunct) but
+    // with NO other supplier late in that order (anti, same shape).
+    // Both subqueries hash-join on the order key with the supplier
+    // inequality as a residual condition — no nested loop.
+    "join_exists_notexists" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      val late = li.filter($"l_shipdate" > lit("2000-01-01").cast("timestamp"))
+        .select($"l_orderkey", $"l_suppkey")
+      val others = li.select($"l_orderkey".as("b_ok"), $"l_suppkey".as("b_sk"))
+      val lateOthers = late.select($"l_orderkey".as("c_ok"), $"l_suppkey".as("c_sk"))
+      late
+        .join(others, $"l_orderkey" === $"b_ok" && $"l_suppkey" =!= $"b_sk",
+          "left_semi")
+        .join(lateOthers, $"l_orderkey" === $"c_ok" && $"l_suppkey" =!= $"c_sk",
+          "left_anti")
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n_waiting"))
+        .filter($"n_waiting" >= 5)
+    },
+
     // Bloom-pruned semi join (functions/BloomExprs.scala): build side
     // too big to broadcast-hash at 100 TB but tiny as a sketch; the
     // probe side is pre-filtered map-side INSIDE its scan stage, so
@@ -497,6 +521,21 @@ object JoinQueries extends QueryModule {
     "join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+
+    "join_exists_notexists" ->
+      """WITH late AS (
+           SELECT l_orderkey, l_suppkey FROM lineitem
+           WHERE l_shipdate > TIMESTAMP '2000-01-01')
+         SELECT l_suppkey, COUNT(*) AS n_waiting FROM late a
+         WHERE EXISTS (
+             SELECT 1 FROM lineitem b
+             WHERE b.l_orderkey = a.l_orderkey
+               AND b.l_suppkey <> a.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM late c
+             WHERE c.l_orderkey = a.l_orderkey
+               AND c.l_suppkey <> a.l_suppkey)
+         GROUP BY 1 HAVING COUNT(*) >= 5""",
 
     "join_bloom_semi" ->
       """SELECT l_returnflag, COUNT(*) AS n_lines,
