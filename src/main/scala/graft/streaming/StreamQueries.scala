@@ -189,6 +189,30 @@ object StreamQueries extends QueryModule {
       runToMemory(s, out, OutputMode.Append())
     },
 
+    // streaming suppression against a static denylist with a bloom
+    // gate (the streaming face of dedup_incremental): the serialized
+    // filter rides into every micro-batch as a literal, so
+    // bloom-negative events pass in the scan stage with no join at
+    // all; only candidates (denylisted + fpp tail) pay the
+    // stream-static anti-join. Exact result = plain NOT IN oracle.
+    "stream_bloom_suppress" -> { (s, d) =>
+      import s.implicits._
+      val denied = graft.Tables(s, d, "events")
+        .filter($"value" > 250.0).select($"user_id").distinct()
+      val bytes = graft.functions.BloomExprs.buildBytes(
+        denied, "user_id", denied.count())
+      graft.functions.BloomExprs.register(s)
+      val ev = eventsStream(s, d)
+      val probe = call_function("graft_bloom_contains",
+        lit(bytes), $"user_id")
+      val neg = ev.filter(!probe)
+      val cand = ev.filter(probe).join(denied, Seq("user_id"), "left_anti")
+      val out = neg.unionByName(cand)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("sum_value"))
+      runToMemory(s, out, OutputMode.Complete())
+    },
+
     // stateful per-user recursion via flatMapGroupsWithState: final
     // EWM(adjust=false, alpha=0.1) per user — state carries across
     // micro-batches in the state store
@@ -291,6 +315,14 @@ object StreamQueries extends QueryModule {
 
     "stream_dedup_keys" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
+
+    "stream_bloom_suppress" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+         CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+         FROM events
+         WHERE user_id NOT IN (
+           SELECT DISTINCT user_id FROM events WHERE "value" > 250.0)
+         GROUP BY 1""",
 
     "stream_stateful_ewm" ->
       """WITH RECURSIVE r AS (
