@@ -84,30 +84,6 @@ object PackQueries extends QueryModule {
 
     // contiguous token-budget packing per source, ordered by doc_id:
     // bin = floor(starting-token-offset / budget)
-    // RAG-style overlapping chunking: token windows of size 32 with
-    // stride 24 (8-token overlap) per document, emitted map-side by
-    // exploding the per-doc chunk index — no shuffle at all; chunk
-    // content is pinned by md5 so the oracle checks exact text, not
-    // just counts. chunk_count = 1 + ceil((n-C)/S) guarantees full
-    // coverage with a final short chunk of >C-S tokens.
-    "pipe_chunk_overlap" -> { (s, d) =>
-      import s.implicits._
-      val C = 32
-      val S = 24
-      val base = Tables(s, d, "documents")
-        .select($"doc_id", words.as("ws"), size(words).cast("long").as("n"))
-        .withColumn("nc",
-          when($"n" <= C, 1L).otherwise(
-            lit(1L) + ceil(($"n" - C).cast("double") / S).cast("long")))
-        .withColumn("k", explode(sequence(lit(0L), $"nc" - 1)))
-      base.select($"doc_id", $"k".as("chunk_id"),
-        least(lit(C.toLong), $"n" - $"k" * S).as("n_chunk_tok"),
-        md5(array_join(
-          slice($"ws", ($"k" * S + 1).cast("int"),
-            least(lit(C.toLong), $"n" - $"k" * S).cast("int")), " "))
-          .as("chunk_md5"))
-    },
-
     "pipe_pack_sequences" -> { (s, d) =>
       import s.implicits._
       val w = Window.partitionBy($"source").orderBy($"doc_id")
@@ -191,23 +167,6 @@ object PackQueries extends QueryModule {
                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
           FROM t GROUP BY 1, 2, 3""",
-
-    "pipe_chunk_overlap" ->
-      """WITH d AS (
-           SELECT doc_id, string_split(text, ' ') AS ws,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
-           FROM documents),
-         ks AS (
-           SELECT doc_id, ws, n,
-             unnest(range(0, CASE WHEN n <= 32 THEN 1
-               ELSE 1 + CAST(ceil((n - 32) / 24.0) AS BIGINT) END)) AS k
-           FROM d)
-         SELECT doc_id, k AS chunk_id,
-           LEAST(32, n - k * 24) AS n_chunk_tok,
-           md5(array_to_string(
-             list_slice(ws, k * 24 + 1, k * 24 + LEAST(32, n - k * 24)),
-             ' ')) AS chunk_md5
-         FROM ks""",
 
     "pipe_pack_sequences" ->
       s"""WITH t AS (
