@@ -616,6 +616,33 @@ object AggQueries extends QueryModule {
           round(max($"hi"), 6).as("fence_hi"))
     },
 
+    // per-group OLS trend (the groupby().apply(np.polyfit) workflow):
+    // y = value over x = days-since-epoch-base per user. x and y are
+    // rounded onto exact narrow decimals first, so all moment sums are
+    // order-free and bit-equal; slope/intercept then recompute from
+    // identical doubles with the same closed form on both engines
+    // (normal equations — same discipline as agg_spearman_grouped).
+    "agg_group_ols" -> { (s, d) =>
+      import s.implicits._
+      val baseUs = 1704067200000000L // 2024-01-01 UTC
+      val ev = Tables(s, d, "events").select($"user_id",
+        round((unix_micros($"ts") - baseUs) / 86400e6, 4)
+          .cast("decimal(10,4)").as("x"),
+        $"value".cast("decimal(10,4)").as("y"))
+      val m = ev.groupBy($"user_id").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum($"x").cast("double").as("sx"),
+        sum($"y").cast("double").as("sy"),
+        sum($"x" * $"y").cast("double").as("sxy"),
+        sum($"x" * $"x").cast("double").as("sxx"))
+        .filter($"n" >= 10)
+        .withColumn("slope_raw",
+          ($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+      m.select($"user_id", $"n".cast("long").as("n_events"),
+        round($"slope_raw", 6).as("slope"),
+        round(($"sy" - $"slope_raw" * $"sx") / $"n", 6).as("intercept"))
+    },
+
     // weighted group stats (np.average's weights= / sample-weighted
     // pipelines): wmean = S(w*x)/S(w), wvar = S(w*x^2)/S(w) - wmean^2.
     // The second moment's terms reach ~1e13 with 8 true decimals —
@@ -1085,6 +1112,29 @@ object AggQueries extends QueryModule {
          ROUND(EXP(SUM(LN(o_totalprice)) / COUNT(o_totalprice)), 4) AS geomean_price,
          COUNT(*) AS n
          FROM orders GROUP BY o_orderstatus""",
+
+    "agg_group_ols" ->
+      """WITH b AS (
+           SELECT user_id,
+             CAST(ROUND((epoch_us(ts) - 1704067200000000) / 86400000000.0, 4)
+               AS DECIMAL(10,4)) AS x,
+             CAST("value" AS DECIMAL(10,4)) AS y
+           FROM events),
+         m AS (
+           SELECT user_id,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+           FROM b GROUP BY 1 HAVING COUNT(*) >= 10),
+         sl AS (
+           SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope_raw
+           FROM m)
+         SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           ROUND(slope_raw, 6) AS slope,
+           ROUND((sy - slope_raw * sx) / n, 6) AS intercept
+         FROM sl""",
 
     "agg_outlier_iqr" ->
       """WITH q AS (
