@@ -427,6 +427,60 @@ object JoinQueries extends QueryModule {
         last($"purch_val", ignoreNulls = true).over(w).as("purch_ff"))
     },
 
+    // TPC-H Q3 (shipping priority): segment-filtered customer ->
+    // orders -> lineitem, revenue per order, top-10. Revenue terms are
+    // exact narrow decimals ((11,4) price x (6,4) discount complement
+    // stays on DuckDB's int64 multiply path), so ordering by revenue
+    // is ulp-safe; orderkey tiebreaks pin the limit boundary.
+    "q3_shipping_priority" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables(s, d, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = Tables(s, d, "orders")
+        .filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+      val li = Tables(s, d, "lineitem")
+        .filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+        .select($"l_orderkey",
+          ($"l_extendedprice".cast("decimal(11,4)") *
+            (lit(1.0) - $"l_discount").cast("decimal(6,4)")).as("rev"))
+      ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(li, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+        .limit(10)
+    },
+
+    // TPC-H Q5 (local supplier volume): six-table star with the
+    // customer-nation = supplier-nation "local" condition; dims
+    // broadcast, the fact shuffles once per fact-fact join.
+    "q5_local_volume" -> { (s, d) =>
+      import s.implicits._
+      val asia = Tables(s, d, "region").filter($"r_name" === "ASIA")
+      val nat = Tables(s, d, "nation")
+        .join(broadcast(asia), $"n_regionkey" === $"r_regionkey")
+        .select($"n_nationkey", $"n_name")
+      val sup = Tables(s, d, "supplier")
+        .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_nationkey", $"n_name")
+      val cust = Tables(s, d, "customer").select($"c_custkey", $"c_nationkey")
+      val ord = Tables(s, d, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val li = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_suppkey",
+          ($"l_extendedprice".cast("decimal(11,4)") *
+            (lit(1.0) - $"l_discount").cast("decimal(6,4)")).as("rev"))
+      li.join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+    },
+
     // TPC-H Q21-shaped correlated EXISTS / NOT EXISTS composite (the
     // hardest classic multi-join shape; pandas users express it as
     // chained isin/merge masks): late lines that share an order with
@@ -521,6 +575,32 @@ object JoinQueries extends QueryModule {
     "join_semi" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)""",
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+             CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+         FROM customer, orders, lineitem
+         WHERE c_mktsegment = 'BUILDING'
+           AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND o_orderdate < TIMESTAMP '1998-01-01'
+           AND l_shipdate > TIMESTAMP '1998-01-01'
+         GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         ORDER BY revenue DESC, o_orderdate, l_orderkey
+         LIMIT 10""",
+
+    "q5_local_volume" ->
+      """SELECT n_name,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+             CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+         FROM customer, orders, lineitem, supplier, nation, region
+         WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+           AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+           AND r_name = 'ASIA'
+           AND o_orderdate >= TIMESTAMP '1996-01-01'
+           AND o_orderdate < TIMESTAMP '1997-01-01'
+         GROUP BY n_name""",
 
     "join_exists_notexists" ->
       """WITH late AS (
