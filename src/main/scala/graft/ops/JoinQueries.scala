@@ -481,6 +481,41 @@ object JoinQueries extends QueryModule {
         .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
     },
 
+    // TPC-H Q13 (customer distribution): double aggregation — orders
+    // per customer via left join, then the histogram of those counts.
+    // Both aggregations partial-combine; the second runs over a frame
+    // already reduced to one row per customer.
+    "q13_cust_distribution" -> { (s, d) =>
+      import s.implicits._
+      val ord = Tables(s, d, "orders")
+        .filter($"o_orderpriority" =!= "1-URGENT")
+        .select($"o_custkey", $"o_orderkey")
+      Tables(s, d, "customer").select($"c_custkey")
+        .join(ord, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // TPC-H Q18 (large-volume orders): IN-subquery with HAVING over
+    // the fact table — planned as an aggregate-then-semi-join, the
+    // fact scans twice but never explodes.
+    "q18_large_orders" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      val big = li.groupBy($"l_orderkey")
+        .agg(sum($"l_quantity".cast("decimal(18,4)")).as("qty"))
+        .filter($"qty" > 300).select($"l_orderkey".as("big_ok"))
+      val ord = Tables(s, d, "orders")
+        .join(big, $"o_orderkey" === $"big_ok", "left_semi")
+      ord.join(Tables(s, d, "customer"), $"o_custkey" === $"c_custkey")
+        .join(li, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"c_name", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+        .agg(sum($"l_quantity".cast("decimal(18,4)")).cast("double")
+          .as("sum_qty"))
+    },
+
     // TPC-H Q21-shaped correlated EXISTS / NOT EXISTS composite (the
     // hardest classic multi-join shape; pandas users express it as
     // chained isin/merge masks): late lines that share an order with
@@ -601,6 +636,27 @@ object JoinQueries extends QueryModule {
            AND o_orderdate >= TIMESTAMP '1996-01-01'
            AND o_orderdate < TIMESTAMP '1997-01-01'
          GROUP BY n_name""",
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+           SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           FROM customer LEFT JOIN (
+             SELECT o_custkey, o_orderkey FROM orders
+             WHERE o_orderpriority <> '1-URGENT') o
+           ON c_custkey = o_custkey
+           GROUP BY c_custkey)
+         GROUP BY c_count""",
+
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+         FROM customer, orders, lineitem
+         WHERE o_orderkey IN (
+             SELECT l_orderkey FROM lineitem
+             GROUP BY l_orderkey
+             HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300)
+           AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+         GROUP BY c_name, o_orderkey, o_orderdate, o_totalprice""",
 
     "join_exists_notexists" ->
       """WITH late AS (
