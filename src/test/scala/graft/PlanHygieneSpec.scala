@@ -96,6 +96,17 @@ class PlanHygieneSpec extends SparkSpec {
       "bloom probe must pre-filter the scan, not run above the join")
   }
 
+  test("TPC-H composites: dims broadcast, fact shuffles only fact-fact") {
+    val q3 = executed("q3_shipping_priority")
+    assert(q3.contains("BroadcastHashJoin"),
+      "q3: filtered customer keys must broadcast")
+    val q5 = executed("q5_local_volume")
+    assert(q5.contains("BroadcastHashJoin"), "q5: dims must broadcast")
+    assert(!q5.contains("CartesianProduct") &&
+      !q5.contains("BroadcastNestedLoopJoin"),
+      "q5: the local-supplier condition must ride an equi-join, not a theta join")
+  }
+
   test("skew pair: plain stays declarative SMJ, salted carries the salt key") {
     val plain = executed("join_skew_plain")
     assert(plain.contains("SortMergeJoin") || plain.contains("ShuffledHashJoin"),
