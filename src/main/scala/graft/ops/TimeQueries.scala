@@ -28,6 +28,25 @@ object TimeQueries extends QueryModule {
           dmean($"value").as("mean_val"))
     },
 
+    // cohort retention matrix (the classic pandas pivot workload:
+    // first-seen week = cohort, active users per week offset). Two
+    // aggregations + one user-keyed join; both weeks are Monday
+    // truncs, so the day gap is an exact multiple of 7 in both
+    // engines. The result is cohort-count-sized — a broadcastable
+    // report no matter the event volume.
+    "ts_cohort_retention" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"user_id", date_trunc("week", $"ts").as("wk"))
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort"))
+      ev.distinct()
+        .join(cohort, Seq("user_id"))
+        .select($"user_id", $"cohort",
+          (datediff($"wk", $"cohort") / 7).cast("long").as("week_offset"))
+        .groupBy($"cohort".cast("date").as("cohort"), $"week_offset")
+        .agg(countDistinct($"user_id").as("n_users"))
+    },
+
     // groupby('user_id').resample('D') (resample.py:119 via
     // groupby.resample): per-key time bins — the keyed form of
     // ts_resample_day. One shuffle on (user, day); partial aggregates
@@ -376,6 +395,18 @@ object TimeQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_cohort_retention" ->
+      """WITH ev AS (
+           SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+         c AS (
+           SELECT user_id, MIN(wk) AS cohort FROM ev GROUP BY 1)
+         SELECT CAST(c.cohort AS DATE) AS cohort,
+           CAST((CAST(ev.wk AS DATE) - CAST(c.cohort AS DATE)) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN c USING (user_id)
+         GROUP BY 1, 2""",
+
     "ts_resample_day" ->
       """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n,
          CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
