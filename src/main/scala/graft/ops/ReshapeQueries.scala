@@ -56,6 +56,22 @@ object ReshapeQueries extends QueryModule {
           $"n", $"rev")
     },
 
+    // full CUBE with grouping-set ids (beyond pandas — margins along
+    // EVERY dimension combination in one pass; one Expand + one
+    // shuffle, partial aggregation intact). grouping_id() labels each
+    // stratum so the flat output stays self-describing.
+    "rs_cube" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "orders")
+        .cube($"o_orderpriority", $"o_orderstatus")
+        .agg(grouping_id($"o_orderpriority", $"o_orderstatus").as("gid"),
+          count(lit(1)).as("n"), dsum($"o_totalprice").as("rev"))
+        .select(
+          coalesce($"o_orderpriority", lit("All")).as("priority"),
+          coalesce($"o_orderstatus", lit("All")).as("status"),
+          $"gid", $"n", $"rev")
+    },
+
     // pivot_table with multiple values / aggfuncs (pivot.py:59,
     // aggfunc dict + values list): one groupBy().pivot().agg(...)
     // with several aggregates — still ONE shuffle; Spark names the
@@ -427,6 +443,14 @@ object ReshapeQueries extends QueryModule {
          COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
          FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""",
+
+    "rs_cube" ->
+      """SELECT COALESCE(o_orderpriority, 'All') AS priority,
+         COALESCE(o_orderstatus, 'All') AS status,
+         GROUPING(o_orderpriority, o_orderstatus) AS gid,
+         COUNT(*) AS n,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev
+         FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""",
 
     "rs_crosstab" -> {
       val cols = (0 to 24)
