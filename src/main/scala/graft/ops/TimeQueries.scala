@@ -28,6 +28,33 @@ object TimeQueries extends QueryModule {
           dmean($"value").as("mean_val"))
     },
 
+    // conversion funnel (first click -> first purchase within 24h per
+    // user): the sequential-pattern report pandas users build from
+    // chained groupby-min + merge + mask. Two tiny per-user aggregates
+    // joined on the key; delays stay integer micros until the final
+    // exact-decimal mean, so the report is bit-stable.
+    "ts_funnel" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"ts").as("first_click"))
+      val conv = ev.filter($"event_type" === "purchase")
+        .join(clicks, Seq("user_id"))
+        .filter($"ts" >= $"first_click" &&
+          unix_micros($"ts") - unix_micros($"first_click") <= 86400000000L)
+        .groupBy($"user_id").agg(min($"ts").as("first_purchase"),
+          min($"first_click").as("fc"))
+        .select($"user_id",
+          (unix_micros($"first_purchase") - unix_micros($"fc")).as("delay_us"))
+      val nClick = clicks.agg(count(lit(1)).as("n_users_click"))
+      val agg = conv.agg(count(lit(1)).as("n_converted"),
+        sum($"delay_us".cast("decimal(38,0)")).as("sum_delay"))
+      nClick.crossJoin(agg).select($"n_users_click", $"n_converted",
+        round($"n_converted".cast("double") / $"n_users_click", 6).as("conv_rate"),
+        round(($"sum_delay".cast("double") / $"n_converted") / 60000000.0, 4)
+          .as("mean_delay_min"))
+    },
+
     // cohort retention matrix (the classic pandas pivot workload:
     // first-seen week = cohort, active users per week offset). Two
     // aggregations + one user-keyed join; both weeks are Monday
@@ -395,6 +422,28 @@ object TimeQueries extends QueryModule {
   )
 
   def oracle: Map[String, String] = Map(
+    "ts_funnel" ->
+      """WITH c AS (
+           SELECT user_id, MIN(ts) AS first_click FROM events
+           WHERE event_type = 'click' GROUP BY 1),
+         conv AS (
+           SELECT e.user_id,
+             epoch_us(MIN(e.ts)) - epoch_us(MIN(c.first_click)) AS delay_us
+           FROM events e JOIN c USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+             AND epoch_us(e.ts) - epoch_us(c.first_click) <= 86400000000
+           GROUP BY 1),
+         agg AS (
+           SELECT COUNT(*) AS n_converted,
+             SUM(CAST(delay_us AS DECIMAL(38,0))) AS sum_delay
+           FROM conv),
+         nc AS (SELECT COUNT(*) AS n_users_click FROM c)
+         SELECT nc.n_users_click, agg.n_converted,
+           ROUND(CAST(agg.n_converted AS DOUBLE) / nc.n_users_click, 6) AS conv_rate,
+           ROUND((CAST(agg.sum_delay AS DOUBLE) / agg.n_converted) / 60000000.0, 4)
+             AS mean_delay_min
+         FROM nc CROSS JOIN agg""",
+
     "ts_cohort_retention" ->
       """WITH ev AS (
            SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
