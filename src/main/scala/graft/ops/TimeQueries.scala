@@ -651,7 +651,7 @@ object TimeQueries extends QueryModule {
          SELECT user_id, COUNT(*) AS n_gaps,
            CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
            MAX(gap_us) AS max_gap_us,
-           SUM(gap_us) / COUNT(*) / 1000000.0 AS mean_gap_sec
+           CAST(SUM(gap_us) AS BIGINT) / COUNT(*) / 1000000.0 AS mean_gap_sec
          FROM g WHERE gap_us IS NOT NULL GROUP BY 1""",
 
     "ts_date_range" ->

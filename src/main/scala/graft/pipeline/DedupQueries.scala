@@ -496,7 +496,7 @@ object DedupQueries extends QueryModule {
              FROM dup),
            isl2 AS (
              SELECT doc_id, n_chars, off,
-               SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY off) AS isl
+               CAST(SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY off) AS BIGINT) AS isl
              FROM isl),
            m AS (
              SELECT doc_id, n_chars, isl,

@@ -157,9 +157,9 @@ object PackQueries extends QueryModule {
       s"""WITH t AS (
             SELECT source, doc_id % 4 AS shard, doc_id,
               len(string_split(text, ' ')) AS n_tok,
-              SUM(len(string_split(text, ' '))) OVER (
+              CAST(SUM(len(string_split(text, ' '))) OVER (
                 PARTITION BY source, doc_id % 4 ORDER BY doc_id
-                ROWS UNBOUNDED PRECEDING) AS cum
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
             FROM documents)
           SELECT source, shard,
                  CAST(floor((cum - n_tok) / $Budget.0) AS BIGINT) AS bin,
@@ -172,9 +172,9 @@ object PackQueries extends QueryModule {
       s"""WITH t AS (
             SELECT source, doc_id,
               len(string_split(text, ' ')) AS n_tok,
-              SUM(len(string_split(text, ' '))) OVER (
+              CAST(SUM(len(string_split(text, ' '))) OVER (
                 PARTITION BY source ORDER BY doc_id
-                ROWS UNBOUNDED PRECEDING) AS cum
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
             FROM documents)
           SELECT source, CAST(floor((cum - n_tok) / $Budget.0) AS BIGINT) AS bin,
                  CAST(COUNT(*) AS BIGINT) AS n_docs,

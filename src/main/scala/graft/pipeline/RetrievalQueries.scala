@@ -243,9 +243,9 @@ object RetrievalQueries extends QueryModule {
            FROM documents),
          c AS (
            SELECT source, doc_id, n_tok,
-             SUM(n_tok) OVER (PARTITION BY source
+             CAST(SUM(n_tok) OVER (PARTITION BY source
                ORDER BY n_tok DESC, doc_id ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
            FROM t)
          SELECT source, doc_id, n_tok, cum_tok FROM c WHERE cum_tok <= 2000""",
 

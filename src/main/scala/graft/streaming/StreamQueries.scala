@@ -298,8 +298,8 @@ object StreamQueries extends QueryModule {
            WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          s AS (
            SELECT user_id, ts, "value",
-             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
-               ROWS UNBOUNDED PRECEDING) AS sid
+             CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
            FROM o),
          g AS (
            SELECT user_id, MIN(ts) AS sess_start,

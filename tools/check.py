@@ -67,6 +67,26 @@ def main():
             n_fail += 1
             print(f"  [FAIL-cols] {name}: got {sorted(got_names)} want {sorted(exp_names)}")
             continue
+        # the driver's compare is TYPE-sensitive (DuckDB SUM(int) ->
+        # HUGEINT has bitten twice); surface per-column type diffs that
+        # the stringified hash below cannot see. Parquet-roundtrip
+        # artifacts (decimal precision, timestamp unit) are normalized.
+        def _ty(desc):
+            out = {}
+            for c in desc:
+                t = str(c[1]).upper()
+                if t.startswith("DECIMAL"):
+                    t = "DECIMAL"
+                if t.startswith("TIMESTAMP"):
+                    t = "TIMESTAMP"
+                out[c[0]] = t
+            return out
+        gt, et = _ty(got.description), _ty(exp.description)
+        tdiff = [f"{c}: got {gt[c]} want {et[c]}" for c in sorted(gt) if gt[c] != et[c]]
+        if tdiff:
+            n_fail += 1
+            print(f"  [FAIL-type] {name}: " + "; ".join(tdiff))
+            continue
         if len(got_rows) != len(exp_rows):
             n_fail += 1
             print(f"  [FAIL-rows] {name}: got {len(got_rows)} want {len(exp_rows)}")
