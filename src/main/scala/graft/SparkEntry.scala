@@ -12,6 +12,7 @@ object SparkEntry {
     AggQueries,
     SelectQueries,
     JoinQueries,
+    TpchQueries,
     WindowQueries,
     NaQueries,
     SetQueries,

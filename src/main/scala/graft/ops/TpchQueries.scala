@@ -252,10 +252,13 @@ object TpchQueries extends QueryModule {
     },
 
     // Q22 (global sales opportunity): customers above the positive-
-    // balance average with no orders at all — scalar aggregate
+    // balance average with no recent orders — scalar aggregate
     // broadcast as the threshold, then an anti join, then a
     // per-nation rollup. The average divides two exact quantities, so
-    // both engines compare against the identical double.
+    // both engines compare against the identical double. (The classic
+    // "no orders at all" form is degenerate on this fixture — every
+    // customer has at least one order — so the anti join is against
+    // the final-year order book, same plan shape, non-empty result.)
     "q22_global_sales" -> { (s, d) =>
       import s.implicits._
       val cand = Tables(s, d, "customer")
@@ -263,9 +266,11 @@ object TpchQueries extends QueryModule {
       val avgPos = cand.filter($"c_acctbal" > 0)
         .agg((sum($"c_acctbal".cast("decimal(18,4)")).cast("double") /
           count(lit(1))).as("ab"))
+      val recent = Tables(s, d, "orders")
+        .filter($"o_orderdate" >= lit("2001-01-01").cast("timestamp"))
+        .select($"o_custkey")
       cand.join(broadcast(avgPos), $"c_acctbal" > $"ab")
-        .join(Tables(s, d, "orders").select($"o_custkey"),
-          $"c_custkey" === $"o_custkey", "left_anti")
+        .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_nationkey".cast("long").as("cntry"))
         .agg(count(lit(1)).as("numcust"),
           round(sum($"c_acctbal".cast("decimal(18,4)")).cast("double"), 4)
@@ -419,7 +424,9 @@ object TpchQueries extends QueryModule {
              AS totacctbal
          FROM cand, ab
          WHERE c_acctbal > ab
-           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+           AND c_custkey NOT IN (
+             SELECT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '2001-01-01')
          GROUP BY 1"""
   )
 }

@@ -25,6 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries extends QueryModule {
 
+  /** The codec oracle equivalences assume ASCII text: Spark measures
+    * UTF-8 bytes and UTF-16 chars while the DuckDB oracle counts code
+    * points, and the WAV synth `(c - 79) * 256` overflows signed
+    * 16-bit PCM for any code point >= 207. The current fixtures are
+    * ASCII (code points 32..121); if a fixture ever gains non-ASCII
+    * text this throws with the offending doc instead of silently
+    * hash-mismatching against the oracle. */
+  private def requireAscii(id: Long, text: String): String = {
+    var i = 0
+    while (i < text.length) {
+      if (text.charAt(i) >= 128)
+        throw new IllegalArgumentException(
+          s"mm_* codec queries require ASCII text; doc $id has code " +
+            s"point ${text.charAt(i).toInt} at char $i")
+      i += 1
+    }
+    text
+  }
+
   def queries: Map[String, Q] = Map(
     // binary payload + typed metadata (octet length, content digest) —
     // the storage schema for opaque media blobs
@@ -113,7 +132,7 @@ object MultimodalQueries extends QueryModule {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
-            val bytes = text.getBytes("UTF-8")
+            val bytes = requireAscii(id, text).getBytes("UTF-8")
             val png = MediaCodec.encodeGrayPng(bytes)
             val (w, h, px) = MediaCodec.decodePng(png)
             var sum = 0L; var fp = 0L; var i = 0
@@ -139,7 +158,7 @@ object MultimodalQueries extends QueryModule {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
-            val bytes = text.getBytes("UTF-8")
+            val bytes = requireAscii(id, text).getBytes("UTF-8")
             val (w, h, px) = MediaCodec.decodePng(MediaCodec.encodeGrayPng(bytes))
             val (rw, rh, rpx) = MediaCodec.downsample2x(w, h, px)
             var sum = 0L; var fp = 0L; var i = 0
@@ -164,7 +183,7 @@ object MultimodalQueries extends QueryModule {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.map { case (id, text) =>
-            val samples = text.map(c => (c.toInt - 79) * 256).toArray
+            val samples = requireAscii(id, text).map(c => (c.toInt - 79) * 256).toArray
             val (rate, back) = MediaCodec.decodeWav(MediaCodec.encodeWav(samples))
             var sum = 0L; var fp = 0L; var amax = 0L; var i = 0
             while (i < back.length) {

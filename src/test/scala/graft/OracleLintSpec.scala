@@ -57,7 +57,9 @@ class OracleLintSpec extends AnyFunSuite {
     val a = arg.toLowerCase
     a.matches("(?s).*\\bas\\s+(double|decimal|float|real).*") ||
       a.matches("(?s).*\\d\\.\\d.*") ||
-      a.contains("/") ||
+      // '/' promotes to DOUBLE in DuckDB, but '//' is integer division
+      // and stays integral — strip it first so SUM(x // 2) still lints
+      a.replace("//", "").contains("/") ||
       doubleFuncs.exists(a.contains) ||
       doubleCols.exists(c => a.matches(s"(?s).*\\b$c\\b.*"))
   }
