@@ -20,6 +20,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val s = SparkSession.builder()
         .master("local[4]")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .withExtensions(new GraftExtensions)
         .getOrCreate()
       assert(s ne base, "extensions test needs a fresh session")
