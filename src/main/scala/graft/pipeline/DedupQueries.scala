@@ -112,28 +112,94 @@ object DedupQueries extends QueryModule {
 
   /** same pipeline over an arbitrary (doc_id, text) frame — reused by
     * CurationQueries, whose near-dedup step runs on the already
-    * quality/langid-filtered corpus */
-  private[pipeline] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    * quality/langid-filtered corpus.
+    *
+    * Two scale defenses beyond the plain band-bucket join:
+    *
+    * 1. Exact-content collapse. Docs with an identical shingle-hash
+    *    array band identically and verify to jaccard 1.0 against each
+    *    other, so LSH runs on ONE representative per distinct content
+    *    and the copy pairs are reconstituted afterwards by two narrow
+    *    joins on (doc_id, rep). A boilerplate-heavy corpus (or an
+    *    exact-duplicated one, like the replicated sf10 stress set,
+    *    where every doc has R copies) would otherwise square the
+    *    candidate join: R copies x R copies per original pair. The
+    *    collapse makes verify work scale with DISTINCT content; the
+    *    output (inherently quadratic in copy count) is produced by the
+    *    expansion joins without touching a shingle array.
+    *
+    * 2. Hot-band cap. A degenerate band key shared by many DISTINCT
+    *    contents still makes one bucket quadratic. Band-key frequency
+    *    (one window over the exploded keys, counted over
+    *    representatives, so exact copies never trip it) above
+    *    `graft.lsh.hotBandCap` (default 5000) fails the query loudly
+    *    via raise_error — a silent O(cap^2)-per-bucket surprise at
+    *    100 TB is worse than a diagnosable error. Setting
+    *    `graft.lsh.hotBandPolicy=drop` instead skips those buckets
+    *    (standard production LSH behavior: members of a degenerate
+    *    bucket are boilerplate near-dups of each other and belong to
+    *    the exact/segment-dedup path; other bands still recover their
+    *    genuine near-dup pairs).
+    */
+  private[graft] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     graft.functions.MinHashExprs.register(s)
-    val sig = docs
-      .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+    val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
+    val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
+
+    // exact-content collapse: rep = min doc_id per distinct hash array
+    val sig0 = docs.select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+    val mapped = sig0
+      .withColumn("rep", min($"doc_id").over(Window.partitionBy($"sh")))
+      .withColumn("n_sh", coalesce(size($"sh"), lit(0)))
+    val mapping = mapped.select($"doc_id", $"rep", $"n_sh").cache()
+    val reps = mapped.filter($"doc_id" === $"rep")
       .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
       .cache()
-    val keys = sig.select($"doc_id", posexplode($"bands"))
+
+    val keys0 = reps.select($"doc_id", posexplode($"bands"))
       .toDF("doc_id", "bidx", "bk")
+    val bfreq = count(lit(1)).over(Window.partitionBy($"bidx", $"bk"))
+    // the cap check is fused into the join key so column pruning can
+    // never optimize it away; raise_error fires inside the exchange
+    // stage, before any quadratic work happens
+    val keys = policy match {
+      case "drop" => keys0.withColumn("bfreq", bfreq).filter($"bfreq" <= cap)
+        .select($"doc_id", $"bidx", $"bk")
+      case _ => keys0.select($"doc_id", $"bidx",
+        when(bfreq > cap, raise_error(concat(
+          lit(s"graft LSH hot band: a band key is shared by > $cap distinct contents ("),
+          bfreq.cast("string"),
+          lit(s"); raise graft.lsh.hotBandCap or set graft.lsh.hotBandPolicy=drop " +
+            "to route degenerate buckets to the exact-dedup path"))).cast("long"))
+          .otherwise($"bk").as("bk"))
+    }
     val cands = keys.select($"doc_id".as("da"), $"bidx", $"bk")
       .join(keys.select($"doc_id".as("db"), $"bidx", $"bk"), Seq("bidx", "bk"))
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
-    cands
-      .join(sig.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
-      .join(sig.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
+    // verify touches representative pairs only
+    val vp = cands
+      .join(reps.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
+      .join(reps.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
       .withColumn("shared", size(array_intersect($"sha", $"shb")))
       .withColumn("jac", $"shared".cast("double") /
         (size($"sha") + size($"shb") - $"shared"))
       .filter($"jac" >= 0.5)
-      .select($"da", $"db", $"jac")
+      .select($"da".as("ra"), $"db".as("rb"), $"jac")
+    // expansion: cross pairs inherit the representatives' jaccard;
+    // intra pairs (identical content, non-empty shingle set) are 1.0
+    // by construction — same value verify computed for them before
+    val cross = vp
+      .join(mapping.select($"rep".as("ra"), $"doc_id".as("xa")), Seq("ra"))
+      .join(mapping.select($"rep".as("rb"), $"doc_id".as("xb")), Seq("rb"))
+      .select(least($"xa", $"xb").as("da"), greatest($"xa", $"xb").as("db"), $"jac")
+    val withSh = mapping.filter($"n_sh" > 0)
+    val intra = withSh.select($"rep", $"doc_id".as("da"))
+      .join(withSh.select($"rep", $"doc_id".as("db")), Seq("rep"))
+      .filter($"da" < $"db")
+      .select($"da", $"db", lit(1.0).as("jac"))
+    cross.unionByName(intra)
   }
 
   def queries: Map[String, Q] = Map(
