@@ -301,7 +301,9 @@ object JoinQueries extends QueryModule {
     },
 
     // merge_asof with tolerance= (merge.py:644): matches older than
-    // 1 day are nulled
+    // 1 day are nulled — through the native merge-walk operator
+    // (plans/AsofJoinNative); the union+window rewrite remains the
+    // cross-checked fallback (AsofJoinSpec)
     "join_asof_tolerance" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
@@ -309,9 +311,9 @@ object JoinQueries extends QueryModule {
         .select($"user_id", $"event_id", $"ts")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"value")
-      AsofJoin.backward(clicks, purchases,
+      graft.plans.AsofJoinNative.join(s, clicks, purchases,
         by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        valueCols = Seq("value"), toleranceMicros = Some(86400000000L))
+        valueCols = Seq("value"), toleranceUs = Some(86400000000L))
         .withColumnRenamed("value", "asof_val")
     },
 
@@ -332,7 +334,8 @@ object JoinQueries extends QueryModule {
         .withColumnRenamed("value", "asof_val")
     },
 
-    // merge_asof direction='forward' (merge.py:644; join.pyx:812)
+    // merge_asof direction='forward' (merge.py:644; join.pyx:812) —
+    // native merge-walk; rewrite cross-checked in AsofJoinSpec
     "join_asof_forward" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
@@ -340,14 +343,15 @@ object JoinQueries extends QueryModule {
         .select($"user_id", $"event_id", $"ts")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"value")
-      AsofJoin.forward(clicks, purchases,
+      graft.plans.AsofJoinNative.join(s, clicks, purchases,
         by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        valueCols = Seq("value"))
+        valueCols = Seq("value"), direction = "forward")
         .withColumnRenamed("value", "asof_val")
     },
 
     // merge_asof direction='nearest' (join.pyx:900): closest match in
-    // either direction, backward wins ties
+    // either direction, backward wins ties — native merge-walk;
+    // rewrite cross-checked in AsofJoinSpec
     "join_asof_nearest" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
@@ -355,9 +359,9 @@ object JoinQueries extends QueryModule {
         .select($"user_id", $"event_id", $"ts")
       val purchases = ev.filter($"event_type" === "purchase")
         .select($"user_id", $"ts", $"value")
-      AsofJoin.nearest(clicks, purchases,
+      graft.plans.AsofJoinNative.join(s, clicks, purchases,
         by = Seq("user_id"), leftTs = "ts", rightTs = "ts",
-        valueCols = Seq("value"))
+        valueCols = Seq("value"), direction = "nearest")
         .withColumnRenamed("value", "asof_val")
     },
 

@@ -27,9 +27,24 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *     once, carrying the latest right row per key — O(n+m) per
   *     partition, no window buffers, no union blow-up.
   *
-  * Semantics: backward as-of with allow_exact_matches=true (rts <=
-  * lts), unmatched left rows null-padded — identical to
-  * `AsofJoin.backward`, which the shared DuckDB oracle checks.
+  * Semantics (matching `operators/AsofJoin`, which the shared DuckDB
+  * oracle checks): unmatched left rows are null-padded;
+  *
+  *   - direction=backward: latest right row with rts <= lts
+  *     (rts < lts when allowExactMatches=false);
+  *   - direction=forward: earliest right row with rts >= lts
+  *     (rts > lts when strict) — the `join.pyx:812`
+  *     asof_join_forward_on_X_by_Y kernel;
+  *   - direction=nearest: closer of the two, backward wins ties —
+  *     the `join.pyx:900` asof_join_nearest_on_X_by_Y kernel;
+  *   - toleranceUs: a match farther than the tolerance (in the match
+  *     direction) is nulled.
+  *
+  * All variants remain ONE forward pointer walk per partition: the
+  * backward candidate is carried, the forward candidate is simply the
+  * unconsumed right head — no lookahead buffer, because left rows
+  * arrive in ascending ts order so a right row is either already
+  * consumed (behind every future left ts) or still ahead.
   */
 case class AsofJoinPlan(
     left: LogicalPlan,
@@ -38,7 +53,10 @@ case class AsofJoinPlan(
     rightBy: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    rightValues: Seq[Attribute])
+    rightValues: Seq[Attribute],
+    direction: String = "backward",
+    toleranceUs: Option[Long] = None,
+    allowExactMatches: Boolean = true)
   extends BinaryNode {
 
   override def output: Seq[Attribute] =
@@ -51,8 +69,9 @@ case class AsofJoinPlan(
 
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lb, rb, lts, rts, vals) =>
-      AsofJoinExec(planLater(l), planLater(r), lb, rb, lts, rts, vals) :: Nil
+    case AsofJoinPlan(l, r, lb, rb, lts, rts, vals, dir, tol, exact) =>
+      AsofJoinExec(planLater(l), planLater(r), lb, rb, lts, rts, vals,
+        dir, tol, exact) :: Nil
     case _ => Nil
   }
 }
@@ -64,7 +83,10 @@ case class AsofJoinExec(
     rightBy: Seq[Attribute],
     leftTs: Attribute,
     rightTs: Attribute,
-    rightValues: Seq[Attribute])
+    rightValues: Seq[Attribute],
+    direction: String = "backward",
+    toleranceUs: Option[Long] = None,
+    allowExactMatches: Boolean = true)
   extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -91,6 +113,11 @@ case class AsofJoinExec(
     val nVals = rightValues.size
     val valueExprs: Seq[Expression] = rightValues
     val outAttrs = output
+    val dir = direction
+    val tol = toleranceUs.getOrElse(Long.MaxValue)
+    val exact = allowExactMatches
+    val needBack = dir != "forward"
+    val needFwd = dir != "backward"
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valueProj = UnsafeProjection.create(valueExprs, rightOut)
@@ -114,10 +141,30 @@ case class AsofJoinExec(
         0
       }
 
+      def cmpByRR(a: InternalRow, b: InternalRow): Int = {
+        var i = 0
+        while (i < byTypes.length) {
+          val c = orderings(i).compare(
+            a.get(rByIdx(i), byTypes(i)), b.get(rByIdx(i), byTypes(i)))
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
       new Iterator[InternalRow] {
         private var rHead: InternalRow = if (rIter.hasNext) rIter.next() else null
+        // latest consumed right row (key compare at use time)...
         private var candVals: UnsafeRow = _
-        private var candRow: InternalRow = _ // copy of the matched right row (key compare)
+        private var candRow: InternalRow = _
+        private var candTs: Long = _
+        // ...plus the latest consumed row with a STRICTLY EARLIER ts:
+        // in strict mode an exact-ts row is consumed (it will be the
+        // best match of later left rows) but must not erase the match
+        // of the CURRENT left row
+        private var prevVals: UnsafeRow = _
+        private var prevRow: InternalRow = _
+        private var prevTs: Long = _
 
         // pandas merge_asof raises on null merge keys
         // (reshape/merge.py _AsOfMerge: "Merge keys contain null
@@ -139,25 +186,68 @@ case class AsofJoinExec(
         override def next(): InternalRow = {
           val l = lIter.next()
           checkKeys(l, lByIdx, lTsIdx, "left")
+          val lts = l.getLong(lTsIdx)
           var continue = rHead != null
           while (continue) {
             checkKeys(rHead, rByIdx, rTsIdx, "right")
             val c = cmpBy(l, rHead)
-            if (c > 0) {
-              // right key entirely before left key: skip
-              rHead = if (rIter.hasNext) rIter.next() else null
-              continue = rHead != null
-            } else if (c == 0 && rHead.getLong(rTsIdx) <= l.getLong(lTsIdx)) {
-              candVals = valueProj(rHead).copy()
-              candRow = rHead.copy()
+            // a right row behind the walk front is CONSUMED; with a
+            // backward need every consumed same-key row is recorded as
+            // the carried candidate (admissibility vs a given left ts
+            // is checked per left row below, so a strict-mode exact-ts
+            // row can be consumed now yet only match LATER left rows).
+            // An exact-ts row stays unconsumed only when it is the
+            // forward candidate of a forward-only exact walk.
+            val rts = if (c == 0) rHead.getLong(rTsIdx) else 0L
+            val behind = c > 0 ||
+              (c == 0 && (rts < lts || (rts == lts && (!exact || needBack))))
+            if (behind) {
+              if (c == 0 && needBack) {
+                if (candRow == null || cmpByRR(rHead, candRow) != 0) {
+                  prevRow = null // new right key: older candidates are dead
+                } else if (rts > candTs) {
+                  prevVals = candVals; prevRow = candRow; prevTs = candTs
+                } // equal ts: replace cand in place, prev unchanged
+                candVals = valueProj(rHead).copy()
+                candRow = rHead.copy()
+                candTs = rts
+              }
               rHead = if (rIter.hasNext) rIter.next() else null
               continue = rHead != null
             } else {
               continue = false
             }
           }
-          val useCand = candRow != null && cmpBy(l, candRow) == 0
-          if (useCand) resultProj(joined(l, candVals))
+          // backward candidate: carried row, still this key, on the
+          // admissible side of lts, within tol; in strict mode fall
+          // back to the strictly-earlier slot when the carried row is
+          // the exact-ts match
+          var backVals: UnsafeRow = null
+          var backTs = 0L
+          if (needBack && candRow != null && cmpBy(l, candRow) == 0) {
+            if ((candTs < lts || (candTs == lts && exact)) && lts - candTs <= tol) {
+              backVals = candVals; backTs = candTs
+            } else if (!exact && candTs == lts && prevRow != null &&
+                cmpBy(l, prevRow) == 0 && lts - prevTs <= tol) {
+              backVals = prevVals; backTs = prevTs
+            }
+          }
+          val backOk = backVals != null
+          // forward candidate: the unconsumed right head, this key,
+          // admissible side of lts, within tol
+          var fwdTs = 0L
+          val fwdOk = needFwd && rHead != null && cmpBy(l, rHead) == 0 && {
+            fwdTs = rHead.getLong(rTsIdx)
+            (fwdTs > lts || (fwdTs == lts && exact)) && fwdTs - lts <= tol
+          }
+          val useBack =
+            if (!backOk) false
+            else if (!fwdOk) true
+            else if (dir == "backward") true
+            // nearest: backward wins ties (join.pyx:900)
+            else lts - backTs <= fwdTs - lts
+          if (useBack) resultProj(joined(l, backVals))
+          else if (fwdOk) resultProj(joined(l, valueProj(rHead)))
           else resultProj(joined(l, nullValues))
         }
       }
@@ -170,10 +260,7 @@ case class AsofJoinExec(
 }
 
 object AsofJoinNative {
-  /** Backward as-of join through the native operator. `left`/`right`
-    * may share lineage: the right side is re-aliased with fresh
-    * expression ids before plan construction.
-    */
+
   def backward(
       spark: SparkSession,
       left: DataFrame,
@@ -181,7 +268,26 @@ object AsofJoinNative {
       by: Seq[String],
       leftTs: String,
       rightTs: String,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String]): DataFrame =
+    join(spark, left, right, by, leftTs, rightTs, valueCols)
+
+  /** As-of join through the native operator. `left`/`right` may share
+    * lineage: the right side is re-aliased with fresh expression ids
+    * before plan construction.
+    */
+  def join(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      by: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"as-of join: unknown direction '$direction'")
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsofStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsofStrategy
@@ -219,7 +325,8 @@ object AsofJoinNative {
       by.map(attrOf(rOut, _)),
       lTsAttr,
       rTsAttr,
-      valueCols.map(attrOf(rOut, _)))
+      valueCols.map(attrOf(rOut, _)),
+      direction, toleranceUs, allowExactMatches)
     GraftSqlBridge.ofRows(spark, node)
   }
 }

@@ -131,6 +131,67 @@ class AsofJoinSpec extends SparkSpec {
     assert(viaNative == viaWindow)
   }
 
+  test("native forward/nearest/tolerance/strict match the rewrite") {
+    import spark.implicits._
+    val ev = Tables(spark, sf(), "events")
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"event_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val all = ev.select($"user_id", $"ts", $"value")
+
+    def m(df: org.apache.spark.sql.DataFrame): Map[Long, Option[Double]] =
+      df.select($"event_id", $"value").as[(Long, Option[Double])]
+        .collect().toMap
+
+    // forward
+    assert(
+      m(graft.plans.AsofJoinNative.join(spark, clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"), direction = "forward")) ==
+      m(AsofJoin.forward(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"))))
+    // nearest (ties -> backward)
+    assert(
+      m(graft.plans.AsofJoinNative.join(spark, clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"), direction = "nearest")) ==
+      m(AsofJoin.nearest(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"))))
+    // backward + tolerance
+    assert(
+      m(graft.plans.AsofJoinNative.join(spark, clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"),
+        toleranceUs = Some(3600000000L))) ==
+      m(AsofJoin.backward(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"),
+        toleranceMicros = Some(3600000000L))))
+    // nearest + tolerance
+    assert(
+      m(graft.plans.AsofJoinNative.join(spark, clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"), direction = "nearest",
+        toleranceUs = Some(3600000000L))) ==
+      m(AsofJoin.nearest(clicks, purchases,
+        Seq("user_id"), "ts", "ts", Seq("value"),
+        toleranceMicros = Some(3600000000L))))
+    // strict backward against ALL events: the exact-ts self-candidate
+    // must be skipped for the current row yet stay available as the
+    // backward match of later rows — the consumed-candidate subtlety
+    assert(
+      m(graft.plans.AsofJoinNative.join(spark, clicks, all,
+        Seq("user_id"), "ts", "ts", Seq("value"),
+        allowExactMatches = false)) ==
+      m(AsofJoin.backward(clicks, all,
+        Seq("user_id"), "ts", "ts", Seq("value"),
+        allowExactMatches = false)))
+    // strict forward
+    assert(
+      m(graft.plans.AsofJoinNative.join(spark, clicks, all,
+        Seq("user_id"), "ts", "ts", Seq("value"), direction = "forward",
+        allowExactMatches = false)) ==
+      m(AsofJoin.forward(clicks, all,
+        Seq("user_id"), "ts", "ts", Seq("value"),
+        allowExactMatches = false)))
+  }
+
   test("native operator handles empty right side and exact matches") {
     import spark.implicits._
     val left = Seq((1L, ts(100), "a"), (2L, ts(50), "b"))
