@@ -147,15 +147,19 @@ object DedupQueries extends QueryModule {
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
     val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
 
-    // exact-content collapse: rep = min doc_id per distinct hash array
+    // exact-content collapse: rep = min doc_id per distinct hash array.
+    // ONE shingle scan + ONE content shuffle, cached once — mapping,
+    // representatives and band keys all derive from this frame (band
+    // keys are recomputed per use, but only over the collapsed
+    // representatives, which is noise)
     val sig0 = docs.select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
     val mapped = sig0
       .withColumn("rep", min($"doc_id").over(Window.partitionBy($"sh")))
       .withColumn("n_sh", coalesce(size($"sh"), lit(0)))
-    val mapping = mapped.select($"doc_id", $"rep", $"n_sh").cache()
+      .cache()
+    val mapping = mapped.select($"doc_id", $"rep", $"n_sh")
     val reps = mapped.filter($"doc_id" === $"rep")
       .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
-      .cache()
 
     val keys0 = reps.select($"doc_id", posexplode($"bands"))
       .toDF("doc_id", "bidx", "bk")
