@@ -295,11 +295,19 @@ object DedupQueries extends QueryModule {
     },
 
     // brute-force shingle-jaccard near-dups (oracle path for MinHash
-    // recall; candidate generation by shared-shingle blocking)
+    // recall; candidate generation by shared-shingle blocking —
+    // quadratic in per-shingle document frequency, so QuadraticGuard
+    // caps both input rows and the max blocking frequency;
+    // dedup_minhash_pairs is the scale path)
     "dedup_jaccard_pairs" -> { (s, d) =>
       import s.implicits._
-      val tri = Tables(s, d, "documents")
+      val docsIn = Tables(s, d, "documents")
+      graft.QuadraticGuard.assertSmallInput(s, docsIn,
+        "dedup_jaccard_pairs", "dedup_minhash_pairs")
+      val tri = docsIn
         .select($"doc_id", explode(shingles).as("g"))
+      graft.QuadraticGuard.assertBlockingDf(s, tri, "g",
+        "dedup_jaccard_pairs", "dedup_minhash_pairs")
       val sizes = tri.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val shared = tri.as("a")
         .join(tri.as("b"), $"a.g" === $"b.g" && $"a.doc_id" < $"b.doc_id")

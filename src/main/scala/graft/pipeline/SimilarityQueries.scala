@@ -90,10 +90,14 @@ object SimilarityQueries extends QueryModule {
           round(dot($"embedding", $"embedding"), 6).as("sq_norm"))
     },
 
-    // brute-force cosine pairs over a threshold (baseline correctness)
+    // brute-force cosine pairs over a threshold (baseline correctness;
+    // QuadraticGuard caps the input so this can never be launched at
+    // corpus scale — sim_lsh_multitable / sim_ivf_ann are the scale path)
     "sim_cosine_pairs" -> { (s, d) =>
       import s.implicits._
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
+      graft.QuadraticGuard.assertSmallInput(s, e, "sim_cosine_pairs",
+        "sim_lsh_multitable / sim_ivf_ann")
       val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
       val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
       a.crossJoin(b).filter($"va" < $"vb")
