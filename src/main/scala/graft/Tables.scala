@@ -32,6 +32,34 @@ object Tables {
     * false` so direct `spark.read.parquet` calls outside this loader
     * see the same schema; the cast here is the belt to that suspender.
     */
+  /** Row count of a parquet table from file-footer metadata only —
+    * a driver-side listing + footer reads, NO cluster job and no data
+    * pages touched. For sizing sketches (e.g. the Bloom capacity in
+    * dedup_incremental) an upper bound is all that's needed, and at
+    * 100 TB an extra full pass just to count rows is exactly the kind
+    * of hidden cost this avoids. Handles single files and
+    * (recursively) directory tables.
+    */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Long = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val p = new Path(s"$dir/$name.parquet")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+        val rd = ParquetFileReader.open(HadoopInputFile.fromStatus(st, conf))
+        try total += rd.getRecordCount
+        finally rd.close()
+      }
+    }
+    total
+  }
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // central session hook: make the graft custom expressions available
     // to every query (idempotent map-put, no measurable overhead)

@@ -426,8 +426,13 @@ object DedupQueries extends QueryModule {
       val docs = Tables(s, d, "documents")
       val hist = docs.filter($"doc_id" % 3 =!= 0)
       val batch = docs.filter($"doc_id" % 3 === 0)
+      // Bloom capacity from parquet footer metadata (driver-side, no
+      // cluster job) — the table total is an upper bound on |hist|;
+      // oversizing a Bloom only lowers its fpp. The previous
+      // hist.count() here was a second full pass over 100 TB history.
+      val cap = math.max(1L, Tables.footerRowCount(s, d, "documents"))
       val bytes = graft.functions.BloomExprs.buildBytes(
-        hist.select(xxhash64($"text").as("k")), "k", hist.count())
+        hist.select(xxhash64($"text").as("k")), "k", cap)
       val probed = batch.select($"doc_id", $"text",
         call_function("graft_bloom_contains",
           lit(bytes), xxhash64($"text")).as("maybe_seen"))
