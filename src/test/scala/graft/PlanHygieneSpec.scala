@@ -161,6 +161,35 @@ class PlanHygieneSpec extends SparkSpec {
       "the 3-row per-split offset table must broadcast")
   }
 
+  test("curation gates run in the scan stage and the balancing join broadcasts") {
+    // the scaladoc promises: quality + langid predicates are map-side
+    // scan expressions (below the first shuffle — they cut the corpus
+    // before anything shuffles), and per-source balancing joins a tiny
+    // broadcast aggregate, never a per-group window
+    val lp = optimized("pipe_curation")
+    val gates = lp.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+          if f.condition.toString.contains("size(split(") => f
+    }
+    assert(gates.nonEmpty, "expected the n_words/marker quality filter")
+    val atScan = gates.exists { f =>
+      f.child.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join      => j
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+        case w: LWindow                                               => w
+      }.isEmpty
+    }
+    assert(atScan,
+      "quality/langid gate must filter the raw scan, not post-shuffle data")
+    val p = executed("pipe_curation")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "per-source rate table must broadcast back, not shuffle the corpus")
+    assert(!p.contains("CartesianProduct"),
+      "no stage of the curation chain may plan a cartesian product")
+    val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(bad.isEmpty, "no partition-less window in the curation chain")
+  }
+
   test("bm25 takes top-k distributed, never a global window over the corpus") {
     val p = executed("txt_bm25")
     assert(p.contains("TakeOrderedAndProject"),
