@@ -15,4 +15,26 @@ object GraftSqlBridge {
 
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution.analyzed
+
+  /** Dataset -> Arrow IPC record-batch payloads, one byte[] per batch,
+    * computed distributed (per-partition) and collected. This is the
+    * wire format Spark itself uses for pandas/R interchange — the
+    * pandas Feather / interchange-protocol role
+    * (reference: pandas/io/feather_format.py:36,
+    * pandas/core/interchange/from_dataframe.py:42) is played by
+    * Spark's built-in Arrow conversion, bridged here for direct use.
+    */
+  def toArrowBatches(df: DataFrame): Array[Array[Byte]] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]]
+      .toArrowBatchRdd.collect()
+
+  /** Arrow record-batch payloads -> DataFrame (inverse of
+    * [[toArrowBatches]]; `schemaJson` = `df.schema.json`).
+    */
+  def fromArrowBatches(spark: SparkSession, batches: Iterator[Array[Byte]],
+                       schemaJson: String): DataFrame = {
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    org.apache.spark.sql.execution.arrow.ArrowConverters
+      .toDataFrame(batches, schemaJson, classic)
+  }
 }
