@@ -147,19 +147,43 @@ object DedupQueries extends QueryModule {
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
     val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
 
-    // exact-content collapse: rep = min doc_id per distinct hash array.
-    // ONE shingle scan + ONE content shuffle, cached once — mapping,
-    // representatives and band keys all derive from this frame (band
-    // keys are recomputed per use, but only over the collapsed
-    // representatives, which is noise)
-    val sig0 = docs.select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
-    val mapped = sig0
-      .withColumn("rep", min($"doc_id").over(Window.partitionBy($"sh")))
+    // exact-content collapse, digest-keyed. Earlier rounds used
+    // min(doc_id) over Window.partitionBy(sh): correct, but at scale
+    // it shuffles every doc's full shingle array with NO map-side
+    // combine, and a hot content family (boilerplate duplicated
+    // millions of times) lands in one window task. Instead:
+    //   - `sig0` computes shingles + a 128-bit content digest in the
+    //     scan stage, cached once (the one frame both consumers read);
+    //   - `reps` is a digest-keyed groupBy — partial aggregation
+    //     collapses copy families BEFORE the shuffle, so shuffle
+    //     volume scales with DISTINCT content per partition and no
+    //     task ever sees a whole copy family; minhash bands are
+    //     materialized in the cache because the candidate self-join
+    //     reads them from both sides;
+    //   - `mapping` re-attaches the representative via a narrow
+    //     long-digest equi-join (3 scalar cols — the sh arrays never
+    //     shuffle a second time).
+    // digest = two independent native array hashes (xxhash64 + murmur,
+    // 96 bits — collision-free in practice at 1e9+ docs and far
+    // cheaper than serializing the array to hash it)
+    val sig0 = docs
+      .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+      .withColumn("dg1", xxhash64($"sh"))
+      .withColumn("dg2", hash($"sh"))
       .withColumn("n_sh", coalesce(size($"sh"), lit(0)))
       .cache()
-    val mapping = mapped.select($"doc_id", $"rep", $"n_sh")
-    val reps = mapped.filter($"doc_id" === $"rep")
-      .select($"doc_id", $"sh", expr("graft_minhash_bands(sh)").as("bands"))
+    val reps = sig0.groupBy($"dg1", $"dg2")
+      .agg(min($"doc_id").as("doc_id"), first($"sh").as("sh"))
+      .select($"dg1", $"dg2", $"doc_id", $"sh",
+        expr("graft_minhash_bands(sh)").as("bands"))
+      .cache()
+    // rep per doc via a window over the NARROW digest projection — the
+    // sh arrays never shuffle here (4 scalar cols), and agreeing with
+    // reps' min(doc_id) needs no join
+    val mapping = sig0.select($"doc_id", $"dg1", $"dg2", $"n_sh")
+      .withColumn("rep",
+        min($"doc_id").over(Window.partitionBy($"dg1", $"dg2")))
+      .select($"doc_id", $"rep", $"n_sh")
 
     val keys0 = reps.select($"doc_id", posexplode($"bands"))
       .toDF("doc_id", "bidx", "bk")
