@@ -7,10 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated name substrings to run (local
-    // iteration only; the driver always passes 2 args = full run)
+    // iteration only; the driver always passes 2 args = full run).
+    // A `-`-prefixed pattern EXCLUDES instead: "-kendall,-pairs" runs
+    // everything whose name avoids both substrings (used by the sfN
+    // differential to skip the guarded quadratic baselines in one pass).
     val nameFilter: String => Boolean =
-      if (args.length > 2) { val pats = args(2).split(",").toSeq
-                             n => pats.exists(n.contains) }
+      if (args.length > 2) {
+        val (neg, pos) = args(2).split(",").toSeq.partition(_.startsWith("-"))
+        val negPats = neg.map(_.drop(1))
+        n => (pos.isEmpty || pos.exists(n.contains)) && !negPats.exists(n.contains)
+      }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
