@@ -33,12 +33,16 @@ object Verify {
     // no output dir, which a dir-driven compare would silently skip —
     // the sf1 streaming type bug hid exactly this way
     val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    // repartition(1), NOT coalesce(1): coalesce collapses the whole
+    // query into a single task when no shuffle separates it from the
+    // write (a 6M-row cumsum ran one-threaded at sf1); repartition
+    // keeps the computation parallel and only the file write serial.
+    // SPARK_GRAFT_VERIFY_PARTS>1 fans the write out for the scaled
+    // differentials (sfN outputs reach 10^7 rows and a single-file
+    // write dominates wall time; check.py globs part files anyway).
+    val outParts = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARTS", "1").toInt
     SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      // repartition(1), NOT coalesce(1): coalesce collapses the whole
-      // query into a single task when no shuffle separates it from the
-      // write (a 6M-row cumsum ran one-threaded at sf1); repartition
-      // keeps the computation parallel and only the file write serial
-      try fn(spark, sfDir).repartition(1).write.mode("overwrite")
+      try fn(spark, sfDir).repartition(outParts).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

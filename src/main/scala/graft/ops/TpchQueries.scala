@@ -11,8 +11,15 @@ import org.apache.spark.sql.functions._
   * (Q7), ratio-of-aggregates market share (Q8, Q14), top-k revenue
   * (Q10), argmax-by-aggregate (Q15), distinct-count rollup with an
   * exclusion anti-join (Q16), correlated-average filter (Q17),
-  * OR-of-conjuncts join predicate (Q19), and anti-join over an
-  * aggregate threshold (Q22).
+  * OR-of-conjuncts join predicate (Q19), anti-join over an
+  * aggregate threshold (Q22), per-group argmin join-back (Q2 shape),
+  * multi-dim profit rollup (Q9 shape), group-sum vs global-fraction
+  * HAVING (Q11 shape), conditional two-class count (Q12 shape), and
+  * correlated half-of-sum semi-join chain (Q20 shape). With those
+  * five, every one of the 22 TPC-H query shapes runs on this engine
+  * (partsupp-dependent ones re-anchored on lineitem as the
+  * part-supplier fact, date-window ones on l_shipdate vs
+  * o_orderdate lateness).
   *
   * Scale discipline (same rules as the rest of the repo): dimensions
   * broadcast, the fact table shuffles only on fact-side keys, revenue
@@ -275,6 +282,136 @@ object TpchQueries extends QueryModule {
         .agg(count(lit(1)).as("numcust"),
           round(sum($"c_acctbal".cast("decimal(18,4)")).cast("double"), 4)
             .as("totacctbal"))
+    },
+
+    // Q2 shape (minimum-cost supplier): for each qualifying part, the
+    // supplier with the minimum account balance among those who have
+    // actually shipped it (lineitem stands in for partsupp, acctbal
+    // for supplycost). The correlated MIN is a grouped aggregate
+    // joined back by exact equality — per-group argmin without a
+    // window, the same pattern as Q15 but keyed.
+    "q2_min_cost_supplier" -> { (s, d) =>
+      import s.implicits._
+      val prt = Tables(s, d, "part")
+        .filter($"p_type" === "LARGE" && $"p_size" < 15)
+        .select($"p_partkey", $"p_brand", $"p_size")
+      val ps = Tables(s, d, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+        .join(broadcast(prt), $"l_partkey" === $"p_partkey")
+        .join(Tables(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
+        .select($"p_partkey", $"p_brand", $"p_size", $"s_suppkey",
+          $"s_name", $"s_acctbal".cast("decimal(18,4)").as("bal"))
+      val mn = ps.groupBy($"p_partkey".as("mp"))
+        .agg(min($"bal").as("mb"))
+      ps.join(mn, $"p_partkey" === $"mp" && $"bal" === $"mb")
+        // a balance tie would duplicate the part row; keep the lowest
+        // supplier key, deterministically, via a second keyed argmin
+        .groupBy($"p_partkey", $"p_brand", $"p_size")
+        .agg(min($"s_suppkey").as("s_suppkey"),
+          round(min($"bal").cast("double"), 2).as("s_acctbal"))
+    },
+
+    // Q9 shape (product-type profit): profit per supplier nation and
+    // order year over a name-filtered part subset; p_retailprice
+    // stands in for ps_supplycost. Dimensions broadcast; the fact
+    // shuffles once for the orders join, then partial-aggregates.
+    "q9_product_profit" -> { (s, d) =>
+      import s.implicits._
+      val prt = Tables(s, d, "part")
+        .filter($"p_name".like("%red%"))
+        .select($"p_partkey",
+          $"p_retailprice".cast("decimal(12,4)").as("cost"))
+      val sup = Tables(s, d, "supplier")
+        .join(broadcast(Tables(s, d, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"n_name".as("nation"))
+      val ord = Tables(s, d, "orders").select($"o_orderkey", $"o_orderdate")
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+          $"l_quantity".cast("decimal(12,4)").as("qty"),
+          ($"l_extendedprice".cast("decimal(11,4)") *
+            (lit(1.0) - $"l_discount").cast("decimal(6,4)")).as("rev"))
+        .join(broadcast(prt), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
+        .agg(round((sum($"rev") -
+          sum(($"cost" * $"qty").cast("decimal(26,8)"))).cast("double"), 4)
+          .as("sum_profit"))
+    },
+
+    // Q11 shape (important stock identification): per-part inventory
+    // value restricted to one nation's suppliers, keeping parts whose
+    // value exceeds a fixed fraction of the national total. The HAVING
+    // threshold is a 1-row scalar aggregate broadcast into the filter;
+    // the comparison multiplies through by the fraction's reciprocal
+    // so both engines compare exact decimals, no division.
+    "q11_important_stock" -> { (s, d) =>
+      import s.implicits._
+      val sup = Tables(s, d, "supplier")
+        .filter($"s_nationkey".isin(1, 2, 3))
+        .select($"s_suppkey")
+      val value = Tables(s, d, "lineitem")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .select($"l_partkey",
+          ($"l_extendedprice".cast("decimal(11,4)") *
+            $"l_quantity".cast("decimal(8,2)")).as("v"))
+      val byPart = value.groupBy($"l_partkey")
+        .agg(sum($"v").as("value"))
+      val total = byPart.agg(sum($"value").as("tot"))
+      byPart.join(broadcast(total),
+          $"value" * lit(1000) > $"tot")  // value > 0.1% of total
+        .select($"l_partkey".as("p_partkey"),
+          round($"value".cast("double"), 4).as("value"))
+    },
+
+    // Q12 shape (shipping-mode priority classes): late lines (shipped
+    // >30 days after the order date) bucketed by line status, counting
+    // urgent vs non-urgent orders. The classic two-class conditional
+    // count over a fact-fact equi join; no l_shipmode/commitdate in
+    // this fixture, so l_linestatus and ship-lateness stand in.
+    "q12_late_priority" -> { (s, d) =>
+      import s.implicits._
+      val ord = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_orderdate", $"o_orderpriority")
+      Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_linestatus", $"l_shipdate")
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 30 DAYS") &&
+          $"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp"))
+        .groupBy($"l_linestatus")
+        .agg(
+          sum(when($"o_orderpriority" === "1-URGENT" ||
+            $"o_orderpriority" === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when($"o_orderpriority" =!= "1-URGENT" &&
+            $"o_orderpriority" =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+    },
+
+    // Q20 shape (potential part promotion): suppliers dominating some
+    // part's shipped volume — a correlated fraction-of-sum threshold
+    // (5*supplier_qty > part_total, exact decimal — a >20% share, since
+    // the classic >50%-of-a-year is degenerate on this fixture's ~30
+    // evenly-spread lines per part) feeding a semi join back into the
+    // supplier dimension. Both aggregates come from ONE scan of the
+    // fact, and the threshold join is partkey-to-partkey, never wide.
+    "q20_excess_suppliers" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+        .select($"l_partkey", $"l_suppkey",
+          $"l_quantity".cast("decimal(18,4)").as("qty"))
+      val bySupp = li.groupBy($"l_partkey", $"l_suppkey")
+        .agg(sum($"qty").as("sq"))
+      val byPart = li.groupBy($"l_partkey".as("tp"))
+        .agg(sum($"qty").as("tq"))
+      val excess = bySupp.join(byPart,
+          $"l_partkey" === $"tp" && $"sq" * lit(5) > $"tq")
+        .select($"l_suppkey").distinct()
+      Tables(s, d, "supplier")
+        .join(excess, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .select($"s_suppkey", $"s_name")
     }
   )
 
@@ -427,6 +564,80 @@ object TpchQueries extends QueryModule {
            AND c_custkey NOT IN (
              SELECT o_custkey FROM orders
              WHERE o_orderdate >= TIMESTAMP '2001-01-01')
-         GROUP BY 1"""
+         GROUP BY 1""",
+
+    "q2_min_cost_supplier" ->
+      """WITH ps AS (
+           SELECT p_partkey, p_brand, p_size, s_suppkey, s_name,
+             CAST(s_acctbal AS DECIMAL(18,4)) AS bal
+           FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           JOIN part ON l_partkey = p_partkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           WHERE p_type = 'LARGE' AND p_size < 15),
+         mn AS (
+           SELECT p_partkey AS mp, MIN(bal) AS mb FROM ps GROUP BY 1)
+         SELECT p_partkey, p_brand, p_size,
+           MIN(s_suppkey) AS s_suppkey,
+           ROUND(CAST(MIN(bal) AS DOUBLE), 2) AS s_acctbal
+         FROM ps JOIN mn ON p_partkey = mp AND bal = mb
+         GROUP BY p_partkey, p_brand, p_size""",
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+           ROUND(CAST(
+             SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+                 CAST(1.0 - l_discount AS DECIMAL(6,4))) -
+             SUM(CAST(CAST(p_retailprice AS DECIMAL(12,4)) *
+                 CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(26,8)))
+             AS DOUBLE), 4) AS sum_profit
+         FROM lineitem
+         JOIN part ON l_partkey = p_partkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation ON s_nationkey = n_nationkey
+         JOIN orders ON l_orderkey = o_orderkey
+         WHERE p_name LIKE '%red%'
+         GROUP BY 1, 2""",
+
+    "q11_important_stock" ->
+      """WITH byp AS (
+           SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+               CAST(l_quantity AS DECIMAL(8,2))) AS value
+           FROM lineitem
+           WHERE l_suppkey IN (
+             SELECT s_suppkey FROM supplier WHERE s_nationkey IN (1, 2, 3))
+           GROUP BY 1)
+         SELECT l_partkey AS p_partkey,
+           ROUND(CAST(value AS DOUBLE), 4) AS value
+         FROM byp
+         WHERE value * 1000 > (SELECT SUM(value) FROM byp)""",
+
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+             THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+           AND l_shipdate >= TIMESTAMP '1996-01-01'
+           AND l_shipdate < TIMESTAMP '1997-01-01'
+         GROUP BY l_linestatus""",
+
+    "q20_excess_suppliers" ->
+      """WITH li AS (
+           SELECT l_partkey, l_suppkey,
+             CAST(l_quantity AS DECIMAL(18,4)) AS qty
+           FROM lineitem),
+         bys AS (
+           SELECT l_partkey, l_suppkey, SUM(qty) AS sq
+           FROM li GROUP BY 1, 2),
+         byp AS (
+           SELECT l_partkey AS tp, SUM(qty) AS tq FROM li GROUP BY 1)
+         SELECT s_suppkey, s_name FROM supplier
+         WHERE s_suppkey IN (
+           SELECT l_suppkey FROM bys JOIN byp
+           ON l_partkey = tp AND sq * 5 > tq)"""
   )
 }

@@ -143,6 +143,33 @@ object DedupQueries extends QueryModule {
     */
   private[graft] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
+    val (vp, mapping) = verifiedRepPairsOf(s, docs)
+    // expansion: cross pairs inherit the representatives' jaccard;
+    // intra pairs (identical content, non-empty shingle set) are 1.0
+    // by construction — same value verify computed for them before
+    val cross = vp
+      .join(mapping.select($"rep".as("ra"), $"doc_id".as("xa")), Seq("ra"))
+      .join(mapping.select($"rep".as("rb"), $"doc_id".as("xb")), Seq("rb"))
+      .select(least($"xa", $"xb").as("da"), greatest($"xa", $"xb").as("db"), $"jac")
+    val withSh = mapping.filter($"n_sh" > 0)
+    val intra = withSh.select($"rep", $"doc_id".as("da"))
+      .join(withSh.select($"rep", $"doc_id".as("db")), Seq("rep"))
+      .filter($"da" < $"db")
+      .select($"da", $"db", lit(1.0).as("jac"))
+    cross.unionByName(intra)
+  }
+
+  /** Collapsed (representative-level) form of [[verifiedPairsOf]]:
+    * returns (repPairs(ra, rb, jac), mapping(doc_id, rep, n_sh)).
+    * Consumers whose state should scale with DISTINCT content — the
+    * cluster assignment's connected components above all — work on
+    * repPairs and expand at the end, instead of pushing the
+    * (inherently copy-quadratic) expanded pair list through every
+    * intermediate stage.
+    */
+  private[graft] def verifiedRepPairsOf(s: org.apache.spark.sql.SparkSession,
+                                        docs: DataFrame): (DataFrame, DataFrame) = {
+    import s.implicits._
     graft.functions.MinHashExprs.register(s)
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
     val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
@@ -215,19 +242,7 @@ object DedupQueries extends QueryModule {
         (size($"sha") + size($"shb") - $"shared"))
       .filter($"jac" >= 0.5)
       .select($"da".as("ra"), $"db".as("rb"), $"jac")
-    // expansion: cross pairs inherit the representatives' jaccard;
-    // intra pairs (identical content, non-empty shingle set) are 1.0
-    // by construction — same value verify computed for them before
-    val cross = vp
-      .join(mapping.select($"rep".as("ra"), $"doc_id".as("xa")), Seq("ra"))
-      .join(mapping.select($"rep".as("rb"), $"doc_id".as("xb")), Seq("rb"))
-      .select(least($"xa", $"xb").as("da"), greatest($"xa", $"xb").as("db"), $"jac")
-    val withSh = mapping.filter($"n_sh" > 0)
-    val intra = withSh.select($"rep", $"doc_id".as("da"))
-      .join(withSh.select($"rep", $"doc_id".as("db")), Seq("rep"))
-      .filter($"da" < $"db")
-      .select($"da", $"db", lit(1.0).as("jac"))
-    cross.unionByName(intra)
+    (vp, mapping)
   }
 
   def queries: Map[String, Q] = Map(
@@ -307,15 +322,30 @@ object DedupQueries extends QueryModule {
     // near-dups into "keep one doc per cluster" — min-label
     // propagation, O(component diameter) rounds, no driver state
     // (operators/ConnectedComponents.scala has the scale analysis).
+    // CC runs at REPRESENTATIVE level (one vertex per distinct
+    // content): pushing the expanded pair list through it would make
+    // every iteration's join copy-quadratic on a replicated corpus.
+    // Copies then inherit their rep's label — identical content is
+    // same-cluster by definition (jac 1.0) — EXCEPT empty-shingle
+    // docs, which verify to no pairs and stay singleton clusters, as
+    // they did when the expanded edges carried no intra pairs for
+    // them.
     "dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      val edges = verifiedPairs(s, d).select($"da".as("src"), $"db".as("dst"))
-      val verts = Tables(s, d, "documents").select($"doc_id".as("id"))
+      val (vp, mapping) = verifiedRepPairsOf(s, Tables(s, d, "documents"))
+      val edges = vp.select($"ra".as("src"), $"rb".as("dst"))
+      val verts = mapping.filter($"n_sh" > 0)
+        .select($"rep".as("id")).distinct()
       val comp = graft.operators.ConnectedComponents.labels(verts, edges)
-      val sizes = comp.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, Seq("label"))
-        .select($"id".as("doc_id"), $"label".as("cluster_id"),
-          $"cluster_size", ($"id" === $"label").as("is_canonical"))
+      val full = mapping
+        .join(comp, mapping("rep") === comp("id"), "left")
+        .select($"doc_id",
+          when($"n_sh" > 0, coalesce($"label", $"rep"))
+            .otherwise($"doc_id").as("label"))
+      val sizes = full.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      full.join(sizes, Seq("label"))
+        .select($"doc_id", $"label".as("cluster_id"),
+          $"cluster_size", ($"doc_id" === $"label").as("is_canonical"))
     },
 
     // brute-force shingle-jaccard near-dups (oracle path for MinHash

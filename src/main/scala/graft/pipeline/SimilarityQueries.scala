@@ -434,12 +434,36 @@ object SimilarityQueries extends QueryModule {
     // near-identical meaning" curation op; at corpus scale every stage
     // is the shapes already proven: map-side signatures, one candidate
     // shuffle, O(V) component state.
+    //
+    // Exact-duplicate collapse (same defense as DedupQueries'
+    // verifiedPairsOf): bit-identical embeddings land in the same
+    // bucket of EVERY table and always verify (cos 1.0), so LSH + CC
+    // run on one representative per distinct vector and copies are
+    // re-attached by a narrow digest join afterwards. A corpus with R
+    // copies per vector (the replicated sfN stress sets, or any
+    // pipeline that re-embeds unchanged documents) would otherwise
+    // inflate every bucket join R^2-fold; collapsed, the pair work is
+    // invariant in R. The copy family's rep is its min vec_id, so
+    // component labels remain global min ids and the expanded output
+    // is row-identical to the uncollapsed form.
     "dedup_semantic_clusters" -> { (s, d) =>
       import s.implicits._
+      val keyed = Tables(s, d, "embeddings")
+        .select($"vec_id", $"embedding",
+          xxhash64($"embedding").as("dg1"), hash($"embedding").as("dg2"))
+        .cache()
+      val reps = keyed.groupBy($"dg1", $"dg2")
+        .agg(min($"vec_id").as("vec_id"), first($"embedding").as("embedding"))
+      // rep per vector over the NARROW digest projection — embeddings
+      // themselves never shuffle here
+      val mapping = keyed.select($"vec_id", $"dg1", $"dg2")
+        .withColumn("rep",
+          min($"vec_id").over(Window.partitionBy($"dg1", $"dg2")))
+        .select($"vec_id", $"rep")
       val tb = explode(array((0 until NumTables).map(t =>
         struct(lit(t).as("tbl"),
           lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
-      val e = Tables(s, d, "embeddings")
+      val e = reps
         .select($"vec_id", $"embedding", tb.as("tb"))
         .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
       val a = e.select($"vec_id".as("va"), $"embedding".as("ea"), $"tbl", $"bucket")
@@ -449,12 +473,14 @@ object SimilarityQueries extends QueryModule {
         .groupBy($"va", $"vb").agg(max($"cos").as("cos"))
         .filter($"cos" >= 0.35)
         .select($"va".as("src"), $"vb".as("dst"))
-      val verts = Tables(s, d, "embeddings").select($"vec_id".as("id"))
+      val verts = reps.select($"vec_id".as("id"))
       val comp = graft.operators.ConnectedComponents.labels(verts, edges)
-      val sizes = comp.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
-      comp.join(sizes, Seq("label"))
-        .select($"id".as("vec_id"), $"label".as("cluster_id"),
-          $"cluster_size", ($"id" === $"label").as("is_canonical"))
+      val full = mapping.join(comp, mapping("rep") === comp("id"))
+        .select($"vec_id", $"label")
+      val sizes = full.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
+      full.join(sizes, Seq("label"))
+        .select($"vec_id", $"label".as("cluster_id"),
+          $"cluster_size", ($"vec_id" === $"label").as("is_canonical"))
     },
 
     // LSH-restricted ANN: best same-bucket neighbor per query vector
