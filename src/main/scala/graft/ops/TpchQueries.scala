@@ -626,15 +626,14 @@ object TpchQueries extends QueryModule {
          GROUP BY l_linestatus""",
 
     "q20_excess_suppliers" ->
-      """WITH li AS (
+      """WITH bys AS (
            SELECT l_partkey, l_suppkey,
-             CAST(l_quantity AS DECIMAL(18,4)) AS qty
-           FROM lineitem),
-         bys AS (
-           SELECT l_partkey, l_suppkey, SUM(qty) AS sq
-           FROM li GROUP BY 1, 2),
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+           FROM lineitem GROUP BY 1, 2),
          byp AS (
-           SELECT l_partkey AS tp, SUM(qty) AS tq FROM li GROUP BY 1)
+           SELECT l_partkey AS tp,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+           FROM lineitem GROUP BY 1)
          SELECT s_suppkey, s_name FROM supplier
          WHERE s_suppkey IN (
            SELECT l_suppkey FROM bys JOIN byp
