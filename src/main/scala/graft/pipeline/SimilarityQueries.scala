@@ -483,6 +483,35 @@ object SimilarityQueries extends QueryModule {
           $"cluster_size", ($"vec_id" === $"label").as("is_canonical"))
     },
 
+    // k-NN GRAPH construction: top-5 cosine neighbors for EVERY vector
+    // (not a fixed query set) over the OR-amplified multitable LSH
+    // candidates — the primitive under SemDeDup-style semantic pruning,
+    // graph-based dedup, and kNN-graph clustering. Same single exploded
+    // (tbl, bucket) equi-join as sim_lsh_multitable; the per-vector
+    // top-k is a window over candidate pairs only (each vector's
+    // candidate list is bucket-sized, so the window partition is O(n/2^bits
+    // * tables), never the corpus). At 100 TB this is the standard
+    // build: map-side bucket keys, one candidate shuffle, per-key
+    // top-k. Raising BitsPerTable holds candidate-list size as n grows.
+    "sim_knn_graph" -> { (s, d) =>
+      import s.implicits._
+      val tb = explode(array((0 until NumTables).map(t =>
+        struct(lit(t).as("tbl"),
+          lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
+      val e = Tables(s, d, "embeddings")
+        .select($"vec_id", $"embedding", tb.as("tb"))
+        .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"), $"tbl", $"bucket")
+      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"), $"tbl", $"bucket")
+      val w = Window.partitionBy($"va").orderBy($"cos".desc, $"vb".asc)
+      a.join(b, Seq("tbl", "bucket")).filter($"va" =!= $"vb")
+        .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+        .groupBy($"va", $"vb").agg(max($"cos").as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 5)
+        .select($"va", $"vb", $"cos", $"rn")
+    },
+
     // LSH-restricted ANN: best same-bucket neighbor per query vector
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
@@ -551,6 +580,29 @@ object SimilarityQueries extends QueryModule {
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
            FROM dedup)
          SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+    },
+
+    "sim_knn_graph" -> {
+      val branches = (0 until NumTables).map { t =>
+        s"""SELECT q.va, c.vec_id AS vb,
+              ROUND(${cosineSql("q.ea", "c.embedding")}, 6) AS cos
+            FROM (SELECT vec_id AS va, embedding AS ea,
+                    ${lshBucketSql("embedding", t * BitsPerTable, BitsPerTable)} AS bucket
+                  FROM embeddings) q
+            JOIN (SELECT vec_id, embedding,
+                    ${lshBucketSql("embedding", t * BitsPerTable, BitsPerTable)} AS bucket
+                  FROM embeddings) c
+            ON q.bucket = c.bucket AND q.va <> c.vec_id"""
+      }.mkString("\n         UNION ALL\n         ")
+      s"""WITH cand AS (
+           $branches),
+         dedup AS (
+           SELECT va, vb, MAX(cos) AS cos FROM cand GROUP BY va, vb),
+         ranked AS (
+           SELECT va, vb, cos,
+             ROW_NUMBER() OVER (PARTITION BY va ORDER BY cos DESC, vb ASC) AS rn
+           FROM dedup)
+         SELECT va, vb, cos, rn FROM ranked WHERE rn <= 5"""
     },
 
     "sim_ivf_ann" -> {

@@ -272,6 +272,94 @@ object TextQueries extends QueryModule {
       docs.join(broadcast(bench), Seq("bigram"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hits"))
+    },
+
+    // DSIR-style importance weights (Data Selection via Importance
+    // Resampling, Xie et al. 2023, arXiv:2302.03169): score every raw
+    // doc by how target-like its hashed-unigram distribution is.
+    // Features = wordHash(w) mod 256 buckets; target = the labeled-'en'
+    // slice; weight(doc) = sum over tokens of
+    // ln p_target(bucket) - ln p_raw(bucket), add-1 smoothed. The two
+    // bucket tables are 256 rows (BROADCAST — model statistics never
+    // shuffle with the corpus, the DSIR scale property); the per-doc
+    // reduction is one partial-aggregating groupBy over (doc_id,
+    // rounded-decimal term). Cross-engine float discipline: each
+    // bucket's log-ratio is ROUND(ln,8)-differenced and summed as
+    // DECIMAL(38,8), so shuffle order and libm ulps can't move the
+    // output; `kept` (weight > 0 = more target-like than the raw
+    // average) is then exact. The resampling step itself is
+    // txt_stratified_sample's deterministic-hash keep pattern.
+    "txt_dsir_weights" -> { (s, d) =>
+      import s.implicits._
+      val B = 256
+      val inst = Tables(s, d, "documents")
+        .select($"doc_id", $"lang", explode(words).as("w"))
+        .withColumn("b", wordHash($"w") % B)
+      val totals = inst.agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("t_total"),
+        count(lit(1)).as("r_total"))
+      val cnt = inst.groupBy($"b").agg(
+        sum(when($"lang" === "en", 1L).otherwise(0L)).as("tc"),
+        count(lit(1)).as("rc"))
+      // decimal(18,8): wide enough for any ln-ratio, narrow enough that
+      // the difference keeps scale 8 in BOTH engines (38,8 +/- 38,8
+      // would trip Spark's precision-loss scale reduction to 7 while
+      // DuckDB keeps 8 — a silent cross-engine divergence)
+      val lr = cnt.crossJoin(broadcast(totals))
+        .select($"b",
+          (round(log(($"tc" + 1).cast("double") / ($"t_total" + B)), 8)
+            .cast("decimal(18,8)") -
+           round(log(($"rc" + 1).cast("double") / ($"r_total" + B)), 8)
+            .cast("decimal(18,8)")).as("lr"))
+      inst.join(broadcast(lr), Seq("b"))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum($"lr").as("w_raw"))
+        .select($"doc_id", $"n_tokens",
+          round($"w_raw".cast("double"), 6).as("dsir_weight"),
+          ($"w_raw" > 0).as("kept"))
+    },
+
+    // per-source distribution drift: KL(p_source || p_corpus) over the
+    // same hashed-unigram buckets, add-1 smoothed — the pipeline-health
+    // metric that flags a source whose token distribution diverges from
+    // the corpus (a scraper gone wrong, a format change, an injected
+    // spam burst). Count tables are O(sources x 256) and the corpus
+    // table O(256) — both vocabulary-scale; the only corpus-sized work
+    // is the one exploding scan that feeds the partial-aggregating
+    // counts. KL terms: (sc+1) * (ROUND(ln p_s,8) - ROUND(ln p,8))
+    // summed as exact decimals, divided by the source mass once at the
+    // end — deterministic across engines and shuffle orders. Buckets a
+    // source never emits still carry smoothed mass via the full
+    // (source x bucket) grid (a tiny cross join).
+    "txt_kl_drift" -> { (s, d) =>
+      import s.implicits._
+      val B = 256
+      val inst = Tables(s, d, "documents")
+        .select($"source", explode(words).as("w"))
+        .withColumn("b", wordHash($"w") % B)
+      val corpus = inst.groupBy($"b").agg(count(lit(1)).as("rc"))
+      val rTotal = inst.agg(count(lit(1)).as("r_total"))
+      val srcCnt = inst.groupBy($"source", $"b").agg(count(lit(1)).as("sc"))
+      val srcTotal = inst.groupBy($"source").agg(count(lit(1)).as("s_total"))
+      val grid = srcTotal.crossJoin(broadcast(corpus))
+        .join(srcCnt, Seq("source", "b"), "left")
+        .na.fill(0L, Seq("sc"))
+        .crossJoin(broadcast(rTotal))
+      // decimal(18,8) lns -> difference decimal(19,8) recast to (18,8)
+      // (exact: |diff| < 10^10) x count decimal(19,0) = decimal(38,8)
+      // with NO precision-loss rescale in either engine
+      val lnPs = round(log(($"sc" + 1).cast("double") / ($"s_total" + B)), 8)
+        .cast("decimal(18,8)")
+      val lnP = round(log(($"rc" + 1).cast("double") / ($"r_total" + B)), 8)
+        .cast("decimal(18,8)")
+      grid
+        .select($"source", $"s_total",
+          (($"sc" + 1).cast("decimal(19,0)") *
+            (lnPs - lnP).cast("decimal(18,8)")).as("term"))
+        .groupBy($"source", $"s_total")
+        .agg(sum($"term").as("klsum"))
+        .select($"source", $"s_total".as("n_tokens"),
+          round($"klsum".cast("double") / ($"s_total" + B), 6).as("kl_drift"))
     }
   )
 
@@ -419,7 +507,58 @@ object TextQueries extends QueryModule {
              GROUP BY bigram HAVING COUNT(*) >= 20)
            SELECT d.doc_id, COUNT(*) AS n_hits
            FROM docs d JOIN bench b ON d.bigram = b.bigram
-           GROUP BY d.doc_id"""
+           GROUP BY d.doc_id""",
+
+      "txt_dsir_weights" ->
+        s"""WITH inst AS (
+             SELECT doc_id, lang, ${wordHashSql("w")} % 256 AS b
+             FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+                   FROM documents)),
+           tot AS (
+             SELECT CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_total,
+               COUNT(*) AS r_total
+             FROM inst),
+           cnt AS (
+             SELECT b,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc,
+               COUNT(*) AS rc
+             FROM inst GROUP BY 1),
+           lr AS (
+             SELECT b,
+               CAST(ROUND(ln((tc + 1.0) / (t_total + 256)), 8) AS DECIMAL(18,8))
+               - CAST(ROUND(ln((rc + 1.0) / (r_total + 256)), 8) AS DECIMAL(18,8)) AS lr
+             FROM cnt CROSS JOIN tot)
+           SELECT i.doc_id, COUNT(*) AS n_tokens,
+             ROUND(CAST(SUM(lr.lr) AS DOUBLE), 6) AS dsir_weight,
+             CAST(SUM(lr.lr) AS DECIMAL(38,8)) > 0 AS kept
+           FROM inst i JOIN lr USING (b)
+           GROUP BY i.doc_id""",
+
+      "txt_kl_drift" ->
+        s"""WITH inst AS (
+             SELECT source, ${wordHashSql("w")} % 256 AS b
+             FROM (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents)),
+           corpus AS (SELECT b, COUNT(*) AS rc FROM inst GROUP BY 1),
+           rt AS (SELECT COUNT(*) AS r_total FROM inst),
+           sc AS (SELECT source, b, COUNT(*) AS sc FROM inst GROUP BY 1, 2),
+           st AS (SELECT source, COUNT(*) AS s_total FROM inst GROUP BY 1),
+           grid AS (
+             SELECT st.source, st.s_total, c.b, c.rc,
+               COALESCE(sc.sc, 0) AS sc, rt.r_total
+             FROM st CROSS JOIN corpus c
+             LEFT JOIN sc ON sc.source = st.source AND sc.b = c.b
+             CROSS JOIN rt),
+           terms AS (
+             SELECT source, s_total,
+               CAST(sc + 1 AS DECIMAL(19,0)) *
+               CAST(CAST(ROUND(ln((sc + 1.0) / (s_total + 256)), 8) AS DECIMAL(18,8))
+                  - CAST(ROUND(ln((rc + 1.0) / (r_total + 256)), 8) AS DECIMAL(18,8))
+                 AS DECIMAL(18,8)) AS term
+             FROM grid)
+           SELECT source, s_total AS n_tokens,
+             ROUND(CAST(SUM(term) AS DOUBLE) / (s_total + 256), 6) AS kl_drift
+           FROM terms GROUP BY source, s_total"""
     )
   }
 }
