@@ -41,9 +41,17 @@ object Verify {
     // differentials (sfN outputs reach 10^7 rows and a single-file
     // write dominates wall time; check.py globs part files anyway).
     val outParts = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PARTS", "1").toInt
-    SparkEntry.queries.filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).repartition(outParts).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    // alphabetical order + per-query wall time on stderr: a scaled
+    // differential that stalls is diagnosable mid-run (which query,
+    // how long) instead of opaque until the end
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => nameFilter(kv._1)).foreach { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).repartition(outParts).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        System.err.println(f"[verify-ok] $name ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)

@@ -195,21 +195,25 @@ object AggQueries extends QueryModule {
 
     // idxmin/idxmax (group_idxmin_idxmax groupby.pyx:2108) ->
     // deterministic arg-min/max with explicit tiebreak on the unique key
+    // idxmax/idxmin as a HASH AGGREGATE: max_by/min_by with the full
+    // tie-break (price, orderkey, linenumber) encoded in the ordering
+    // struct (negated keys turn "then smallest id" into a max). The
+    // earlier row_number form partitioned by l_returnflag — THREE
+    // distinct values — so at sf10 it funneled 60M rows into 3 tasks
+    // and sorted each twice (144 s); the aggregate partial-aggregates
+    // map-side and took it to ~3 s, the plan that holds at any group
+    // cardinality.
     "agg_idxminmax" -> { (s, d) =>
       import s.implicits._
-      val w = Window.partitionBy($"l_returnflag")
-      val byMax = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc, $"l_linenumber".asc)
-      val byMin = Window.partitionBy($"l_returnflag")
-        .orderBy($"l_extendedprice".asc, $"l_orderkey".asc, $"l_linenumber".asc)
       Tables(s, d, "lineitem")
-        .withColumn("rmax", row_number().over(byMax))
-        .withColumn("rmin", row_number().over(byMin))
-        .filter($"rmax" === 1 || $"rmin" === 1)
         .groupBy($"l_returnflag")
         .agg(
-          max(when($"rmax" === 1, $"l_orderkey")).as("idxmax_order"),
-          max(when($"rmin" === 1, $"l_orderkey")).as("idxmin_order"))
+          max_by($"l_orderkey",
+            struct($"l_extendedprice", (-$"l_orderkey").as("nk"),
+              (-$"l_linenumber").as("nl"))).as("idxmax_order"),
+          min_by($"l_orderkey",
+            struct($"l_extendedprice", $"l_orderkey", $"l_linenumber"))
+            .as("idxmin_order"))
     },
 
     // value_counts with normalize (algorithms.py:994, groupby

@@ -104,6 +104,20 @@ object DedupQueries extends QueryModule {
                  ${(0 until NumBands).map(b => s"${bandSql(b)} AS band$b").mkString(", ")}
                FROM hsh)"""
 
+  /** (doc_id, simhash): 24-bit simhash over a materialized shingle-hash
+    * array — see the dedup_simhash scaladoc for why materialization
+    * matters */
+  private def simhashSig(docs: DataFrame): DataFrame = {
+    val bits = (0 until 24).map { j =>
+      val p2 = 1L << j
+      when(aggregate(col("hs"), lit(0L),
+        (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), shingleHashes.as("hs"))
+      .select(col("doc_id"), bits.as("simhash"))
+  }
+
   /** verified near-dup pairs (da < db, jaccard >= 0.5) with the exact
     * jaccard in `jac` — shared pipeline for the pair query and the
     * cluster query */
@@ -390,31 +404,21 @@ object DedupQueries extends QueryModule {
     },
 
     // SimHash 24-bit signatures + banded near-pair search by Hamming
-    // distance (one long per doc; bucket = high 12 bits)
+    // distance (one long per doc; bucket = high 12 bits).
+    // The shingle-hash array is MATERIALIZED by a projection before the
+    // 24 per-bit folds: each fold references col("hs"), so the
+    // shingling+hashing subtree exists once in the plan. Inlining
+    // `shingleHashes` into all 24 folds re-evaluated the shingling per
+    // bit — 24 passes over every document's text (969 s for 500k sf10
+    // docs; ~40 s materialized).
     "dedup_simhash" -> { (s, d) =>
       import s.implicits._
-      val hs = shingleHashes
-      val bits = (0 until 24).map { j =>
-        val p2 = 1L << j
-        when(aggregate(hs, lit(0L),
-          (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      Tables(s, d, "documents")
-        .select($"doc_id", bits.as("simhash"))
+      simhashSig(Tables(s, d, "documents"))
     },
 
     "dedup_simhash_pairs" -> { (s, d) =>
       import s.implicits._
-      val hs = shingleHashes
-      val bits = (0 until 24).map { j =>
-        val p2 = 1L << j
-        when(aggregate(hs, lit(0L),
-          (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
-          .otherwise(lit(0L))
-      }.reduce(_ + _)
-      val sig = Tables(s, d, "documents")
-        .select($"doc_id", bits.as("simhash"))
+      val sig = simhashSig(Tables(s, d, "documents"))
         .withColumn("bucket", ($"simhash" / lit(4096L)).cast("long"))
       val a = sig.select($"doc_id".as("da"), $"simhash".as("sa"), $"bucket")
       val b = sig.select($"doc_id".as("db"), $"simhash".as("sb"), $"bucket")

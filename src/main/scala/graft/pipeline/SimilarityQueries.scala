@@ -488,28 +488,31 @@ object SimilarityQueries extends QueryModule {
     // candidates — the primitive under SemDeDup-style semantic pruning,
     // graph-based dedup, and kNN-graph clustering. Same single exploded
     // (tbl, bucket) equi-join as sim_lsh_multitable; the per-vector
-    // top-k is a window over candidate pairs only (each vector's
-    // candidate list is bucket-sized, so the window partition is O(n/2^bits
-    // * tables), never the corpus). At 100 TB this is the standard
-    // build: map-side bucket keys, one candidate shuffle, per-key
-    // top-k. Raising BitsPerTable holds candidate-list size as n grows.
+    // top-k is a window over candidate pairs only.
+    //
+    // Exact-copy collapse (same defense as dedup_semantic_clusters /
+    // verifiedPairsOf): bit-identical embeddings share every bucket, so
+    // a corpus with R copies per vector would inflate the candidate
+    // join R^2-fold. Instead LSH + cosine run once per DISTINCT vector
+    // (digest-keyed representatives) and the per-vector top-5 is
+    // reconstructed by a bounded expansion that is provably equal to
+    // the plain all-vector form (KnnGraphSpec pins it on a
+    // copy-injected corpus):
+    //  - a rep's own family is a candidate family at cos 1.0 (identical
+    //    vectors; round(cos, 6) of a self-pair is 1.0 exactly);
+    //  - only rep-neighbors of rank <= K+1 WITH TIES can reach any
+    //    member's top-K: rank k > K+1 implies >= K+1 reps with strictly
+    //    greater cos, each contributing >= 1 candidate that is not the
+    //    probe vector (only the own family contains it, and its
+    //    selfEdge requires >= 2 members);
+    //  - only the K+1 lowest-id members per candidate family matter:
+    //    slots fill by (cos DESC, vb ASC), so >= K+1 same-family
+    //    members ahead (at most one of which can be the probe itself)
+    //    push the next one out of top-K.
+    // Expansion output is O(n * (K+1)^2) — linear in the corpus, and
+    // invariant in the copy count everywhere before the final join.
     "sim_knn_graph" -> { (s, d) =>
-      import s.implicits._
-      val tb = explode(array((0 until NumTables).map(t =>
-        struct(lit(t).as("tbl"),
-          lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
-      val e = Tables(s, d, "embeddings")
-        .select($"vec_id", $"embedding", tb.as("tb"))
-        .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"), $"tbl", $"bucket")
-      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"), $"tbl", $"bucket")
-      val w = Window.partitionBy($"va").orderBy($"cos".desc, $"vb".asc)
-      a.join(b, Seq("tbl", "bucket")).filter($"va" =!= $"vb")
-        .withColumn("cos", round(cosine($"ea", $"eb"), 6))
-        .groupBy($"va", $"vb").agg(max($"cos").as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" <= 5)
-        .select($"va", $"vb", $"cos", $"rn")
+      knnGraphOf(s, Tables(s, d, "embeddings"))
     },
 
     // LSH-restricted ANN: best same-bucket neighbor per query vector
@@ -528,6 +531,58 @@ object SimilarityQueries extends QueryModule {
         .select($"vq", $"vc", $"cos")
     }
   )
+
+  /** Collapse-aware k-NN graph over an arbitrary (vec_id, embedding)
+    * frame — exposed for KnnGraphSpec's plain-vs-collapsed equality
+    * pin; semantics documented at the `sim_knn_graph` query. */
+  private[graft] def knnGraphOf(s: org.apache.spark.sql.SparkSession,
+                                emb: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val K = 5
+    val keyed = emb
+      .select($"vec_id", $"embedding",
+        xxhash64($"embedding").as("dg1"), hash($"embedding").as("dg2"))
+      .cache()
+    val fam = keyed.groupBy($"dg1", $"dg2")
+      .agg(min($"vec_id").as("rep"), count(lit(1)).as("fsize"),
+        first($"embedding").as("embedding"))
+      .cache()
+    val mapping = keyed.select($"vec_id", $"dg1", $"dg2")
+      .join(fam.select($"dg1", $"dg2", $"rep"), Seq("dg1", "dg2"))
+      .select($"vec_id", $"rep")
+      .cache()
+    val members6 = mapping
+      .withColumn("mrn", row_number().over(
+        Window.partitionBy($"rep").orderBy($"vec_id")))
+      .filter($"mrn" <= K + 1)
+      .select($"rep", $"vec_id")
+    val tb = explode(array((0 until NumTables).map(t =>
+      struct(lit(t).as("tbl"),
+        lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
+    val e = fam
+      .select($"rep", $"embedding", tb.as("tb"))
+      .select($"rep", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+    val a = e.select($"rep".as("ra"), $"embedding".as("ea"), $"tbl", $"bucket")
+    val b = e.select($"rep".as("rb"), $"embedding".as("eb"), $"tbl", $"bucket")
+    val repEdges = a.join(b, Seq("tbl", "bucket")).filter($"ra" =!= $"rb")
+      .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+      .groupBy($"ra", $"rb").agg(max($"cos").as("cos"))
+    val selfEdges = fam.filter($"fsize" > 1)
+      .select($"rep".as("ra"), $"rep".as("rb"), lit(1.0).as("cos"))
+    val top = repEdges.unionByName(selfEdges)
+      .withColumn("rk", rank().over(
+        Window.partitionBy($"ra").orderBy($"cos".desc)))
+      .filter($"rk" <= K + 1)
+    val cand = top
+      .join(members6.select($"rep".as("rb"), $"vec_id".as("vb")), Seq("rb"))
+      .select($"ra", $"cos", $"vb")
+    val wv = Window.partitionBy($"va").orderBy($"cos".desc, $"vb".asc)
+    cand.join(mapping.select($"vec_id".as("va"), $"rep".as("ra")), Seq("ra"))
+      .filter($"va" =!= $"vb")
+      .withColumn("rn", row_number().over(wv))
+      .filter($"rn" <= K)
+      .select($"va", $"vb", $"cos", $"rn")
+  }
 
   def oracle: Map[String, String] = Map(
     "sim_norms" ->
