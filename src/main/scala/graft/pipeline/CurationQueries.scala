@@ -58,6 +58,7 @@ object CurationQueries extends QueryModule {
   private val MinWords = 20
   private val SourceCap = 40L
   private val HashMod = 1000000L
+  private val MixBudget = 200L
 
   def queries: Map[String, Q] = Map(
     "pipe_curation" -> { (s, d) =>
@@ -90,6 +91,32 @@ object CurationQueries extends QueryModule {
         .withColumn("h", ($"doc_id" * 48271L) % HashMod)
         .filter($"h" * $"n_src" < SourceCap * HashMod)
         .select($"doc_id", $"lang", $"source", $"n_words", $"n_src")
+    },
+
+    // temperature-weighted domain mixing (the UniMax / alpha-sampling
+    // primitive, alpha = 0.5): target mixture weight w_d ∝ n_d^alpha
+    // flattens the head domains without starving the tail; each
+    // domain's Bernoulli keep rate is Budget·w_d/(Σw·n_d) so expected
+    // output ≈ Budget docs at the tempered mixture. Entirely
+    // integer-exact: w_d = round(√n_d) as BIGINT (√ of an integer is
+    // never a .5 tie, so rounding mode can't diverge across engines)
+    // and the keep predicate h·Σw·n_d < Budget·w_d·M is pure int64 —
+    // no float thresholds to drift. Plan shape at 100 TB: one tiny
+    // per-domain aggregate (partial map-side), its ~|domains|-row
+    // result broadcast back twice, then a map-side predicate in the
+    // scan stage — the corpus itself never shuffles.
+    "pipe_domain_mix" -> { (s, d) =>
+      import s.implicits._
+      val counts = Tables(s, d, "documents")
+        .groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+        .withColumn("w", round(sqrt($"n_lang")).cast("long"))
+      val tot = counts.agg(sum($"w").as("s"))
+      Tables(s, d, "documents")
+        .join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .withColumn("h", ($"doc_id" * 48271L) % HashMod)
+        .filter($"h" * $"s" * $"n_lang" < lit(MixBudget) * $"w" * lit(HashMod))
+        .select($"doc_id", $"lang", $"n_lang", $"w", $"h")
     }
   )
 
@@ -135,6 +162,17 @@ object CurationQueries extends QueryModule {
          SELECT n.doc_id, n.lang, n.source, n.n_words, c.n_src
          FROM near n JOIN c USING (source)
          WHERE ((n.doc_id * 48271) % $HashMod) * c.n_src < $SourceCap * $HashMod"""
-    }
+    },
+
+    "pipe_domain_mix" ->
+      s"""WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_lang,
+                 CAST(round(sqrt(n_lang)) AS BIGINT) AS w FROM c),
+         s AS (SELECT CAST(SUM(w) AS BIGINT) AS s FROM w)
+         SELECT d.doc_id, d.lang, w.n_lang, w.w,
+           (d.doc_id * 48271) % $HashMod AS h
+         FROM documents d JOIN w USING (lang) CROSS JOIN s
+         WHERE ((d.doc_id * 48271) % $HashMod) * s.s * w.n_lang
+           < $MixBudget * w.w * $HashMod"""
   )
 }

@@ -292,6 +292,27 @@ object DedupQueries extends QueryModule {
         .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_docs"))
     },
 
+    // keep-BEST dedup: when a weak key (here the opening words — the
+    // URL/title analogue in a crawl pipeline) collides across
+    // non-identical captures, retain the highest-quality copy rather
+    // than an arbitrary first. max_by on a (quality, id) ordering
+    // struct makes this a partial-aggregating hash aggregate — same
+    // 100 TB shape as dedup_exact_md5, no per-group window, group
+    // cardinality irrelevant. (For EXACT duplicates quality ties by
+    // construction and the id tie-break alone decides, which is why
+    // dedup_exact_md5 uses plain min; this op exists for the weak-key
+    // case where copies genuinely differ.)
+    "dedup_keep_best" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "documents")
+        .withColumn("prefix_key", array_join(slice(split($"text", " "), 1, 3), " "))
+        .groupBy($"prefix_key")
+        .agg(
+          max_by($"doc_id", struct($"n_chars", $"doc_id")).as("keep_doc"),
+          max($"n_chars").as("keep_chars"),
+          count(lit(1)).as("n_docs"))
+    },
+
     // segment-level dedup + reassembly (the CCNet/Dolma "paragraph
     // dedup" shape, on fixed 20-word segments since the synthetic text
     // has no paragraph breaks): segment map-side, keep the globally
@@ -539,6 +560,20 @@ object DedupQueries extends QueryModule {
       "dedup_exact_md5" ->
         """SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc, COUNT(*) AS n_docs
            FROM documents GROUP BY 1""",
+
+      "dedup_keep_best" ->
+        """WITH k AS (
+             SELECT doc_id, n_chars,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS prefix_key
+             FROM documents),
+           r AS (
+             SELECT prefix_key, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY prefix_key
+                 ORDER BY n_chars DESC, doc_id DESC) AS rn,
+               COUNT(*) OVER (PARTITION BY prefix_key) AS n_docs
+             FROM k)
+           SELECT prefix_key, doc_id AS keep_doc, n_chars AS keep_chars, n_docs
+           FROM r WHERE rn = 1""",
 
       "dedup_segments" ->
         """WITH w AS (

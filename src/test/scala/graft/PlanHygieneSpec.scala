@@ -190,6 +190,27 @@ class PlanHygieneSpec extends SparkSpec {
     assert(bad.isEmpty, "no partition-less window in the curation chain")
   }
 
+  test("domain mix broadcasts its rate tables; the corpus never shuffles") {
+    // the scaladoc promises: the only aggregate is the ~|domains|-row
+    // count table; its result broadcasts back (twice) and the keep
+    // predicate evaluates in the corpus scan stage — so no Exchange
+    // may sit on the documents-scan side of either join
+    val p = executed("pipe_domain_mix")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "per-domain weight table must broadcast, not shuffle the corpus")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row Σw total must ride a broadcast")
+    // exactly the two declared joins (weights, Σw) and no window —
+    // nothing may repartition the raw documents scan
+    val lp = optimized("pipe_domain_mix")
+    val joins = lp.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.size == 2, s"expected exactly 2 joins, got ${joins.size}")
+    val bad = lp.collect { case w: LWindow => w }
+    assert(bad.isEmpty, "domain mix must not plan any window")
+  }
+
   test("bm25 takes top-k distributed, never a global window over the corpus") {
     val p = executed("txt_bm25")
     assert(p.contains("TakeOrderedAndProject"),
