@@ -273,6 +273,26 @@ object DedupQueries extends QueryModule {
     (vp, mapping)
   }
 
+  /** Near-dup cluster label per document: verified rep-level pairs →
+    * pointer-jumping connected components → labels propagated back
+    * through the exact-copy mapping. Shared by dedup_clusters and
+    * pipe_split_safe.
+    */
+  private def clusterLabelsOf(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
+    import s.implicits._
+    val (vp, mapping) = verifiedRepPairsOf(s, docs)
+    val edges = vp.select($"ra".as("src"), $"rb".as("dst"))
+    val verts = mapping.filter($"n_sh" > 0)
+      .select($"rep".as("id")).distinct()
+    val comp = graft.operators.ConnectedComponents.labels(verts, edges)
+    mapping
+      .join(comp, mapping("rep") === comp("id"), "left")
+      .select($"doc_id",
+        when($"n_sh" > 0, coalesce($"label", $"rep"))
+          .otherwise($"doc_id").as("label"))
+  }
+
   def queries: Map[String, Q] = Map(
     // exact full-row dedup via hash aggregate (the testdata's lineitem
     // carries real duplicate rows): duplicate groups + multiplicity
@@ -381,20 +401,29 @@ object DedupQueries extends QueryModule {
     // them.
     "dedup_clusters" -> { (s, d) =>
       import s.implicits._
-      val (vp, mapping) = verifiedRepPairsOf(s, Tables(s, d, "documents"))
-      val edges = vp.select($"ra".as("src"), $"rb".as("dst"))
-      val verts = mapping.filter($"n_sh" > 0)
-        .select($"rep".as("id")).distinct()
-      val comp = graft.operators.ConnectedComponents.labels(verts, edges)
-      val full = mapping
-        .join(comp, mapping("rep") === comp("id"), "left")
-        .select($"doc_id",
-          when($"n_sh" > 0, coalesce($"label", $"rep"))
-            .otherwise($"doc_id").as("label"))
+      val full = clusterLabelsOf(s, Tables(s, d, "documents"))
       val sizes = full.groupBy($"label").agg(count(lit(1)).as("cluster_size"))
       full.join(sizes, Seq("label"))
         .select($"doc_id", $"label".as("cluster_id"),
           $"cluster_size", ($"doc_id" === $"label").as("is_canonical"))
+    },
+
+    // leakage-safe train/val/test split: the split key is the NEAR-DUP
+    // CLUSTER, not the document — a doc-keyed hash split lets near-
+    // duplicate pairs straddle train and eval, silently inflating
+    // held-out metrics (the classic contamination-by-split bug).
+    // Hashing the cluster label sends every member of a cluster to the
+    // same side by construction. Same 100 TB shape as dedup_clusters
+    // (LSH blocking + candidate-only verify + pointer-jumping CC);
+    // the split itself adds zero shuffles — a map-side int predicate
+    // on the already-computed label.
+    "pipe_split_safe" -> { (s, d) =>
+      import s.implicits._
+      val full = clusterLabelsOf(s, Tables(s, d, "documents"))
+      val h = ($"label" * 48271L) % 100L
+      full.select($"doc_id", $"label".as("cluster_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
     },
 
     // brute-force shingle-jaccard near-dups (oracle path for MinHash
@@ -622,6 +651,21 @@ object DedupQueries extends QueryModule {
            SELECT doc AS doc_id, cluster_id,
              COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
              (doc = cluster_id) AS is_canonical
+           FROM comp""",
+
+      "pipe_split_safe" ->
+        s"""WITH RECURSIVE $pairs64Cte,
+           edges AS (SELECT da AS s, db AS t FROM pairs
+                     UNION ALL SELECT db, da FROM pairs),
+           reach(doc, root) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT e.t, r.root FROM reach r JOIN edges e ON e.s = r.doc),
+           comp AS (SELECT doc, MIN(root) AS cluster_id FROM reach GROUP BY doc)
+           SELECT doc AS doc_id, cluster_id,
+             CASE WHEN (cluster_id * 48271) % 100 < 80 THEN 'train'
+                  WHEN (cluster_id * 48271) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
            FROM comp""",
 
       "dedup_jaccard_pairs" ->
