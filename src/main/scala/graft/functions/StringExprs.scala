@@ -20,7 +20,68 @@ object StringExprs {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_nfc",
       exprs => NfcNormalize(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_token_count",
+      exprs => TokenCount(exprs.head), "scala_udf")
   }
+}
+
+/** Single-pass tokenizer-count kernel shared by interpreted eval and
+  * the generated code of [[TokenCount]].
+  */
+object TokenScan {
+  /** Number of matches of `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` — i.e.
+    * letter runs + digit runs + one per other non-space code point —
+    * counted in one pass over the raw UTF-8 bytes. Multibyte code
+    * points are recognized by their lead byte (continuations are
+    * 0b10xxxxxx), so no decode and no allocation.
+    */
+  def count(s: UTF8String): Int = {
+    val n = s.numBytes
+    var i = 0
+    var cnt = 0
+    var run = 0 // 0 = at boundary, 1 = inside letter run, 2 = inside digit run
+    while (i < n) {
+      val b = s.getByte(i) & 0xFF
+      if ((b & 0xC0) == 0x80) {
+        // continuation byte of the code point counted at its lead byte
+      } else if (b < 0x80) {
+        if ((b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')) {
+          if (run != 1) { cnt += 1; run = 1 }
+        } else if (b >= '0' && b <= '9') {
+          if (run != 2) { cnt += 1; run = 2 }
+        } else if (b == ' ') {
+          run = 0
+        } else { cnt += 1; run = 0 }
+      } else {
+        // lead byte of a multibyte code point: single-char token
+        cnt += 1; run = 0
+      }
+      i += 1
+    }
+    cnt
+  }
+}
+
+/** regexp_count('[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') as a codegen'd
+  * character-class scan (graft_token_count): the BPE-ish token count
+  * is a hot map-side pass over every document at corpus scale, and the
+  * alternation regex is a state machine with three states — running it
+  * through the regex engine pays NFA overhead per char. One branchy
+  * byte loop, no decode, no allocation, stays inside whole-stage
+  * codegen. Oracle peer remains DuckDB's regexp_extract_all length
+  * over the same pattern.
+  */
+case class TokenCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    TokenScan.count(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Unicode NFC normalization (graft_nfc), java.text.Normalizer-backed. */

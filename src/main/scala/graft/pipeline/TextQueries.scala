@@ -105,10 +105,14 @@ object TextQueries extends QueryModule {
     // distinct-token ratio
     "txt_tokens" -> { (s, d) =>
       import s.implicits._
+      graft.functions.StringExprs.register(s)
       Tables(s, d, "documents")
         .select($"doc_id",
           size(words).as("ws_tokens"),
-          expr("regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')").as("re_tokens"),
+          // codegen'd single-pass scan ≡ regexp_count(text,
+          // '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'); TokenScanSpec pins the
+          // equivalence, the DuckDB oracle still runs the regex
+          expr("graft_token_count(text)").as("re_tokens"),
           size(array_distinct(words)).as("distinct_tokens"),
           round(size(array_distinct(words)).cast("double") / size(words), 6)
             .as("ttr"))
