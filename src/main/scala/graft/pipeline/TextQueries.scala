@@ -118,6 +118,30 @@ object TextQueries extends QueryModule {
             .as("ttr"))
     },
 
+    // tokenizer fertility per language: BPE-ish tokens per whitespace
+    // word and chars per token — the standard multilingual budget
+    // metric (CJK fertility blows up under latin-centric tokenizers,
+    // inflating its share of any token-denominated budget). Sums are
+    // exact int64 so the final two divisions are bit-identical across
+    // engines; one tiny |langs|-row aggregate, all counting map-side
+    // via the codegen'd TokenScan kernel.
+    "txt_fertility" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.StringExprs.register(s)
+      Tables(s, d, "documents")
+        .select($"lang", $"n_chars",
+          expr("graft_token_count(text)").as("re_tokens"),
+          size(words).as("ws_tokens"))
+        .groupBy($"lang")
+        .agg(
+          sum($"re_tokens").as("tokens"),
+          sum($"ws_tokens").as("words_n"),
+          sum($"n_chars").as("chars_n"))
+        .select($"lang", $"tokens", $"words_n",
+          round($"tokens".cast("double") / $"words_n", 6).as("fertility"),
+          round($"chars_n".cast("double") / $"tokens", 6).as("chars_per_token"))
+    },
+
     // stratified sampling for training-data balancing: cap each
     // language at ~Cap docs via a per-group Bernoulli rate
     // (rate = Cap/n_lang). The per-lang counts are one tiny aggregate
@@ -465,6 +489,22 @@ object TextQueries extends QueryModule {
              CAST(SUM(iv) AS BIGINT) AS n_invocab,
              1.0 - CAST(SUM(iv) AS DOUBLE) / COUNT(*) AS oov_ratio
            FROM j GROUP BY doc_id""",
+
+      "txt_fertility" ->
+        """WITH t AS (
+             SELECT lang, n_chars,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS re_tokens,
+               len(string_split(text, ' ')) AS ws_tokens
+             FROM documents),
+           g AS (
+             SELECT lang, CAST(SUM(re_tokens) AS BIGINT) AS tokens,
+               CAST(SUM(ws_tokens) AS BIGINT) AS words_n,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_n
+             FROM t GROUP BY 1)
+           SELECT lang, tokens, words_n,
+             ROUND(CAST(tokens AS DOUBLE) / words_n, 6) AS fertility,
+             ROUND(CAST(chars_n AS DOUBLE) / tokens, 6) AS chars_per_token
+           FROM g""",
 
       "txt_stratified_sample" ->
         """WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY 1)
