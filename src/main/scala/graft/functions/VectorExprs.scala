@@ -38,7 +38,117 @@ object VectorExprs {
       exprs => LshBucket(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_rand_project",
+      exprs => RandProject(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
   }
+}
+
+/** Johnson–Lindenstrauss sign projection of a float-array embedding to
+  * `outDim` doubles in ONE pass over the vector: out[j] = Σ_i emb[i] ·
+  * s(i, j) over 1-based dims, where the deterministic ±1 sign comes
+  * from an avalanche-style integer hash of (i, j):
+  *
+  *   k0 = i·131071 + j·524287
+  *   k1 = (k0 · 2654435761) mod 2^32        (Knuth multiplicative)
+  *   k2 = k1 xor (k1 >> 16)
+  *   k3 = (k2 · 999999937) mod 2^32
+  *   s  = +1 iff k3 < 2^31
+  *
+  * A LINEAR mix (the LshBucket plane formula) is not good enough here:
+  * sign columns of s(a·i + b·j mod m) are phase shifts of ONE base
+  * sequence, so the 16 projections are correlated and JL distortion
+  * collapses (measured p05 distance ratio 0.20). The xor-mix breaks
+  * the shift structure; every multiplier keeps intermediates < 2^63 so
+  * Java long and DuckDB BIGINT agree exactly. Accumulation is
+  * left-to-right per output dim, bit-identical to the DuckDB
+  * `list_reduce` mirror in SimilarityQueries. Like the simhash lesson
+  * (SCALE.md round-6): 16 independent HOF folds would re-walk the
+  * array through 16 interpreted lambdas; this kernel is one generated
+  * loop nest with no intermediate arrays.
+  *
+  * Null contract mirrors the HOF form: null array or any null element
+  * -> NULL row value. */
+case class RandProject(child: Expression, outDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  // NULL reachable from a non-null input (null element poisons the fold)
+  override def nullable: Boolean = true
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"graft_rand_project expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val emb = input.asInstanceOf[ArrayData]
+    val n = emb.numElements()
+    var i0 = 0
+    while (i0 < n) {
+      if (emb.isNullAt(i0)) return null
+      i0 += 1
+    }
+    val out = new Array[Double](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0.0
+      var i = 1
+      while (i <= n) {
+        val k1 = ((i * 131071L + j * 524287L) * 2654435761L) % 4294967296L
+        val k3 = ((k1 ^ (k1 >>> 16)) * 999999937L) % 4294967296L
+        val s = if (k3 < 2147483648L) 1.0 else -1.0
+        val v = if (isFloat) emb.getFloat(i - 1).toDouble else emb.getDouble(i - 1)
+        acc += v * s
+        i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val out = ctx.freshName("out")
+      val i0 = ctx.freshName("i0")
+      val anyNull = ctx.freshName("anyNull")
+      val get = if (isFloat) s"(double)$c.getFloat($i - 1)" else s"$c.getDouble($i - 1)"
+      val k1 = ctx.freshName("k1")
+      val k3 = ctx.freshName("k3")
+      s"""
+         |int $n = $c.numElements();
+         |boolean $anyNull = false;
+         |for (int $i0 = 0; $i0 < $n; $i0++) {
+         |  if ($c.isNullAt($i0)) { $anyNull = true; break; }
+         |}
+         |if ($anyNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $out = new double[$outDim];
+         |  for (int $j = 0; $j < $outDim; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 1; $i <= $n; $i++) {
+         |      long $k1 = (($i * 131071L + $j * 524287L) * 2654435761L) % 4294967296L;
+         |      long $k3 = (($k1 ^ ($k1 >>> 16)) * 999999937L) % 4294967296L;
+         |      $acc += $get * ($k3 < 2147483648L ? 1.0 : -1.0);
+         |    }
+         |    $out[$j] = $acc;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Fused multiply-accumulate over two float/double array columns,

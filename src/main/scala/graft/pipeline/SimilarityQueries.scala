@@ -529,8 +529,73 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vq", $"vc", $"cos")
+    },
+
+    // Johnson–Lindenstrauss sign projection 64 -> 16 dims, scaled by
+    // 1/sqrt(16) = 1/4 (a power of two, so the scale is float-exact).
+    // Map-side only — zero shuffle; at 100 TB this is the cheap
+    // pre-pass that cuts every downstream distance computation 4x
+    // while JL keeps pairwise distances within (1 ± eps). The kernel
+    // (functions/VectorExprs.RandProject) computes all 16 outputs in
+    // one generated loop nest — no per-dim re-walk of the vector.
+    "sim_random_projection" -> { (s, d) =>
+      import s.implicits._
+      Tables(s, d, "embeddings")
+        .select($"vec_id", $"label",
+          transform(
+            call_function("graft_rand_project", $"embedding", lit(RpDim)),
+            x => round(x / 4.0, 6) + lit(0.0)).as("rp"))
+    },
+
+    // first stage of staged retrieval: top-3 by cosine in the
+    // PROJECTED 16-dim space (scale cancels in cosine, so the raw
+    // projection is used) — the cheap candidate scorer that an exact
+    // rerank follows at corpus scale. Same shape as sim_cosine_topk
+    // at 1/4 the per-pair cost; RandProjectSpec pins the estimate's
+    // correlation with exact cosine and the two-stage candidate
+    // recall (the testdata is isotropic noise — the hardest case).
+    "sim_rp_topk" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables(s, d, "embeddings")
+        .select($"vec_id",
+          call_function("graft_rand_project", $"embedding", lit(RpDim)).as("rp"))
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("vq"), $"rp".as("rq"))
+      val c = e.select($"vec_id".as("vc"), $"rp".as("rc"))
+      val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      q.crossJoin(c).filter($"vq" =!= $"vc")
+        .withColumn("cos", round(cosine($"rq", $"rc"), 6))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"vq", $"vc", $"cos", $"rn")
     }
   )
+
+  /** projected dimensionality for the JL family */
+  private val RpDim = 16
+
+  /** DuckDB mirror of RandProject output element j (unscaled): the
+    * sign comes from the same xor-mix integer hash as the kernel —
+    * all intermediates < 2^63, so BIGINT arithmetic agrees with Java
+    * long exactly (k1 appears twice; DuckDB `//` = Java `>>> 16` for
+    * the non-negative k1). */
+  private def rpElemSql(emb: String, j: Int): String = {
+    val k1 = s"((i * 131071 + ${j * 524287L}) * 2654435761) % 4294967296"
+    val k3 = s"((xor($k1, $k1 // 65536)) * 999999937) % 4294967296"
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${Dim + 1}), i -> CAST($emb[i] AS DOUBLE) * " +
+      s"(CASE WHEN $k3 < 2147483648 THEN 1.0 ELSE -1.0 END))), " +
+      s"(x, y) -> x + y)"
+  }
+
+  /** DuckDB list literal of the full unscaled projection. */
+  private def rpListSql(emb: String): String =
+    (0 until RpDim).map(j => rpElemSql(emb, j)).mkString("[", ", ", "]")
+
+  /** dot product over two RpDim double lists (strict left fold). */
+  private def rpDotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
+      s"list_transform(range(1, ${RpDim + 1}), i -> $a[i] * $b[i])), " +
+      s"(x, y) -> x + y)"
 
   /** Collapse-aware k-NN graph over an arbitrary (vec_id, embedding)
     * frame — exposed for KnnGraphSpec's plain-vs-collapsed equality
@@ -1083,6 +1148,28 @@ object SimilarityQueries extends QueryModule {
            SELECT vq, vc, cos,
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
            FROM cand)
-         SELECT vq, vc, cos FROM ranked WHERE rn = 1"""
+         SELECT vq, vc, cos FROM ranked WHERE rn = 1""",
+
+    "sim_random_projection" ->
+      s"""SELECT vec_id, label,
+           ${(0 until RpDim).map(j =>
+             s"ROUND(${rpElemSql("embedding", j)} / 4.0, 6) + 0.0")
+             .mkString("[", ", ", "]")} AS rp
+         FROM embeddings""",
+
+    "sim_rp_topk" ->
+      s"""WITH e AS (
+           SELECT vec_id, ${rpListSql("embedding")} AS rp FROM embeddings),
+         q AS (SELECT vec_id AS vq, rp AS rq FROM e WHERE vec_id < 10),
+         cand AS (
+           SELECT vq, c.vec_id AS vc,
+             ROUND(${rpDotSql("rq", "c.rp")} /
+               (SQRT(${rpDotSql("rq", "rq")}) * SQRT(${rpDotSql("c.rp", "c.rp")})), 6) AS cos
+           FROM q CROSS JOIN e c WHERE vq <> c.vec_id),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM cand)
+         SELECT vq, vc, cos, rn FROM ranked WHERE rn <= 3"""
   )
 }

@@ -22,6 +22,10 @@ object TextQueries extends QueryModule {
 
   private def words: Column = split(col("text"), " ")
 
+  /** gradient-descent iterations for txt_lr_train (mirrored by the
+    * unrolled oracle CTE chain) */
+  private val LrIters = 3
+
   /** adjacent word pairs as "w1 w2" strings, map-side */
   private def bigramsOf(w: Column): Column =
     transform(sequence(lit(1), size(w) - 1),
@@ -99,6 +103,61 @@ object TextQueries extends QueryModule {
       Tables(s, d, "documents")
         .select($"doc_id", round(z, 6).as("quality_logit"),
           (z > 0.0).as("keep"))
+    },
+
+    // Distributed TRAINING of the quality/language classifier that
+    // txt_quality_lr only scores with: batch gradient-descent logistic
+    // regression (label: lang == 'en') over surface features. Each
+    // iteration is ONE map-side scan + a 5-long partial-aggregating
+    // hash aggregate — the weight vector (O(d) doubles) is the only
+    // driver state, re-broadcast as literals; the feature frame is
+    // cached across the K=3 iterations. At 100 TB this is exactly a
+    // parameter-server round with d=5: gradients tree-reduce, rows
+    // never move.
+    //
+    // Cross-engine determinism (the hash gate) is engineered, not
+    // hoped for: (a) the activation is the RATIONAL fast sigmoid
+    // 0.5*(1 + z/(1+|z|)) — same keep-threshold semantics, but +,*,/
+    // and abs are IEEE-exact in both engines, unlike exp() whose
+    // last-ulp varies across libm builds; (b) per-row gradient
+    // contributions are QUANTIZED to 1e-6 grid integers (floor) and
+    // summed as int64 — order-independent exact sums, the same trick
+    // as gradient-quantization in distributed training; (c) every
+    // weight update uses only IEEE ops on exactly-representable
+    // integers, so the unrolled DuckDB mirror reproduces the weights
+    // bit-for-bit.
+    "txt_lr_train" -> { (s, d) =>
+      import s.implicits._
+      val nw = size(words).cast("double")
+      val nc = length($"text").cast("double")
+      val feats = Tables(s, d, "documents").select(
+        $"doc_id",
+        (markerCount(Seq("the", "a", "of")).cast("double") / nw).as("x1"),
+        ((nc - nw + 1) / nw).as("x2"),
+        least(nw / 100.0, lit(1.0)).as("x3"),
+        (size(array_distinct(words)).cast("double") / nw).as("x4"),
+        when($"lang" === "en", 1.0).otherwise(0.0).as("y"))
+      val cached = feats.cache()
+      val n = cached.count()
+      def zOf(w: Array[Double]): Column =
+        lit(w(0)) + lit(w(1)) * $"x1" + lit(w(2)) * $"x2" +
+          lit(w(3)) * $"x3" + lit(w(4)) * $"x4"
+      def sigOf(z: Column): Column =
+        lit(0.5) * (lit(1.0) + z / (lit(1.0) + abs(z)))
+      var w = Array.fill(5)(0.0)
+      val xs = Seq(lit(1.0), $"x1", $"x2", $"x3", $"x4")
+      for (_ <- 1 to LrIters) {
+        val r = sigOf(zOf(w)) - $"y"
+        val g = cached.select(xs.zipWithIndex.map { case (x, j) =>
+          sum(floor(r * x * lit(1000000.0))).as(s"g$j") }: _*).head()
+        w = Array.tabulate(5)(j =>
+          w(j) - 0.5 * (g.getLong(j).toDouble / n.toDouble) / 1000000.0)
+      }
+      val out = cached.select($"doc_id",
+        (round(sigOf(zOf(w)), 6) + 0.0).as("score"),
+        (sigOf(zOf(w)) > 0.5).as("pred"), $"y")
+      cached.unpersist()
+      out
     },
 
     // token counting: whitespace tokens + BPE-ish regex token count +
@@ -391,6 +450,51 @@ object TextQueries extends QueryModule {
     }
   )
 
+  /** Unrolled-CTE DuckDB mirror of txt_lr_train's K gradient-descent
+    * iterations: wK holds the weights after iteration K; every
+    * arithmetic step reproduces the Spark side's IEEE operation order
+    * exactly (see the query's scaladoc for the determinism design). */
+  private def lrTrainSql: String = {
+    def zOf(w: String) =
+      s"($w.b + $w.c1 * x1 + $w.c2 * x2 + $w.c3 * x3 + $w.c4 * x4)"
+    def sigOf(z: String) = s"0.5 * (1.0 + $z / (1.0 + ABS($z)))"
+    val xsSql = Seq("1.0", "x1", "x2", "x3", "x4")
+    val iterCtes = (1 to LrIters).map { k =>
+      val prev = if (k == 1) "w0" else s"w${k - 1}"
+      val r = s"(${sigOf(zOf(prev))} - y)"
+      val gs = xsSql.zipWithIndex.map { case (x, j) =>
+        s"SUM(CAST(FLOOR($r * $x * 1000000.0) AS BIGINT)) AS g$j"
+      }.mkString(", ")
+      val ws = Seq("b", "c1", "c2", "c3", "c4").zipWithIndex.map {
+        case (c, j) =>
+          s"$prev.$c - 0.5 * (CAST(g$k.g$j AS DOUBLE) / nn.n) / 1000000.0 AS $c"
+      }.mkString(", ")
+      s"""g$k AS (SELECT $gs FROM f CROSS JOIN $prev),
+         w$k AS (SELECT $ws FROM $prev CROSS JOIN g$k CROSS JOIN nn)"""
+    }.mkString(",\n         ")
+    s"""WITH f AS (
+         SELECT doc_id,
+           CAST(${markerCountSql(Seq("the", "a", "of"))} AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x1,
+           (CAST(LENGTH(text) AS DOUBLE)
+             - CAST(len(string_split(text, ' ')) AS DOUBLE) + 1)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x2,
+           LEAST(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0) AS x3,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS x4,
+           CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+         FROM documents),
+       nn AS (SELECT COUNT(*) AS n FROM f),
+       w0 AS (SELECT CAST(0.0 AS DOUBLE) AS b, CAST(0.0 AS DOUBLE) AS c1,
+                     CAST(0.0 AS DOUBLE) AS c2, CAST(0.0 AS DOUBLE) AS c3,
+                     CAST(0.0 AS DOUBLE) AS c4),
+       $iterCtes
+       SELECT doc_id,
+         ROUND(${sigOf(zOf(s"w$LrIters"))}, 6) + 0.0 AS score,
+         ${sigOf(zOf(s"w$LrIters"))} > 0.5 AS pred, y
+       FROM f CROSS JOIN w$LrIters"""
+  }
+
   def oracle: Map[String, String] = {
     val bestSql = Markers.map(m => s"score_${m._1}")
       .reduceRight((a, b) => s"GREATEST($a, $b)")
@@ -441,6 +545,8 @@ object TextQueries extends QueryModule {
            -- Spark's round produces (IEEE: -0.0 + 0.0 = +0.0)
            SELECT doc_id, ROUND(z, 6) + 0.0 AS quality_logit, z > 0 AS keep
            FROM z""",
+
+      "txt_lr_train" -> lrTrainSql,
 
       "txt_tokens" ->
         """SELECT doc_id,
