@@ -46,7 +46,7 @@ object QuadraticGuard {
     val cap = s.conf.get("graft.quadratic.maxKeyDf", "5000").toLong
     if (cap >= 0) {
       val m = keyed.groupBy(col(keyCol)).count()
-        .agg(max(col("count"))).head.get(0)
+        .agg(max(col("count"))).head().get(0)
       val worst = if (m == null) 0L else m.asInstanceOf[Long]
       if (worst > cap) throw new IllegalStateException(
         s"graft: '$query' blocks on '$keyCol' and one key is shared by $worst " +

@@ -312,6 +312,29 @@ object DedupQueries extends QueryModule {
         .agg(min($"doc_id").as("keep_doc"), count(lit(1)).as("n_docs"))
     },
 
+    // NORMALIZED-key exact dedup (the C4/RefinedWeb canonicalization
+    // pass): NFC -> lowercase -> strip non-alphanumerics -> collapse
+    // whitespace, THEN the same md5 hash aggregate as dedup_exact_md5.
+    // Catches the near-exact duplicates that differ only in casing,
+    // punctuation, or encoding form — all map-side string kernels
+    // inside the scan stage, so at 100 TB this costs exactly one
+    // shuffle on the digest (identical shape to exact dedup).
+    // n_raw_variants counts distinct RAW texts per normalized group —
+    // the rows this pass merges that plain exact dedup cannot.
+    "dedup_normalized" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.StringExprs.register(s)
+      val norm = trim(regexp_replace(regexp_replace(
+        lower(call_function("graft_nfc", $"text")),
+        "[^a-z0-9 ]", ""), " +", " "))
+      Tables(s, d, "documents")
+        .select($"doc_id", $"text", norm.as("norm"))
+        .groupBy(md5($"norm").as("digest"))
+        .agg(min($"doc_id").as("keep_doc"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(md5($"text")).as("n_raw_variants"))
+    },
+
     // keep-BEST dedup: when a weak key (here the opening words — the
     // URL/title analogue in a crawl pipeline) collides across
     // non-identical captures, retain the highest-quality copy rather
@@ -589,6 +612,18 @@ object DedupQueries extends QueryModule {
       "dedup_exact_md5" ->
         """SELECT md5(text) AS digest, MIN(doc_id) AS keep_doc, COUNT(*) AS n_docs
            FROM documents GROUP BY 1""",
+
+      "dedup_normalized" ->
+        """WITH n AS (
+             SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(
+                 lower(nfc_normalize(text)),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+             FROM documents)
+           SELECT md5(norm) AS digest, MIN(doc_id) AS keep_doc,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT md5(text)) AS n_raw_variants
+           FROM n GROUP BY 1""",
 
       "dedup_keep_best" ->
         """WITH k AS (

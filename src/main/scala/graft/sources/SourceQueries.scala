@@ -2,7 +2,7 @@ package graft.sources
 
 import graft.{QueryModule, Tables}
 import graft.OracleNum._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Source/sink surface (SURVEY.md §2.1).
@@ -267,8 +267,85 @@ object SourceQueries extends QueryModule {
           .as("o_totalprice"),
         substring(col("value"), 39, 19).as("o_date_str"))
       agg(parsed)
+    },
+
+    // Z-ORDER (Morton-curve) data layout for multi-dimensional data
+    // skipping — the lakehouse OPTIMIZE ZORDER BY operation. Both
+    // columns are first quantized to EQUAL-resolution 8-bit tiles
+    // (min/max-scaled integer division — without this, the dimension
+    // with the wider dynamic range dominates the interleave's high
+    // bits and the other gets no localization at all; ZOrderSpec
+    // demonstrated exactly that with raw bit interleave). The
+    // bit-interleave of the tiles is then the sort key of a
+    // range-partitioned + locally-sorted write, so every file covers
+    // a compact 2-d region and parquet min/max footers prune a box
+    // predicate on EITHER column; a single-column sort localizes only
+    // its own. ZOrderSpec measures the per-file ranges and pins the
+    // skipping win; this query pins round-trip correctness (the box
+    // aggregate is layout-invariant, so any interleave/write/read bug
+    // breaks the hash). At 100 TB the same lines are the full job —
+    // one O(1)-row bounds aggregate, then the range exchange is the
+    // one shuffle (production would rank-quantize the tiles via
+    // approxQuantile when values are skewed).
+    "src_zorder_box" -> { (s, d) =>
+      import s.implicits._
+      val path = tmpDir(d, "zorder")
+      val days = datediff($"o_orderdate".cast("date"),
+        lit("1970-01-01").cast("date")).cast("long")
+      val base = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+          days.as("o_days"))
+      withZval(base, "o_custkey", "o_days")
+        .repartitionByRange(16, $"zval")
+        .sortWithinPartitions($"zval")
+        .write.mode("overwrite").parquet(path)
+      s.read.parquet(path)
+        .filter($"o_custkey".between(10, 40) && $"o_days".between(9500, 10000))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("sum_price"),
+          sum($"zval").as("sum_z"))
     }
   )
+
+  /** Append `zval`: both columns scaled to 8-bit tiles over their own
+    * [min, max] (one O(1)-row driver aggregate), then Morton-interleaved.
+    * Integral `div` keeps Spark and the DuckDB `//` mirror exact. */
+  private[graft] def withZval(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val b = df.agg(min(col(xCol)), max(col(xCol)),
+      min(col(yCol)), max(col(yCol))).head()
+    def tile(c: String, lo: Long, hi: Long): Column =
+      expr(s"(($c - $lo) * 256) div ${math.max(hi - lo + 1, 1)}")
+    df.withColumn("zval", zOf(
+      tile(xCol, b.getLong(0), b.getLong(1)),
+      tile(yCol, b.getLong(2), b.getLong(3))))
+  }
+
+  /** Spread the low 16 bits of `c` into the even bit positions of a
+    * 32-bit value (classic Morton magic-mask doubling). All constants
+    * stay below 2^31, so Java long and DuckDB BIGINT agree exactly. */
+  private def spread16(c: Column): Column = {
+    val x0 = c.bitwiseAND(lit(65535L))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 8)).bitwiseAND(lit(16711935L))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 4)).bitwiseAND(lit(252645135L))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 2)).bitwiseAND(lit(858993459L))
+    x3.bitwiseOR(shiftleft(x3, 1)).bitwiseAND(lit(1431655765L))
+  }
+
+  /** 32-bit Z-value: x in even bits, y in odd bits */
+  private[graft] def zOf(x: Column, y: Column): Column =
+    spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
+
+  /** DuckDB mirror of spread16 */
+  private def spreadSql(c: String): String = {
+    val x0 = s"($c & 65535)"
+    val x1 = s"((($x0 | ($x0 << 8)) & 16711935))"
+    val x2 = s"((($x1 | ($x1 << 4)) & 252645135))"
+    val x3 = s"((($x2 | ($x2 << 2)) & 858993459))"
+    s"((($x3 | ($x3 << 1)) & 1431655765))"
+  }
+
+  private def zSql(x: String, y: String): String =
+    s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
   def oracle: Map[String, String] = Map(
     "src_csv_roundtrip" -> oracleAgg,
@@ -317,6 +394,27 @@ object SourceQueries extends QueryModule {
            CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
            MIN(o_orderdate) AS min_date,
            MAX(o_custkey) AS max_cust
-         FROM t GROUP BY o_orderstatus"""
+         FROM t GROUP BY o_orderstatus""",
+
+    "src_zorder_box" ->
+      s"""WITH t AS (
+           SELECT o_custkey,
+             CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS o_days,
+             o_totalprice
+           FROM orders),
+         b AS (
+           SELECT MIN(o_custkey) AS clo, MAX(o_custkey) AS chi,
+                  MIN(o_days) AS dlo, MAX(o_days) AS dhi
+           FROM t),
+         z AS (
+           SELECT o_custkey, o_days, o_totalprice,
+             ${zSql("(((o_custkey - clo) * 256) // (chi - clo + 1))",
+               "(((o_days - dlo) * 256) // (dhi - dlo + 1))")} AS zval
+           FROM t CROSS JOIN b)
+         SELECT COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+           CAST(SUM(zval) AS BIGINT) AS sum_z
+         FROM z
+         WHERE o_custkey BETWEEN 10 AND 40 AND o_days BETWEEN 9500 AND 10000"""
   )
 }

@@ -31,18 +31,19 @@ object StreamQueries extends QueryModule {
     * layout) links each part file flat — the file source does not
     * recurse into subdirectories.
     */
-  private def streamDir(d: String): String = {
+  private def streamDir(d: String, table: String = "events"): String = {
     import java.nio.file.{Files, Paths}
-    val dir = Paths.get("/tmp/graft_stream", Integer.toHexString(d.hashCode))
+    val dir = Paths.get("/tmp/graft_stream",
+      Integer.toHexString(s"$d/$table".hashCode))
     Files.createDirectories(dir)
-    val src = Paths.get(d, "events.parquet")
+    val src = Paths.get(d, s"$table.parquet")
     if (Files.isDirectory(src)) {
       Files.list(src).filter(_.toString.endsWith(".parquet")).forEach { p =>
         val link = dir.resolve(p.getFileName)
         if (!Files.exists(link)) Files.createSymbolicLink(link, p)
       }
     } else {
-      val link = dir.resolve("events.parquet")
+      val link = dir.resolve(s"$table.parquet")
       if (!Files.exists(link)) Files.createSymbolicLink(link, src)
     }
     dir.toString
@@ -59,6 +60,12 @@ object StreamQueries extends QueryModule {
     if (staticDf.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
+  }
+
+  /** streaming view of the documents table */
+  private def docsStream(s: SparkSession, d: String): DataFrame = {
+    val staticDf = s.read.parquet(s"$d/documents.parquet")
+    s.readStream.schema(staticDf.schema).parquet(streamDir(d, "documents"))
   }
 
   /** run a streaming frame to completion into a memory sink */
@@ -213,6 +220,33 @@ object StreamQueries extends QueryModule {
       runToMemory(s, out, OutputMode.Complete())
     },
 
+    // streaming CURATION composite — the incremental-ingest face of
+    // pipe_curation: per micro-batch, quality + language gates run
+    // map-side in the scan stage (rejected docs never reach any
+    // stateful operator), then exact content dedup via a state-store
+    // keyed dropDuplicates on (source, digest), then a per-source
+    // running aggregate. Two chained stateful operators — dedup state
+    // partitioned by digest, agg state by source — exactly how a
+    // 100 TB/day ingest keeps a live curated-corpus scoreboard; at
+    // scale the dedup state would carry a TTL watermark
+    // (dropDuplicatesWithinWatermark) to bound the store.
+    // Deterministic despite arrival order: the dedup key is
+    // (source, digest) and every surviving column is a function of
+    // the key (identical text => identical n_chars), so WHICH copy
+    // the state store keeps cannot change the aggregate.
+    "stream_curation" -> { (s, d) =>
+      import s.implicits._
+      val kept = docsStream(s, d)
+        .filter($"n_chars".between(100, 2000) &&
+          size(split($"text", " ")) >= 20 &&
+          $"lang".isin("en", "es", "de"))
+        .withColumn("digest", md5($"text"))
+        .dropDuplicates("source", "digest")
+      val out = kept.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+      runToMemory(s, out, OutputMode.Complete())
+    },
+
     // stateful per-user recursion via flatMapGroupsWithState: final
     // EWM(adjust=false, alpha=0.1) per user — state carries across
     // micro-batches in the state store
@@ -323,6 +357,18 @@ object StreamQueries extends QueryModule {
          WHERE user_id NOT IN (
            SELECT DISTINCT user_id FROM events WHERE "value" > 250.0)
          GROUP BY 1""",
+
+    "stream_curation" ->
+      """WITH kept AS (
+           SELECT source, md5(text) AS digest, MIN(n_chars) AS n_chars
+           FROM documents
+           WHERE n_chars BETWEEN 100 AND 2000
+             AND len(string_split(text, ' ')) >= 20
+             AND lang IN ('en', 'es', 'de')
+           GROUP BY source, md5(text))
+         SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         FROM kept GROUP BY 1""",
 
     "stream_stateful_ewm" ->
       """WITH RECURSIVE r AS (
