@@ -567,6 +567,37 @@ object SimilarityQueries extends QueryModule {
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"vq", $"vc", $"cos", $"rn")
+    },
+
+    // the COMPLETE two-stage retrieval: stage 1 ranks candidates by
+    // cosine in the 16-dim projected space (4x cheaper per pair) and
+    // keeps the top 50; stage 2 re-scores ONLY those 50 with the exact
+    // 64-dim cosine and emits the top 3. At corpus scale stage 1 is
+    // where the n x k work happens and stage 2 touches 50 rows per
+    // query — the standard ANN serving architecture (coarse scorer ->
+    // exact rerank). Both stages are deterministic (float-exact
+    // projected scores, (score, vc) tiebreak), so the full pipeline is
+    // hash-verified against the DuckDB mirror; RandProjectSpec pins
+    // the stage-1 candidate recall this rerank inherits.
+    "sim_rp_rerank" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables(s, d, "embeddings")
+        .select($"vec_id", $"embedding",
+          call_function("graft_rand_project", $"embedding", lit(RpDim)).as("rp"))
+      val q = e.filter($"vec_id" < 10)
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"rp".as("rq"))
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"rp".as("rc"))
+      val wCand = Window.partitionBy($"vq").orderBy($"pcos".desc, $"vc".asc)
+      val cand = q.crossJoin(c).filter($"vq" =!= $"vc")
+        .withColumn("pcos", cosine($"rq", $"rc"))
+        .withColumn("crn", row_number().over(wCand))
+        .filter($"crn" <= 50)
+      val wRank = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
+      cand
+        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("rn", row_number().over(wRank))
+        .filter($"rn" <= 3)
+        .select($"vq", $"vc", $"cos", $"rn")
     }
   )
 
@@ -1170,6 +1201,28 @@ object SimilarityQueries extends QueryModule {
            SELECT vq, vc, cos,
              ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
            FROM cand)
+         SELECT vq, vc, cos, rn FROM ranked WHERE rn <= 3""",
+
+    "sim_rp_rerank" ->
+      s"""WITH e AS (
+           SELECT vec_id, embedding, ${rpListSql("embedding")} AS rp
+           FROM embeddings),
+         q AS (SELECT vec_id AS vq, embedding AS eq, rp AS rq
+               FROM e WHERE vec_id < 10),
+         cand AS (
+           SELECT vq, c.vec_id AS vc, eq, c.embedding AS ec,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY
+               ${rpDotSql("rq", "c.rp")} /
+                 (SQRT(${rpDotSql("rq", "rq")}) * SQRT(${rpDotSql("c.rp", "c.rp")}))
+               DESC, c.vec_id ASC) AS crn
+           FROM q CROSS JOIN e c WHERE vq <> c.vec_id),
+         scored AS (
+           SELECT vq, vc, ROUND(${cosineSql("eq", "ec")}, 6) AS cos
+           FROM cand WHERE crn <= 50),
+         ranked AS (
+           SELECT vq, vc, cos,
+             ROW_NUMBER() OVER (PARTITION BY vq ORDER BY cos DESC, vc ASC) AS rn
+           FROM scored)
          SELECT vq, vc, cos, rn FROM ranked WHERE rn <= 3"""
   )
 }
