@@ -71,4 +71,72 @@ class StreamRestartSpec extends SparkSpec {
     assert(out.select(countDistinct($"event_id")).head().getLong(0) === total,
       "no duplicated event_ids across the restart")
   }
+
+  // The stream_curation dedup claim: the (source, digest) keys seen
+  // before a crash live in the STATE STORE, so a duplicate arriving
+  // after the restart is still suppressed. The source is staged with
+  // every document duplicated across DIFFERENT files; the stream is
+  // killed mid-ingest and resumed from the checkpoint. If dedup state
+  // did not survive, any digest whose first copy committed in run 1
+  // and whose second copy arrives in run 2 would be emitted twice.
+  test("streaming dedup state survives a restart (curation shape)") {
+    val s = spark
+    import s.implicits._
+    val base = "/tmp/graft_restart_dedup"
+    val srcDir = s"$base/src"
+    val outDir = s"$base/out"
+    val ckpt = s"$base/ckpt"
+    def rm(p: String): Unit = {
+      val f = new java.io.File(p)
+      if (f.exists()) {
+        f.listFiles().foreach(c => if (c.isDirectory) rm(c.getPath) else c.delete())
+        f.delete()
+      }
+    }
+    Seq(srcDir, outDir, ckpt).foreach(rm)
+
+    val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    // two copies of every document, spread across 16 files; the hash
+    // repartition scatters the copies into different files
+    docs.unionByName(docs).repartition(16)
+      .write.parquet(srcDir)
+    val expectDistinct = docs
+      .filter($"n_chars".between(100, 2000) && $"lang".isin("en", "es", "de"))
+      .select($"source", md5($"text")).distinct().count()
+
+    def startQuery() = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+      .filter($"n_chars".between(100, 2000) && $"lang".isin("en", "es", "de"))
+      .withColumn("digest", md5($"text"))
+      .dropDuplicates("source", "digest")
+      .select($"source", $"digest")
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", ckpt)
+      .start()
+
+    val q1 = startQuery()
+    val deadline = System.currentTimeMillis() + 60000
+    while (q1.recentProgress.count(_.numInputRows > 0) < 4 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    val afterKill = spark.read.parquet(outDir).count()
+    assert(afterKill > 0, "first run should have committed at least one batch")
+    assert(afterKill < expectDistinct,
+      "kill must land mid-ingest for the restart to prove anything")
+
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === expectDistinct,
+      "each (source, digest) exactly once across the restart")
+    assert(out.distinct().count() === expectDistinct,
+      "no duplicate emissions — dedup state survived the checkpoint restart")
+  }
 }
