@@ -236,4 +236,30 @@ class PlanHygieneSpec extends SparkSpec {
     assert(executed("txt_tfidf").contains("BroadcastExchange"),
       "tfidf's df table must broadcast, not shuffle the (doc,term) frame")
   }
+
+  test("normalized dedup runs its canonicalization map-side: keyed shuffles only") {
+    // NFC + casefold + regex strip must live in the scan stage. The
+    // two Exchanges are the standard two-level distinct-aggregate
+    // shape (COUNT(DISTINCT raw_digest) per normalized digest: first
+    // keyed on (digest, raw), then on digest) — both partial-combined
+    // keyed shuffles, never pairwise, so the canonicalization itself
+    // is free at 100 TB
+    val p = executed("dedup_normalized")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 2,
+      s"dedup_normalized plans $exchanges hash exchanges; expected the " +
+        "2-level distinct-aggregate shape (exactly 2)")
+    assert(p.contains("partial"),
+      "digest aggregate should map-side combine before the shuffle")
+  }
+
+  test("z-order read-back pushes the 2-d box predicate into the parquet scan") {
+    // correctness comes from the oracle; this pins that the box
+    // filters actually reach the scan (PushedFilters), which is what
+    // lets the z-localized row-group stats skip IO at scale
+    val p = executed("src_zorder_box")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushed.contains("o_custkey") && pushed.contains("o_days"),
+      s"both box dimensions must appear in PushedFilters; got: $pushed")
+  }
 }
