@@ -69,13 +69,18 @@ object ScaleUp {
       // conversion Tables applies at query time — the sf1 copy is then
       // natively readable by Spark and DuckDB alike
       val base = Tables(spark, src, table)
+      // replicate via a broadcast range cross-join, not an R-branch
+      // union: the plan stays O(1) in R (an R=1000 union would build
+      // a thousand-branch plan and choke the analyzer), and each
+      // input task fans out its rows to all replicas locally
       val scaled: DataFrame =
         if (keys.isEmpty) base
-        else (0 until r).map { i =>
-          keys.foldLeft(base) { (df, k) =>
-            df.withColumn(k, col(k) + lit(i * OFFSET))
-          }
-        }.reduce(_ unionAll _)
+        else {
+          val reps = spark.range(r).select(col("id").as("__rep__"))
+          keys.foldLeft(base.crossJoin(broadcast(reps))) { (df, k) =>
+            df.withColumn(k, col(k) + col("__rep__") * lit(OFFSET))
+          }.drop("__rep__")
+        }
       // file count grows with the replication factor (24 at r=10, 96
       // at r=100) so per-file size stays steady as the decades climb
       val parts = if (keys.isEmpty) 1 else math.max(24, math.min(96, (r * 2.4).toInt))
