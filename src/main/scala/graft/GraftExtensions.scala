@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_poly_hash", es => PolyHash(es.head))
     fn("graft_shingle_hash64", es => ShingleHash64s(es.head))
     fn("graft_minhash_bands", es => MinHashBandKeys(es.head))
+    fn("graft_rand_project", es => RandProject(es.head,
+      es(1).eval().asInstanceOf[Int]))
+    fn("graft_nfc", es => NfcNormalize(es.head))
+    fn("graft_token_count", es => TokenCount(es.head))
+    fn("graft_canon", es => CanonText(es.head))
   }
 }

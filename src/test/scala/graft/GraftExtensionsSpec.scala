@@ -36,10 +36,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       import s.implicits._
       val r = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
         .select(call_function("graft_dot", $"a", $"b").as("d"),
-          call_function("graft_poly_hash", lit("abc")).as("h"))
+          call_function("graft_poly_hash", lit("abc")).as("h"),
+          call_function("graft_canon", lit(" A!b  C ")).as("c"),
+          size(call_function("graft_rand_project", $"a", lit(4))).as("rp"))
         .collect()(0)
       assert(r.getDouble(0) == 11.0)
       assert(r.getLong(1) == (((('a'.toInt * 31) + 'b') * 31 + 'c') % 1000000007L))
+      assert(r.getString(2) == "ab c")
+      assert(r.getInt(3) == 4)
     }
   }
 
