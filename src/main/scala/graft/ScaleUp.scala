@@ -69,22 +69,27 @@ object ScaleUp {
       // conversion Tables applies at query time — the sf1 copy is then
       // natively readable by Spark and DuckDB alike
       val base = Tables(spark, src, table)
-      // replicate via a broadcast range cross-join, not an R-branch
-      // union: the plan stays O(1) in R (an R=1000 union would build
-      // a thousand-branch plan and choke the analyzer), and each
-      // input task fans out its rows to all replicas locally
-      val scaled: DataFrame =
-        if (keys.isEmpty) base
-        else {
-          val reps = spark.range(r).select(col("id").as("__rep__"))
-          keys.foldLeft(base.crossJoin(broadcast(reps))) { (df, k) =>
-            df.withColumn(k, col(k) + col("__rep__") * lit(OFFSET))
-          }.drop("__rep__")
-        }
       // file count grows with the replication factor (24 at r=10, 96
       // at r=100) so per-file size stays steady as the decades climb
       val parts = if (keys.isEmpty) 1 else math.max(24, math.min(96, (r * 2.4).toInt))
-      scaled.repartition(parts).write.mode("overwrite")
+      // replicate via a broadcast range cross-join, not an R-branch
+      // union: the plan stays O(1) in R (an R=1000 union would build
+      // a thousand-branch plan and choke the analyzer). The SMALL base
+      // is repartitioned BEFORE the fan-out — the source fixtures are
+      // single-file tables, and fanning a one-partition input out
+      // x1000 would produce (and shuffle) the whole replicated table
+      // in one task; this way only the tiny base shuffles and each of
+      // the `parts` tasks fans out its slice locally, writing its own
+      // output file with no post-fan-out exchange at all
+      val scaled: DataFrame =
+        if (keys.isEmpty) base.repartition(parts)
+        else {
+          val reps = spark.range(r).select(col("id").as("__rep__"))
+          keys.foldLeft(base.repartition(parts).crossJoin(broadcast(reps))) { (df, k) =>
+            df.withColumn(k, col(k) + col("__rep__") * lit(OFFSET))
+          }.drop("__rep__")
+        }
+      scaled.write.mode("overwrite")
         .option("parquet.block.size", (8L * 1024 * 1024).toString)
         .parquet(s"$dst/$table.parquet")
       println(s"[scaleup] $table: ${if (keys.isEmpty) "copied" else s"x$r"} ($parts files)")
