@@ -53,11 +53,24 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // optional arg: comma-separated name substrings (local iteration /
+    // targeted scaled runs; the driver always runs the full headline)
+    val nameFilter: String => Boolean =
+      if (args.nonEmpty) { val pats = args(0).split(",").toSeq; n => pats.exists(n.contains) }
+      else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // shuffle parallelism must scale with DATA, not cores: at sf100
+      // (600M lineitem) 32 partitions means ~19M rows each and the
+      // sort/join spill path dominates (join_inner 94 s -> 45 s,
+      // agg_minmax_nunique 173 s -> 89 s at 256 partitions, same
+      // machine). Default stays = cpus for the driver's small-sf
+      // runs; scaled runs pass the env override, exactly as a
+      // cluster job would size it
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       // the driver's testdata ships one parquet file per table; 32 MiB
       // splits keep single-file scans parallel on local[32] (a real
@@ -110,7 +123,7 @@ object Bench {
       val ok = v.collect { case (t, true, _) => t }
       if (ok.size < 2) None else Some(ok.max / ok.min)
     }
-    val results = headline.map { name =>
+    val results = headline.filter(nameFilter).map { name =>
       var samples = (1 to reps).map(_ => rep(name))
       // ambient-load guard: a noisy machine inflates some reps but not
       // others; keep adding reps while the ok-sample spread stays wide
