@@ -82,6 +82,26 @@ object BpeQueries extends QueryModule {
       replace(sc, lit(s" $a $b"), lit(s" $a$b"))
     })
 
+  /** per-doc BPE token count with the trained merges — map-side only
+    * (the merge table rides along as string literals). Shared with
+    * PackQueries' tokenize->pack composite. */
+  private[pipeline] def bpeTokenCountOf(merges: Seq[(Int, String, String, Long)]): Column =
+    aggregate(
+      transform(wordsOf, w => size(split(encodeWord(merges)(w), " ")).cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  /** oracle fragments shared with the tokenize->pack composite: the
+    * K-step train CTE chain, the per-word encode expression (requires
+    * [[bJoinsSql]] in the enclosing FROM), and that join list */
+  private[pipeline] def trainCtesSql: String = trainCtes(K)
+  private[pipeline] def encWordSql: String =
+    (0 until K).foldLeft("""regexp_replace(w, '(.)', ' \1', 'g')""") {
+      case (acc, i) =>
+        s"replace($acc, ' ' || b$i.a || ' ' || b$i.b, ' ' || b$i.a || b$i.b)"
+    }
+  private[pipeline] def bJoinsSql: String =
+    (0 until K).map(i => s"b$i").mkString(", ")
+
   def queries: Map[String, Q] = Map(
     // the learned merge table itself: rank, pair, weighted pair count
     "txt_bpe_train" -> { (s, d) =>
@@ -141,11 +161,8 @@ object BpeQueries extends QueryModule {
 
     // nested replace chain in merge-rank order, patterns drawn from the
     // 1-row b0..b{K-1} CTEs cross-joined below
-    val encSql = (0 until K).foldLeft("""regexp_replace(w, '(.)', ' \1', 'g')""") {
-      case (acc, i) =>
-        s"replace($acc, ' ' || b$i.a || ' ' || b$i.b, ' ' || b$i.a || b$i.b)"
-    }
-    val bJoins = (0 until K).map(i => s"b$i").mkString(", ")
+    val encSql = encWordSql
+    val bJoins = bJoinsSql
 
     Map(
       "txt_bpe_train" ->

@@ -36,6 +36,10 @@ object PackQueries extends QueryModule {
   private[graft] val Stride    = 48
   private[graft] val Budget    = 256
 
+  /** BPE-token budget for the tokenize->pack composite (BPE counts run
+    * ~3-4x the whitespace word counts at K=12 merges) */
+  private[graft] val BpeBudget = 1024
+
   private def words: Column = split(col("text"), " ")
 
   def queries: Map[String, Q] = Map(
@@ -95,6 +99,32 @@ object PackQueries extends QueryModule {
         .groupBy($"source", $"bin")
         .agg(count(lit(1)).as("n_docs"),
           sum($"n_tok").as("n_tokens"),
+          min($"doc_id").as("first_doc"),
+          max($"doc_id").as("last_doc"))
+    },
+
+    // the tokenize->pack capstone: count each document in TRAINED BPE
+    // tokens (txt_bpe_train's merge table, applied map-side — the K
+    // merges ride along as string literals, so the encode adds zero
+    // shuffles to the scan stage), then pack into contiguous
+    // 1024-BPE-token bins per source. This is the post-curation half
+    // of a training-data pipeline — real token budgets, not the
+    // whitespace proxy pipe_pack_sequences uses — and at 100 TB it
+    // costs the BPE training (vocabulary-sized, K driver rows) plus
+    // ONE per-source shuffle for the running sum, identical to the
+    // plain pack.
+    "pipe_tokenize_pack" -> { (s, d) =>
+      import s.implicits._
+      val merges = BpeQueries.train(s, d)
+      val w = Window.partitionBy($"source").orderBy($"doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, d, "documents")
+        .withColumn("n_tok", BpeQueries.bpeTokenCountOf(merges))
+        .withColumn("cum", sum($"n_tok").over(w))
+        .withColumn("bin", floor(($"cum" - $"n_tok") / lit(BpeBudget)))
+        .groupBy($"source", $"bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("n_bpe_tokens"),
           min($"doc_id").as("first_doc"),
           max($"doc_id").as("last_doc"))
     },
@@ -181,6 +211,26 @@ object PackQueries extends QueryModule {
                  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
           FROM t GROUP BY 1, 2""",
+
+    "pipe_tokenize_pack" ->
+      s"""${BpeQueries.trainCtesSql},
+          tok AS (
+            SELECT source, doc_id,
+              CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(string_split(text, ' '),
+                  w -> CAST(len(string_split(ltrim(${BpeQueries.encWordSql}), ' ')) AS BIGINT))),
+                (x, y) -> x + y) AS BIGINT) AS n_tok
+            FROM documents, ${BpeQueries.bJoinsSql}),
+          c AS (
+            SELECT source, doc_id, n_tok,
+              CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM tok)
+          SELECT source, CAST(floor((cum - n_tok) / $BpeBudget.0) AS BIGINT) AS bin,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens,
+                 MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+          FROM c GROUP BY 1, 2""",
 
     "pipe_shuffle_split" ->
       s"""WITH t AS (
