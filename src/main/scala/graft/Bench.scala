@@ -55,9 +55,16 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // optional arg: comma-separated name substrings (local iteration /
     // targeted scaled runs; the driver always runs the full headline)
+    // empty patterns (bare "" or a trailing comma) are dropped rather
+    // than matching everything — a typo'd targeted run must not
+    // silently become a full headline run (ADVICE r7)
     val nameFilter: String => Boolean =
-      if (args.nonEmpty) { val pats = args(0).split(",").toSeq; n => pats.exists(n.contains) }
-      else _ => true
+      if (args.nonEmpty) {
+        val pats = args(0).split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        require(pats.nonEmpty,
+          s"bench: name filter '${args(0)}' contains no non-empty patterns")
+        n => pats.exists(n.contains)
+      } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = SparkSession.builder()

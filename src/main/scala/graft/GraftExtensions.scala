@@ -32,17 +32,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo("graft", name), builder))
 
+    // scalar config arguments must be FOLDABLE (the expression is
+    // parameterized at plan time, not per row); a non-literal or
+    // non-int argument would otherwise surface as an opaque
+    // eval/ClassCast error deep in planning (ADVICE r7)
+    def intArg(es: Seq[Expression], i: Int, name: String): Int = {
+      require(i < es.length && es(i).foldable,
+        s"$name: argument ${i + 1} must be a literal integer")
+      es(i).eval() match {
+        case n: Number => n.intValue()
+        case other => throw new IllegalArgumentException(
+          s"$name: argument ${i + 1} must be a literal integer, got $other")
+      }
+    }
+
     fn("graft_dot", es => DotProduct(es.head, es(1)))
     fn("graft_l2sq", es => L2Sq(es.head, es(1)))
     fn("graft_lsh_bucket", es => LshBucket(es.head,
-      es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int]))
+      intArg(es, 1, "graft_lsh_bucket"), intArg(es, 2, "graft_lsh_bucket")))
     fn("graft_bloom_contains", es => BloomMightContain(es(1),
       es.head.eval().asInstanceOf[Array[Byte]]))
     fn("graft_poly_hash", es => PolyHash(es.head))
     fn("graft_shingle_hash64", es => ShingleHash64s(es.head))
     fn("graft_minhash_bands", es => MinHashBandKeys(es.head))
     fn("graft_rand_project", es => RandProject(es.head,
-      es(1).eval().asInstanceOf[Int]))
+      intArg(es, 1, "graft_rand_project")))
     fn("graft_nfc", es => NfcNormalize(es.head))
     fn("graft_token_count", es => TokenCount(es.head))
     fn("graft_canon", es => CanonText(es.head))

@@ -77,7 +77,10 @@ case class RandProject(child: Expression, outDim: Int)
   // NULL reachable from a non-null input (null element poisons the fold)
   override def nullable: Boolean = true
 
-  private def isFloat: Boolean = child.dataType match {
+  // lazy val: the interpreted-eval fallback reads this per element per
+  // output dim — re-pattern-matching the child type there is O(n*outDim)
+  // redundant work (ADVICE r7)
+  private lazy val isFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true
     case ArrayType(DoubleType, _) => false
     case other => throw new IllegalArgumentException(

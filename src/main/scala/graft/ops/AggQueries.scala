@@ -281,18 +281,43 @@ object AggQueries extends QueryModule {
     // the 100TB-mode approx switches (SURVEY §7.3: exact by default,
     // explicit approx= for scale): HyperLogLog++ count-distinct and
     // t-digest-style percentile — one pass, O(1) state per partition,
-    // no exact-sort/Expand cost. No SQL oracle (approximation is
-    // engine-specific), so the driver records a rows-only check;
-    // ApproxSpec pins the relative error against the exact values.
+    // no exact-sort/Expand cost. Sketch VALUES are engine-specific,
+    // so the dump carries the documented error contracts as booleans
+    // instead: HLL++ within rsd 0.05 of the exact distinct count, and
+    // approx_percentile inside the exact RANK bracket (±2/accuracy)
+    // the sketch promises. The oracle emits literal TRUE for each, so
+    // the driver's hash gate machine-checks |approx − exact| ≤ bound
+    // (VERDICT r7 next-#6); exact_cd is compared value-for-value.
+    // The exact half exists only to close the verification loop — the
+    // production 100 TB path is the sketch subtree alone, and
+    // ApproxSpec pins that it partial-aggregates map-side.
     "agg_approx_stats" -> { (s, d) =>
       import s.implicits._
-      Tables(s, d, "lineitem").agg(
-        approx_count_distinct($"l_partkey").as("acd_partkey"),
+      val li = Tables(s, d, "lineitem")
+      val sketch = li.agg(
+        approx_count_distinct($"l_partkey").as("acd"),
         expr("approx_percentile(l_extendedprice, array(0.5, 0.9), 1000)")
           .as("pcts"))
-        .select($"acd_partkey",
-          element_at($"pcts", 1).as("p50_approx"),
-          element_at($"pcts", 2).as("p90_approx"))
+        .select($"acd",
+          element_at($"pcts", 1).as("p50a"),
+          element_at($"pcts", 2).as("p90a"))
+      // rank-error bracket: accuracy=1000 guarantees a returned value
+      // whose RANK is within 1/1000 of the target; the bracket uses
+      // 2/1000 — documented bound plus one rank step, since exact
+      // `percentile` interpolates while the sketch returns a sample
+      val exact = li.agg(
+        countDistinct($"l_partkey").as("exact_cd"),
+        expr("percentile(l_extendedprice, array(0.498, 0.502, 0.898, 0.902))")
+          .as("b"))
+        .select($"exact_cd",
+          element_at($"b", 1).as("p50lo"), element_at($"b", 2).as("p50hi"),
+          element_at($"b", 3).as("p90lo"), element_at($"b", 4).as("p90hi"))
+      sketch.crossJoin(exact).select(
+        $"exact_cd",
+        (abs($"acd" - $"exact_cd").cast("double") / $"exact_cd" <= 0.05)
+          .as("acd_ok"),
+        ($"p50a" >= $"p50lo" && $"p50a" <= $"p50hi").as("p50_ok"),
+        ($"p90a" >= $"p90lo" && $"p90a" <= $"p90hi").as("p90_ok"))
     },
 
     // df.mode() frame-wide (frame.py mode: per-column most-frequent
@@ -911,6 +936,16 @@ object AggQueries extends QueryModule {
            CAST(SUM(CAST("value" AS DECIMAL(18,4))) AS DOUBLE) AS sum_val,
            'dropna_false' AS mode
          FROM ev GROUP BY k""",
+
+    // the sketch columns are error-bound BOOLEANS on the Spark side;
+    // the oracle asserts them literally TRUE, so an out-of-contract
+    // sketch fails the driver's hash gate — a machine-checked
+    // |approx − exact| ≤ bound without comparing engine-specific
+    // sketch values. exact_cd is compared exactly.
+    "agg_approx_stats" ->
+      """SELECT COUNT(DISTINCT l_partkey) AS exact_cd,
+           TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM lineitem""",
 
     "agg_mode_frame" ->
       """SELECT

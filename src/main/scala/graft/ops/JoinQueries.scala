@@ -381,12 +381,15 @@ object JoinQueries extends QueryModule {
         .withColumnRenamed("value", "asof_val")
     },
 
-    // merge_asof with NO by key (merge.py:644 left_by=None): the
-    // range-partitioned global merge-walk — ONE range exchange, a
-    // boundary carry handoff, no single-partition window
-    // (operators/AsofJoin.globalBackward has the scale notes). Right
-    // side is aggregated to unique timestamps so the latest-match row
-    // is well-defined in both engines.
+    // merge_asof with NO by key (merge.py:644 left_by=None): since r8
+    // this runs the NATIVE merge-walk (plans/AsofJoinNative.global) —
+    // range-bucketed time as a synthetic `by` key, per-bucket boundary
+    // carry rows, the same AsofJoinExec pointer walk as the keyed
+    // queries; no single-partition window, no union blow-up
+    // (operators/AsofJoin.globalBackward keeps the DataFrame-level
+    // rewrite for the API surface). Right side is aggregated to unique
+    // timestamps so the latest-match row is well-defined in both
+    // engines.
     "join_asof_global" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
@@ -394,15 +397,29 @@ object JoinQueries extends QueryModule {
         .select($"event_id", $"ts")
       val purchases = ev.filter($"event_type" === "purchase")
         .groupBy($"ts".as("rts")).agg(max($"value").as("purch_val"))
-      graft.operators.AsofJoin.globalBackward(clicks, purchases,
+      graft.plans.AsofJoinNative.global(s, clicks, purchases,
         leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"))
     },
 
+    // keyless merge_asof direction='forward' (merge.py:644 left_by=None
+    // + join.pyx:812): the native global walk with the suffix-scanned
+    // forward carry. Earliest purchase at or after each click.
+    "join_asof_global_forward" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+      val clicks = ev.filter($"event_type" === "click")
+        .select($"event_id", $"ts")
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"ts".as("rts")).agg(max($"value").as("purch_val"))
+      graft.plans.AsofJoinNative.global(s, clicks, purchases,
+        leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"),
+        direction = "forward")
+    },
+
     // keyless merge_asof direction='nearest' (merge.py:644 with
-    // left_by=None + join.pyx:900): the range-partitioned walk with a
-    // TWO-sided boundary carry (operators/AsofJoin.globalNearest).
-    // Right side aggregated to unique timestamps so the nearest-match
-    // row is well-defined in both engines.
+    // left_by=None + join.pyx:900): the native global walk with BOTH
+    // boundary carries. Right side aggregated to unique timestamps so
+    // the nearest-match row is well-defined in both engines.
     "join_asof_global_nearest" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
@@ -410,8 +427,9 @@ object JoinQueries extends QueryModule {
         .select($"event_id", $"ts")
       val purchases = ev.filter($"event_type" === "purchase")
         .groupBy($"ts".as("rts")).agg(max($"value").as("purch_val"))
-      graft.operators.AsofJoin.globalNearest(clicks, purchases,
-        leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"))
+      graft.plans.AsofJoinNative.global(s, clicks, purchases,
+        leftTs = "ts", rightTs = "rts", valueCols = Seq("purch_val"),
+        direction = "nearest")
     },
 
     // merge_ordered + group-wise ffill (merge.py:500 _OrderedMerge):
@@ -840,6 +858,14 @@ object JoinQueries extends QueryModule {
          SELECT a.event_id, a.ts, p.purch_val
          FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') a
          ASOF LEFT JOIN p ON a.ts >= p.rts""",
+
+    "join_asof_global_forward" ->
+      """WITH p AS (
+           SELECT ts AS rts, MAX("value") AS purch_val
+           FROM events WHERE event_type = 'purchase' GROUP BY ts)
+         SELECT a.event_id, a.ts, p.purch_val
+         FROM (SELECT event_id, ts FROM events WHERE event_type = 'click') a
+         ASOF LEFT JOIN p ON a.ts <= p.rts""",
 
     // nearest = closer of a backward and a forward ASOF join (backward
     // wins ties) — avoids the clicks × timestamps cross product a

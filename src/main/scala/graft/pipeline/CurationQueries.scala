@@ -3,7 +3,6 @@ package graft.pipeline
 import graft.{QueryModule, Tables}
 import graft.functions.PortableHash._
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation: the composed training-data pipeline a
@@ -74,11 +73,21 @@ object CurationQueries extends QueryModule {
       val filtered = scored.filter($"n_words" >= MinWords &&
         $"score_en" >= $"score_es" && $"score_en" >= $"score_de" &&
         $"score_en" >= $"score_fr" && $"score_en" > 0)
-      // 3: exact content dedup — keep the smallest doc_id per digest
-      val wd = Window.partitionBy(md5($"text"))
+      // 3: exact content dedup — keep the smallest doc_id per digest.
+      // min_by on a digest-keyed hash AGGREGATE, not a window over
+      // md5(text): the aggregate partial-aggregates map-side (each
+      // partition keeps ONE candidate row per digest before the
+      // exchange, so shuffle volume scales with distinct content and
+      // a hot copy family never lands whole in one task), where the
+      // window form shuffled every full row unreduced — the same
+      // lesson as the r6 agg_idxminmax 144→12 s fix (VERDICT r7 #3).
+      // doc_id is unique, so min_by is deterministic.
       val exact = filtered
-        .withColumn("__keep", min($"doc_id").over(wd))
-        .filter($"doc_id" === $"__keep").drop("__keep")
+        .groupBy(md5($"text").as("__dg"))
+        .agg(min_by(
+          struct($"doc_id", $"text", $"lang", $"source", $"n_words"),
+          $"doc_id").as("__r"))
+        .select($"__r.*")
       // 4: near-dedup — drop docs whose verified near-dup has a
       // smaller id; pairs computed over the SURVIVORS only
       val drops = DedupQueries

@@ -157,7 +157,13 @@ object DedupQueries extends QueryModule {
     */
   private[graft] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
-    val (vp, mapping) = verifiedRepPairsOf(s, docs)
+    val (vp, mapping, collapsed) = verifiedRepPairsOf(s, docs)
+    // adaptive bypass: with no collapse, representatives ARE the docs —
+    // vp is already the doc-level pair list (exact copies, if the <10%
+    // tail holds any, banded together and verified to jaccard 1.0
+    // inside vp), so the three expansion joins vanish from the plan
+    if (!collapsed)
+      return vp.select($"ra".as("da"), $"rb".as("db"), $"jac")
     // expansion: cross pairs inherit the representatives' jaccard;
     // intra pairs (identical content, non-empty shingle set) are 1.0
     // by construction — same value verify computed for them before.
@@ -177,7 +183,10 @@ object DedupQueries extends QueryModule {
   }
 
   /** Collapsed (representative-level) form of [[verifiedPairsOf]]:
-    * returns (repPairs(ra, rb, jac), mapping(doc_id, rep, n_sh)).
+    * returns (repPairs(ra, rb, jac), mapping(doc_id, rep, n_sh),
+    * collapsed) — `collapsed=false` means the adaptive bypass decided
+    * there are no copy families, mapping is the identity, and repPairs
+    * is already the doc-level pair list.
     * Consumers whose state should scale with DISTINCT content — the
     * cluster assignment's connected components above all — work on
     * repPairs and expand at the end, instead of pushing the
@@ -185,7 +194,7 @@ object DedupQueries extends QueryModule {
     * intermediate stage.
     */
   private[graft] def verifiedRepPairsOf(s: org.apache.spark.sql.SparkSession,
-                                        docs: DataFrame): (DataFrame, DataFrame) = {
+                                        docs: DataFrame): (DataFrame, DataFrame, Boolean) = {
     import s.implicits._
     graft.functions.MinHashExprs.register(s)
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
@@ -216,22 +225,60 @@ object DedupQueries extends QueryModule {
       .withColumn("dg2", hash($"sh"))
       .withColumn("n_sh", coalesce(size($"sh"), lit(0)))
       .cache()
-    val reps = sig0.groupBy($"dg1", $"dg2")
-      .agg(min($"doc_id").as("doc_id"), first($"sh").as("sh"))
-      .select($"dg1", $"dg2", $"doc_id", $"sh",
-        expr("graft_minhash_bands(sh)").as("bands"))
-      .cache()
-    // rep per doc via a narrow equi-join on the digest against reps'
-    // (digest, min doc_id) — the sh arrays never move (3 scalar cols a
-    // side), AQE broadcasts the rep side whenever distinct content is
-    // modest, and the frame is cached because the pair expansion reads
-    // it three times (each read would otherwise replay the shuffle;
-    // measured ~2x on pipe_curation at sf0.1 vs the uncached window
-    // form this replaced).
-    val mapping = sig0.select($"doc_id", $"dg1", $"dg2", $"n_sh")
-      .join(reps.select($"dg1", $"dg2", $"doc_id".as("rep")), Seq("dg1", "dg2"))
-      .select($"doc_id", $"rep", $"n_sh")
-      .cache()
+    // ADAPTIVE COLLAPSE (VERDICT r7 next-#3): the copy-collapse
+    // machinery earns its keep only when copies exist. A one-row
+    // HLL++ sketch over the cached signatures decides the regime:
+    // distinct/total ≈ 1 (no copy families) skips the digest groupBy
+    // and the re-expansion joins entirely — both paths are CORRECT
+    // (exact copies band identically and verify to jaccard 1.0 in the
+    // direct path), so a sketch misread costs performance, never
+    // answers. Threshold 0.9 sits far outside HLL's 5% rsd on the
+    // no-copy side and far above the adversarial regimes (100 copies
+    // → ratio 0.01). The sketch action also materializes sig0's
+    // cache, which the main job reuses — net extra cost is one cheap
+    // aggregate over cached 3-scalar rows.
+    val Array(nDistinct, nTotal) = sig0
+      .agg(approx_count_distinct($"dg1"), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    // hotBandPolicy=drop always collapses: that policy's contract is
+    // "exact copies are IMMUNE to dropped buckets" (they flow through
+    // the mapping expansion, not the band join) — in the bypass they
+    // would ride the band join and die with a dropped bucket
+    // (LshHotBandSpec pins this)
+    val collapsed = policy == "drop" ||
+      (nTotal > 0 && nDistinct.toDouble / nTotal < 0.9)
+
+    val (reps, mapping) = if (collapsed) {
+      val r = sig0.groupBy($"dg1", $"dg2")
+        .agg(min($"doc_id").as("doc_id"), first($"sh").as("sh"))
+        .select($"dg1", $"dg2", $"doc_id", $"sh",
+          expr("graft_minhash_bands(sh)").as("bands"))
+        .cache()
+      // rep per doc via a narrow equi-join on the digest against reps'
+      // (digest, min doc_id) — the sh arrays never move (3 scalar cols
+      // a side), AQE broadcasts the rep side whenever distinct content
+      // is modest, and the frame is cached because the pair expansion
+      // reads it three times (each read would otherwise replay the
+      // shuffle; measured ~2x on pipe_curation at sf0.1 vs the
+      // uncached window form this replaced).
+      val m = sig0.select($"doc_id", $"dg1", $"dg2", $"n_sh")
+        .join(r.select($"dg1", $"dg2", $"doc_id".as("rep")), Seq("dg1", "dg2"))
+        .select($"doc_id", $"rep", $"n_sh")
+        .cache()
+      (r, m)
+    } else {
+      // every doc is its own representative: mapping is a narrow
+      // projection of the cached signatures (no shuffle, no join, no
+      // extra cache); bands still materialize in a cache because the
+      // candidate self-join reads them from both sides. The hot-band
+      // frequency below then counts docs rather than distinct
+      // contents — inflated by at most the ~10% copy tail this branch
+      // admits, which cannot flip a cap sized in the thousands.
+      val r = sig0.select($"doc_id", $"sh",
+        expr("graft_minhash_bands(sh)").as("bands")).cache()
+      val m = sig0.select($"doc_id", $"doc_id".as("rep"), $"n_sh")
+      (r, m)
+    }
 
     val keys0 = reps.select($"doc_id", posexplode($"bands"))
       .toDF("doc_id", "bidx", "bk")
@@ -270,7 +317,7 @@ object DedupQueries extends QueryModule {
         (size($"sha") + size($"shb") - $"shared"))
       .filter($"jac" >= 0.5)
       .select($"da".as("ra"), $"db".as("rb"), $"jac")
-    (vp, mapping)
+    (vp, mapping, collapsed)
   }
 
   /** Near-dup cluster label per document: verified rep-level pairs →
@@ -281,7 +328,9 @@ object DedupQueries extends QueryModule {
   private def clusterLabelsOf(s: org.apache.spark.sql.SparkSession,
       docs: DataFrame): DataFrame = {
     import s.implicits._
-    val (vp, mapping) = verifiedRepPairsOf(s, docs)
+    // the identity mapping of the adaptive bypass flows through this
+    // propagation unchanged (labels join against rep == doc_id)
+    val (vp, mapping, _) = verifiedRepPairsOf(s, docs)
     val edges = vp.select($"ra".as("src"), $"rb".as("dst"))
     val verts = mapping.filter($"n_sh" > 0)
       .select($"rep".as("id")).distinct()

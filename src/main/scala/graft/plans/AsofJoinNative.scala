@@ -261,6 +261,109 @@ case class AsofJoinExec(
 
 object AsofJoinNative {
 
+  /** Keyless (global) as-of join through the SAME native merge-walk
+    * (VERDICT r7 next-#8; reference kernels `_libs/join.pyx:725-900`
+    * with `by=None`). The keyed operator co-partitions on the `by`
+    * keys — with no keys that would degenerate to one partition — so
+    * the global form manufactures a `by` key that IS a range
+    * partitioning of time:
+    *
+    *   1. bounds = left-ts quantiles (deterministic Greenwald–Khanna
+    *      sketch, one column-pruned pass — the same sampling cost a
+    *      global sort's RangePartitioner pays);
+    *   2. both sides get `__pid` = range-bucket(ts) as a map-side
+    *      codegen'd expression, so the hash exchange AsofJoinExec
+    *      requires co-locates time ranges — a range partitioning in
+    *      disguise, with per-partition memory O(rows/bucket);
+    *   3. boundary handoff: per bucket, the LAST right row (backward
+    *      carry) and FIRST right row (forward carry) — ≤2·buckets tiny
+    *      rows — are collected, prefix/suffix-scanned on the driver,
+    *      and re-injected as ordinary right rows of the neighboring
+    *      buckets. The walk needs no special cases: a backward carry
+    *      sorts first in its bucket and is consumed as the initial
+    *      candidate; a forward carry sorts last and stays the
+    *      unconsumed head. Cross-bucket rows are strictly ordered
+    *      versus every left ts in the bucket (lts < bound ≤ rts), so
+    *      strict-mode exact-ts handling stays intra-bucket and one
+    *      carry per direction per bucket is sufficient.
+    *
+    * Scales exactly like the keyed walk over a balanced synthetic key:
+    * one exchange per side, O(n+m) walk per partition, driver state
+    * O(buckets) — the same footprint as broadcasting range bounds.
+    */
+  def global(
+      spark: SparkSession,
+      left: DataFrame,
+      right: DataFrame,
+      leftTs: String,
+      rightTs: String,
+      valueCols: Seq[String],
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None,
+      allowExactMatches: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.{Column, Row}
+    // selective import: functions.left/right would shadow the params
+    import org.apache.spark.sql.functions.{col, lit, max_by, min_by, struct, unix_micros, when}
+    import org.apache.spark.sql.types.LongType
+
+    def micros(df: DataFrame, c: String): Column =
+      if (df.schema(c).dataType == LongType) col(c) else unix_micros(col(c))
+
+    val n = math.max(1, spark.conf.get("spark.sql.shuffle.partitions").toInt)
+    // epoch micros < 2^53 are exact in double, so the quantile sketch
+    // loses nothing; bounds only steer bucket balance, never results
+    val probs = (1 until n).map(_.toDouble / n).toArray
+    val bounds: Array[Long] =
+      if (probs.isEmpty) Array.empty
+      else left.select(micros(left, leftTs).cast("double").as("__m"))
+        .na.drop()
+        .stat.approxQuantile("__m", probs, 0.001)
+        .map(_.toLong).distinct.sorted
+
+    def pidOf(df: DataFrame, c: String): Column =
+      bounds.foldLeft(lit(0)) { (acc, b) =>
+        acc + when(micros(df, c) >= lit(b), 1).otherwise(0)
+      }
+
+    val leftP = left.withColumn("__pid", pidOf(left, leftTs))
+    val rightCols = (rightTs +: valueCols).distinct
+    val rightP = right.select(rightCols.map(col): _*)
+    val rightPid = rightP.withColumn("__pid", pidOf(rightP, rightTs))
+
+    // per-bucket first/last right rows -> driver (≤ buckets tiny rows)
+    val perBucket = rightPid.groupBy(col("__pid")).agg(
+      max_by(struct(rightCols.map(col): _*), col(rightTs)).as("__last"),
+      min_by(struct(rightCols.map(col): _*), col(rightTs)).as("__first"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getStruct(1), r.getStruct(2))).toMap
+    val numBuckets = bounds.length + 1
+    val carry = scala.collection.mutable.ArrayBuffer.empty[Row]
+    if (direction != "forward") {
+      var lastSoFar: Row = null
+      var p = 0
+      while (p < numBuckets) {
+        if (lastSoFar != null) carry += Row.fromSeq(lastSoFar.toSeq :+ p)
+        perBucket.get(p).foreach { case (l, _) => lastSoFar = l }
+        p += 1
+      }
+    }
+    if (direction != "backward") {
+      var firstAfter: Row = null
+      var p = numBuckets - 1
+      while (p >= 0) {
+        if (firstAfter != null) carry += Row.fromSeq(firstAfter.toSeq :+ p)
+        perBucket.get(p).foreach { case (_, f) => firstAfter = f }
+        p -= 1
+      }
+    }
+    val carryDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(carry.toSeq, 1), rightPid.schema)
+
+    join(spark, leftP, rightPid.unionByName(carryDf), Seq("__pid"),
+      leftTs, rightTs, valueCols, direction, toleranceUs, allowExactMatches)
+      .drop("__pid")
+  }
+
   def backward(
       spark: SparkSession,
       left: DataFrame,

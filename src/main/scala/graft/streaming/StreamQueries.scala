@@ -196,6 +196,27 @@ object StreamQueries extends QueryModule {
       runToMemory(s, out, OutputMode.Append())
     },
 
+    // the BOUNDED-STATE streaming dedup (VERDICT r7 next-#7):
+    // dropDuplicatesWithinWatermark evicts a key's state once the
+    // watermark passes its event time + delay, so the store holds only
+    // the re-delivery horizon — the 100 TB/day requirement plain
+    // dropDuplicates (state forever) cannot meet. The production
+    // contract: delay ≥ the pipeline's max re-delivery lag ⇒ exact
+    // dedup with state bounded by one horizon of keys. Here the 35-day
+    // delay covers the test corpus's 30-day span, so no state expires
+    // mid-run and the result equals exact DISTINCT for any batching —
+    // deterministic, hash-checked against the oracle. The
+    // short-horizon eviction behavior (keys re-emitted after their
+    // state expires, numRowsRemoved > 0 in the state store) is pinned
+    // in StreamDedupWatermarkSpec with controlled event times.
+    "stream_dedup_watermark" -> { (s, d) =>
+      val out = eventsStream(s, d)
+        .withWatermark("ts", "35 days")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+      runToMemory(s, out, OutputMode.Append())
+    },
+
     // streaming suppression against a static denylist with a bloom
     // gate (the streaming face of dedup_incremental): the serialized
     // filter rides into every micro-batch as a literal, so
@@ -348,6 +369,11 @@ object StreamQueries extends QueryModule {
          FROM g, m WHERE sess_end <= wm""",
 
     "stream_dedup_keys" ->
+      """SELECT DISTINCT user_id, event_type FROM events""",
+
+    // delay (35 d) covers the corpus span (30 d), so nothing evicts
+    // mid-run and watermarked dedup equals exact DISTINCT
+    "stream_dedup_watermark" ->
       """SELECT DISTINCT user_id, event_type FROM events""",
 
     "stream_bloom_suppress" ->

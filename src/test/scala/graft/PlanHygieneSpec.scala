@@ -23,6 +23,21 @@ class PlanHygieneSpec extends SparkSpec {
       "untouched wide columns must not appear in the read schema")
   }
 
+  test("keyless as-of queries run the native merge-walk") {
+    // r8 (VERDICT r7 next-#8): join_asof_global* route through
+    // AsofJoinNative.global — range-bucketed time as a synthetic `by`
+    // key feeding the SAME AsofJoinExec pointer walk as the keyed
+    // queries; no partition-less window, no union+window rewrite
+    Seq("join_asof_global", "join_asof_global_forward",
+        "join_asof_global_nearest").foreach { q =>
+      val p = executed(q)
+      // SparkPlan.nodeName strips the Exec suffix: the node prints as
+      // "AsofJoin [__pid#...]"
+      assert(p.contains("AsofJoin"), s"$q must plan the native walk")
+      assert(!p.contains("Window"), s"$q must not fall back to a window")
+    }
+  }
+
   test("star join broadcasts the dimension tables") {
     val p = executed("join_star_broadcast")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
@@ -188,6 +203,17 @@ class PlanHygieneSpec extends SparkSpec {
       "no stage of the curation chain may plan a cartesian product")
     val bad = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
     assert(bad.isEmpty, "no partition-less window in the curation chain")
+    // r8 (VERDICT r7 #3): the exact-dedup keep-first is a digest-keyed
+    // min_by hash AGGREGATE — it must partial-aggregate map-side (one
+    // candidate row per digest crosses the exchange), not shuffle full
+    // rows through a window over md5(text)
+    assert(p.contains("partial_min_by"),
+      "exact dedup must be a partial-aggregating min_by, not a window")
+    val md5Win = lp.collect {
+      case w: LWindow if w.partitionSpec.exists(_.toString.contains("md5")) => w
+    }
+    assert(md5Win.isEmpty,
+      "no window keyed by the md5 digest — keep-first is an aggregate now")
   }
 
   test("domain mix broadcasts its rate tables; the corpus never shuffles") {

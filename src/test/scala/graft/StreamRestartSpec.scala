@@ -36,11 +36,18 @@ class StreamRestartSpec extends SparkSpec {
     }
     Seq(srcDir, outDir, ckpt).foreach(rm)
 
-    // stage the source as MANY files so one trigger != the whole input
+    // stage the source in two TRANCHES (each as several files): run 1
+    // drains tranche 1 to a clean stop; tranche 2 lands before the
+    // restart. Deterministic on any machine — no polling race against
+    // fast micro-batches (ADVICE r7) — and still a mid-ingest restart
+    // from the source's point of view: half the input is unread when
+    // run 1 stops.
     val src = spark.read.parquet(sf("0.01") + "/events.parquet")
       .select($"event_id", $"user_id", $"value")
-    src.repartition(16).write.parquet(srcDir)
+    val Array(tranche1, tranche2) = src.randomSplit(Array(0.5, 0.5), seed = 7)
+    tranche1.repartition(8).write.mode("append").parquet(srcDir)
     val total = src.count()
+    val t1Count = tranche1.count()
 
     def startQuery() = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
@@ -52,16 +59,17 @@ class StreamRestartSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .start()
 
-    // run 1: let at least one batch commit, then kill mid-ingest
+    // run 1: drain tranche 1, then stop — checkpoint marks its files done
     val q1 = startQuery()
-    val deadline = System.currentTimeMillis() + 60000
-    while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
-      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.processAllAvailable()
     q1.stop()
     val afterKill = spark.read.parquet(outDir).count()
-    assert(afterKill > 0, "first run should have committed at least one batch")
+    assert(afterKill === t1Count, "run 1 commits exactly tranche 1")
+    assert(afterKill < total, "restart must start with unread input to prove anything")
 
-    // run 2: same checkpoint picks up at the next unread file
+    // tranche 2 lands while the stream is DOWN; run 2 must pick up
+    // exactly the unread files (re-reading tranche 1 would duplicate)
+    tranche2.repartition(8).write.mode("append").parquet(srcDir)
     val q2 = startQuery()
     q2.processAllAvailable()
     q2.stop()
@@ -97,10 +105,11 @@ class StreamRestartSpec extends SparkSpec {
 
     val docs = spark.read.parquet(sf("0.001") + "/documents.parquet")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    // two copies of every document, spread across 16 files; the hash
-    // repartition scatters the copies into different files
-    docs.unionByName(docs).repartition(16)
-      .write.parquet(srcDir)
+    // tranche 1 = every document once; tranche 2 (written only after
+    // run 1 stops) = a full second copy. Deterministic: every tranche-2
+    // row is a duplicate whose first copy committed in run 1, so ANY
+    // emission in run 2 proves state loss — no polling race (ADVICE r7).
+    docs.repartition(8).write.mode("append").parquet(srcDir)
     val expectDistinct = docs
       .filter($"n_chars".between(100, 2000) && $"lang".isin("en", "es", "de"))
       .select($"source", md5($"text")).distinct().count()
@@ -119,16 +128,17 @@ class StreamRestartSpec extends SparkSpec {
       .option("checkpointLocation", ckpt)
       .start()
 
+    // run 1: drain the single-copy tranche — every distinct key is now
+    // in the state store and emitted exactly once
     val q1 = startQuery()
-    val deadline = System.currentTimeMillis() + 60000
-    while (q1.recentProgress.count(_.numInputRows > 0) < 4 &&
-      System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.processAllAvailable()
     q1.stop()
-    val afterKill = spark.read.parquet(outDir).count()
-    assert(afterKill > 0, "first run should have committed at least one batch")
-    assert(afterKill < expectDistinct,
-      "kill must land mid-ingest for the restart to prove anything")
+    val afterRun1 = spark.read.parquet(outDir).count()
+    assert(afterRun1 === expectDistinct, "run 1 emits each key once")
 
+    // the duplicate tranche lands while the stream is DOWN; if dedup
+    // state did not survive the restart, run 2 re-emits every key
+    docs.repartition(8).write.mode("append").parquet(srcDir)
     val q2 = startQuery()
     q2.processAllAvailable()
     q2.stop()

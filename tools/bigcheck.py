@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Scaled-differential compare: engine parquet dump vs DuckDB oracle,
+entirely inside DuckDB (EXCEPT ALL both ways) so 10^7-row outputs
+diff in C++ instead of the python sorted-row hashing in check.py
+(SCALE.md round-6: the hash harness is the bottleneck above 10^6
+rows, not the engines).
+
+Usage: python3 tools/bigcheck.py <sfDir> <verifyOutDir> [out.jsonl]
+
+For each <outDir>/<name> directory: runs the oracle SQL from
+<outDir>/oracle_sql.json against the sfDir tables, then compares the
+engine dump with exact value equality:
+  - row counts,
+  - sorted column names,
+  - |engine EXCEPT ALL oracle| + |oracle EXCEPT ALL engine| == 0
+    (bag equality — duplicates count, exact doubles, NULL-safe).
+Appends one JSON line per query to out.jsonl (default: stdout only).
+"""
+import sys, json, os, glob, time
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def table_path(sf, t):
+    p = os.path.join(sf, f"{t}.parquet")
+    if os.path.isdir(p):
+        return os.path.join(p, "*.parquet")
+    return p
+
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    sink = open(sys.argv[3], "a") if len(sys.argv) > 3 else None
+    oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count()}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf, t)}'")
+    names = sorted(d for d in os.listdir(out)
+                   if os.path.isdir(os.path.join(out, d)))
+    fails = 0
+    for name in names:
+        if name not in oracle:
+            print(f"[skip-no-oracle] {name}")
+            continue
+        t0 = time.time()
+        dump = os.path.join(out, name, "*.parquet")
+        rec = {"name": name}
+        try:
+            con.execute(f"CREATE OR REPLACE VIEW __eng AS "
+                        f"SELECT * FROM '{dump}'")
+            con.execute(f"CREATE OR REPLACE VIEW __ora AS ({oracle[name]})")
+            ecols = [r[0] for r in con.execute(
+                "DESCRIBE __eng").fetchall()]
+            ocols = [r[0] for r in con.execute(
+                "DESCRIBE __ora").fetchall()]
+            rec["schema_match"] = sorted(ecols) == sorted(ocols)
+            e_n = con.execute("SELECT count(*) FROM __eng").fetchone()[0]
+            o_n = con.execute("SELECT count(*) FROM __ora").fetchone()[0]
+            rec["rows"], rec["oracle_rows"] = e_n, o_n
+            rec["rows_match"] = e_n == o_n
+            if rec["schema_match"]:
+                sel = ", ".join(f'"{c}"' for c in sorted(ecols))
+                d = con.execute(
+                    f"SELECT count(*) FROM ("
+                    f"(SELECT {sel} FROM __eng EXCEPT ALL SELECT {sel} FROM __ora)"
+                    f" UNION ALL "
+                    f"(SELECT {sel} FROM __ora EXCEPT ALL SELECT {sel} FROM __eng))"
+                ).fetchone()[0]
+                rec["diff_rows"] = d
+                rec["value_match"] = d == 0
+            else:
+                rec["diff_rows"], rec["value_match"] = None, False
+            ok = rec["schema_match"] and rec["rows_match"] and rec["value_match"]
+            rec["status"] = "pass" if ok else "FAIL"
+            if not ok:
+                fails += 1
+        except Exception as e:
+            rec["status"] = "err"
+            rec["err"] = str(e)[:400]
+            fails += 1
+        rec["compare_secs"] = round(time.time() - t0, 1)
+        line = json.dumps(rec)
+        print(line, flush=True)
+        if sink:
+            sink.write(line + "\n")
+            sink.flush()
+    print(f"== {len(names)} compared, {fails} FAIL")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
