@@ -77,10 +77,15 @@ object GlobalOrder {
       }
 
     // deterministic bucket id: count of bounds strictly below the key;
-    // NULL keys fold to bucket 0 = Spark's nulls-first ascending order
-    val pidExpr = bounds.foldLeft(lit(0)) { (acc, b) =>
-      acc + when(lead.cast("double") > lit(b), 1).otherwise(0)
-    }
+    // NULL keys bucket to 0 = Spark's nulls-first ascending order.
+    // Binary search over the literal bounds (functions/SearchSorted),
+    // NOT a when-chain fold: at 256 partitions the 255-node fold fell
+    // off the fast codegen path and cost 60 s on a 15M-row ordinal
+    // (31 min on the sf100 qcut) — the generated Arrays.binarySearch
+    // call is O(log n) per row and stays inside whole-stage codegen
+    val pidExpr = graft.functions.SearchSorted.bucketOf(
+      lead.cast("double"), bounds.map(_.asInstanceOf[Double]),
+      inclusive = false)
 
     val base = df.withColumn("__go_pid", pidExpr)
       .repartition(n, col("__go_pid"))

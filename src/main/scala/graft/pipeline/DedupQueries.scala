@@ -106,7 +106,18 @@ object DedupQueries extends QueryModule {
 
   /** (doc_id, simhash): 24-bit simhash over a materialized shingle-hash
     * array — see the dedup_simhash scaladoc for why materialization
-    * matters */
+    * matters.
+    *
+    * Adaptive content collapse (r8; the same HLL sketch regime switch
+    * as verifiedRepPairsOf): identical texts have identical simhashes,
+    * so on a copy-heavy corpus (sf100 stress copy: 1000 copies/doc,
+    * where the uncollapsed form burned 609 s recomputing 24 shingle
+    * folds per COPY) the signature is computed once per DISTINCT text
+    * and re-attached by a narrow digest join. A no-copy corpus skips
+    * the collapse — zero added shuffle, signatures stay map-side.
+    * Both paths produce identical rows, so a sketch misread costs
+    * performance only.
+    */
   private def simhashSig(docs: DataFrame): DataFrame = {
     val bits = (0 until 24).map { j =>
       val p2 = 1L << j
@@ -114,8 +125,24 @@ object DedupQueries extends QueryModule {
         (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.select(col("doc_id"), shingleHashes.as("hs"))
-      .select(col("doc_id"), bits.as("simhash"))
+    def sigOf(d: DataFrame, id: Column) = d
+      .select(id.as("__id"), shingleHashes.as("hs"))
+      .select(col("__id"), bits.as("simhash"))
+    val withDg = docs.select(col("doc_id"), col("text"),
+      xxhash64(col("text")).as("__dg"))
+    val Array(nDistinct, nTotal) = withDg
+      .agg(approx_count_distinct(col("__dg")), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    if (nTotal > 0 && nDistinct.toDouble / nTotal < 0.9) {
+      val reps = withDg.groupBy(col("__dg"))
+        .agg(first(col("text")).as("text"))
+      withDg.select(col("doc_id"), col("__dg"))
+        .join(sigOf(reps, col("__dg")), col("__dg") === col("__id"))
+        .select(col("doc_id"), col("simhash"))
+    } else {
+      sigOf(docs, col("doc_id"))
+        .select(col("__id").as("doc_id"), col("simhash"))
+    }
   }
 
   /** verified near-dup pairs (da < db, jaccard >= 0.5) with the exact

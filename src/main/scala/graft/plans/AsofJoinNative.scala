@@ -320,15 +320,19 @@ object AsofJoinNative {
         .stat.approxQuantile("__m", probs, 0.001)
         .map(_.toLong).distinct.sorted
 
-    def pidOf(df: DataFrame, c: String): Column =
-      bounds.foldLeft(lit(0)) { (acc, b) =>
-        acc + when(micros(df, c) >= lit(b), 1).otherwise(0)
-      }
+    // bucket id = #bounds ≤ ts via generated binary search
+    // (functions/SearchSorted) — the literal when-chain fold this
+    // replaces was a 255-node expression at 256 partitions, off the
+    // fast codegen path (measured 125 s on the sf100 keyless as-of;
+    // same pathology as GlobalOrder's qcut at 31 min)
+    def withPid(df: DataFrame, c: String): DataFrame = df
+      .withColumn("__pid", graft.functions.SearchSorted.bucketOf(
+        micros(df, c).cast("double"), bounds.map(_.toDouble),
+        inclusive = true))
 
-    val leftP = left.withColumn("__pid", pidOf(left, leftTs))
+    val leftP = withPid(left, leftTs)
     val rightCols = (rightTs +: valueCols).distinct
-    val rightP = right.select(rightCols.map(col): _*)
-    val rightPid = rightP.withColumn("__pid", pidOf(rightP, rightTs))
+    val rightPid = withPid(right.select(rightCols.map(col): _*), rightTs)
 
     // per-bucket first/last right rows -> driver (≤ buckets tiny rows)
     val perBucket = rightPid.groupBy(col("__pid")).agg(

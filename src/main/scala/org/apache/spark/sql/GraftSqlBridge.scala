@@ -16,6 +16,15 @@ object GraftSqlBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[Row]].queryExecution.analyzed
 
+  /** Wrap a catalyst Expression as a public Column (the door custom
+    * codegen'd expressions use without a function-registry round-trip). */
+  def exprColumn(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Inverse of [[exprColumn]]: the catalyst Expression behind a Column. */
+  def columnExpr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Dataset -> Arrow IPC record-batch payloads, one byte[] per batch,
     * computed distributed (per-partition) and collected. This is the
     * wire format Spark itself uses for pandas/R interchange — the

@@ -35,12 +35,23 @@ def main():
     sink = open(sys.argv[3], "a") if len(sys.argv) > 3 else None
     oracle = json.load(open(os.path.join(out, "oracle_sql.json")))
     con = duckdb.connect()
-    con.execute(f"SET threads TO {os.cpu_count()}")
+    con.execute("SET threads TO "
+                f"{os.environ.get('BIGCHECK_THREADS', os.cpu_count())}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf, t)}'")
     names = sorted(d for d in os.listdir(out)
                    if os.path.isdir(os.path.join(out, d)))
+    # resume: skip names already recorded in the sink (long scaled runs
+    # survive an interruption without redoing finished compares)
+    done = set()
+    if len(sys.argv) > 3 and os.path.exists(sys.argv[3]):
+        for ln in open(sys.argv[3]):
+            try:
+                done.add(json.loads(ln).get("name"))
+            except Exception:
+                pass
+    names = [n for n in names if n not in done]
     fails = 0
     for name in names:
         if name not in oracle:
