@@ -52,6 +52,11 @@ def main():
             except Exception:
                 pass
     names = [n for n in names if n not in done]
+    # optional 4th arg: comma-separated substrings to include (runs a
+    # prioritized slice of a big dump; combine with resume for passes)
+    if len(sys.argv) > 4:
+        pats = [p for p in sys.argv[4].split(",") if p]
+        names = [n for n in names if any(p in n for p in pats)]
     fails = 0
     for name in names:
         if name not in oracle:
