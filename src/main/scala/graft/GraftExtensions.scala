@@ -51,7 +51,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     fn("graft_lsh_bucket", es => LshBucket(es.head,
       intArg(es, 1, "graft_lsh_bucket"), intArg(es, 2, "graft_lsh_bucket")))
     fn("graft_bloom_contains", es => BloomMightContain(es(1),
-      es.head.eval().asInstanceOf[Array[Byte]]))
+      graft.functions.BloomExprs.bytesArg(es, 0)))
     fn("graft_poly_hash", es => PolyHash(es.head))
     fn("graft_shingle_hash64", es => ShingleHash64s(es.head))
     fn("graft_minhash_bands", es => MinHashBandKeys(es.head))

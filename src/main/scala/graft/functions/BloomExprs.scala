@@ -38,8 +38,23 @@ object BloomExprs {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_bloom_contains",
-      exprs => BloomMightContain(exprs(1),
-        exprs.head.eval().asInstanceOf[Array[Byte]]), "scala_udf")
+      exprs => BloomMightContain(exprs(1), bytesArg(exprs, 0)), "scala_udf")
+  }
+
+  /** foldable-binary argument guard (same contract as the intArg guard
+    * in GraftExtensions): the serialized filter is a plan-time
+    * parameter, and a non-literal argument must fail with a named
+    * error, not an opaque eval/ClassCast deep in planning. */
+  private[graft] def bytesArg(es: Seq[Expression], i: Int): Array[Byte] = {
+    require(i < es.length && es(i).foldable,
+      s"graft_bloom_contains: argument ${i + 1} must be a literal binary " +
+        "(the serialized Bloom filter)")
+    es(i).eval() match {
+      case b: Array[Byte] => b
+      case other => throw new IllegalArgumentException(
+        s"graft_bloom_contains: argument ${i + 1} must be a literal binary, " +
+          s"got $other")
+    }
   }
 
   /** Serialized Bloom filter over a long key column, built distributed. */

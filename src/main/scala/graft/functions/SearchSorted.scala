@@ -37,11 +37,16 @@ case class SearchSorted(child: Expression, bounds: Array[Double],
   // bucket is 0 for null input, never SQL NULL
   override def nullable: Boolean = false
 
-  private def bucket(v: Double): Int = {
+  private def bucket(v0: Double): Int = {
     // NaN: Spark SQL comparison (and Double.compare, hence
     // binarySearch's insertion point) both order NaN GREATEST, so the
     // natural insertion point = bounds.length matches the fold —
-    // and puts NaN in the last bucket, where it also sorts
+    // and puts NaN in the last bucket, where it also sorts.
+    // ±0.0: Spark's nanSafeCompareDoubles treats -0.0 == 0.0 but
+    // Double.compare (binarySearch) orders -0.0 < 0.0 — normalize the
+    // probe (bounds are normalized in bucketOf) so Spark-equal keys
+    // never split across adjacent buckets.
+    val v = if (v0 == 0.0) 0.0 else v0
     val i = java.util.Arrays.binarySearch(bounds, v)
     if (i >= 0) { if (inclusive) i + 1 else i } else -i - 1
   }
@@ -68,6 +73,7 @@ case class SearchSorted(child: Expression, bounds: Array[Double],
          |int ${ev.value} = 0;
          |if (!(${childGen.isNull})) {
          |  double $v = (double) ${childGen.value};
+         |  if ($v == 0.0d) $v = 0.0d;
          |  int $i = java.util.Arrays.binarySearch($b, $v);
          |  ${ev.value} = ($i >= 0) ? ($hit) : (-$i - 1);
          |}
@@ -82,8 +88,12 @@ case class SearchSorted(child: Expression, bounds: Array[Double],
 object SearchSorted {
   /** bucket id column over a DOUBLE-typed column: count of `bounds`
     * strictly below (inclusive=false) or at-or-below (true) the value;
-    * null/NaN → bucket 0. Bounds are deduplicated and sorted here. */
+    * null → bucket 0; NaN → last bucket (NaN-greatest, matching both
+    * SQL comparison and sort order). Bounds are -0.0-normalized,
+    * deduplicated and sorted here. */
   def bucketOf(v: Column, bounds: Seq[Double], inclusive: Boolean): Column =
     GraftSqlBridge.exprColumn(SearchSorted(
-      GraftSqlBridge.columnExpr(v), bounds.distinct.sorted.toArray, inclusive))
+      GraftSqlBridge.columnExpr(v),
+      bounds.map(b => if (b == 0.0) 0.0 else b).distinct.sorted.toArray,
+      inclusive))
 }

@@ -36,11 +36,24 @@ object VectorExprs {
       exprs => L2Sq(exprs.head, exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_lsh_bucket",
       exprs => LshBucket(exprs.head,
-        exprs(1).eval().asInstanceOf[Int],
-        exprs(2).eval().asInstanceOf[Int]), "scala_udf")
+        intArg(exprs, 1, "graft_lsh_bucket"),
+        intArg(exprs, 2, "graft_lsh_bucket")), "scala_udf")
     reg.createOrReplaceTempFunction("graft_rand_project",
       exprs => RandProject(exprs.head,
-        exprs(1).eval().asInstanceOf[Int]), "scala_udf")
+        intArg(exprs, 1, "graft_rand_project")), "scala_udf")
+  }
+
+  /** foldable-int argument guard, mirroring GraftExtensions.intArg:
+    * scalar config args are plan-time parameters and must fail loudly
+    * when non-literal (ADVICE r7). */
+  private def intArg(es: Seq[Expression], i: Int, name: String): Int = {
+    require(i < es.length && es(i).foldable,
+      s"$name: argument ${i + 1} must be a literal integer")
+    es(i).eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$name: argument ${i + 1} must be a literal integer, got $other")
+    }
   }
 }
 

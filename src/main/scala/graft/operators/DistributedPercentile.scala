@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact interpolated percentiles by DISTRIBUTED two-pass bracket
+  * selection — the scale-safe replacement for Spark's exact
+  * `percentile` aggregate, whose final merge concentrates a
+  * value→count map of EVERY distinct value on one reducer (517 s of
+  * the sf100 differential was that single merge for
+  * `agg_approx_stats`'s verification half; reference semantics:
+  * pandas `quantile`, interpolation='linear' — core/nanops.py).
+  *
+  * Passes (all map-side partial aggregates; nothing single-reducer
+  * ever sees more than O(windows) state):
+  *   1. one scan: non-null count + `approx_percentile` at accuracy
+  *      1/eps around each target, giving value windows guaranteed
+  *      (GK sketch rank-error bound ≤ N·eps) to cover the needed
+  *      order statistics;
+  *   2. one scan: count of rows strictly below each window's low
+  *      bound (k conditional sums in a single agg);
+  *   3. one scan: (value, count) histogram of rows INSIDE the union
+  *      of windows — O(N·eps) rows collapsing to distinct values,
+  *      collected to the driver (bounded by the window width, not by
+  *      the column's distinct count).
+  * The exact order statistics are then read off the histogram with
+  * the pass-2 offsets and interpolated exactly like Spark/pandas
+  * (pos = p·(n−1), linear between adjacent order stats). If a window
+  * failed to cover its ranks (cannot happen within the sketch's
+  * documented bound; kept as a loud safety net), the window widens
+  * 8× and the selection re-runs.
+  */
+object DistributedPercentile {
+
+  /** Exact percentiles of `col` in `df` (nulls ignored), Spark
+    * `percentile` / pandas linear-interpolation semantics. */
+  def exact(df: DataFrame, colName: String, ps: Seq[Double]): Seq[Double] = {
+    require(ps.forall(p => p >= 0.0 && p <= 1.0), s"percentiles out of [0,1]: $ps")
+    val v = df.select(col(colName).cast("double").as("v"))
+      .filter(col("v").isNotNull && !isnan(col("v")))
+
+    val accuracy = 10000
+    var delta = 3.0 / accuracy // 3× the sketch's 1/accuracy rank bound
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val res = tryExact(v, ps, accuracy, delta)
+      if (res.isDefined) return res.get
+      require(attempt < 4,
+        s"DistributedPercentile: windows failed to converge at delta=$delta")
+      delta = math.min(0.5, delta * 8)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private def tryExact(v: DataFrame, ps: Seq[Double], accuracy: Int,
+                       delta: Double): Option[Seq[Double]] = {
+    // pass 1: count + bracket windows in ONE scan
+    val probes = ps.flatMap(p =>
+      Seq(math.max(0.0, p - delta), math.min(1.0, p + delta)))
+    val row1 = v.agg(
+      count(lit(1)).as("n"),
+      expr(s"approx_percentile(v, array(${probes.mkString(",")}), $accuracy)")
+        .as("w")).head()
+    val n = row1.getLong(0)
+    if (n == 0) return Some(ps.map(_ => Double.NaN))
+    val w = row1.getSeq[Double](1)
+    val windows = ps.indices.map(j => (w(2 * j), w(2 * j + 1)))
+
+    // pass 2: rows strictly below each window's low bound
+    val belowCols: Seq[Column] = windows.map { case (lo, _) =>
+      sum(when(col("v") < lo, 1L).otherwise(0L)) }
+    val row2 = v.agg(belowCols.head, belowCols.tail: _*).head()
+    val belows = ps.indices.map(j => row2.getLong(j))
+
+    // pass 3: distinct-value histogram inside the union of windows
+    val inAny = windows.map { case (lo, hi) =>
+      col("v") >= lo && col("v") <= hi }.reduce(_ || _)
+    val hist = v.filter(inAny).groupBy(col("v")).agg(count(lit(1)).as("c"))
+      .orderBy(col("v")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1)))
+
+    val out: Seq[Option[Double]] = ps.indices.map { j =>
+      val (lo, hi) = windows(j)
+      val pos = ps(j) * (n - 1)
+      val k = pos.toLong
+      val frac = pos - k
+      val entries = hist.filter(e => e._1 >= lo && e._1 <= hi)
+      val inWin = entries.map(_._2).sum
+      // coverage: order stats k and (k+1 when interpolating) must lie
+      // inside [belows(j), belows(j) + inWin)
+      val need = if (frac > 0) k + 1 else k
+      if (belows(j) > k || belows(j) + inWin <= need) None
+      else {
+        def orderStat(idx: Long): Double = {
+          var cum = belows(j)
+          var res = Double.NaN
+          val it = entries.iterator
+          var found = false
+          while (!found && it.hasNext) {
+            val (value, cnt) = it.next()
+            if (idx < cum + cnt) { res = value; found = true } else cum += cnt
+          }
+          res
+        }
+        val lo1 = orderStat(k)
+        Some(if (frac == 0) lo1 else lo1 + frac * (orderStat(k + 1) - lo1))
+      }
+    }
+    if (out.exists(_.isEmpty)) None else Some(out.map(_.get))
+  }
+}

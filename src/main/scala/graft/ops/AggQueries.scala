@@ -304,14 +304,18 @@ object AggQueries extends QueryModule {
       // rank-error bracket: accuracy=1000 guarantees a returned value
       // whose RANK is within 1/1000 of the target; the bracket uses
       // 2/1000 — documented bound plus one rank step, since exact
-      // `percentile` interpolates while the sketch returns a sample
-      val exact = li.agg(
-        countDistinct($"l_partkey").as("exact_cd"),
-        expr("percentile(l_extendedprice, array(0.498, 0.502, 0.898, 0.902))")
-          .as("b"))
+      // `percentile` interpolates while the sketch returns a sample.
+      // The bracket values come from DistributedPercentile (two-pass
+      // bracket selection) — Spark's exact `percentile` merges a
+      // value→count map of EVERY distinct value on one reducer, which
+      // cost 517 s of the sf100 differential for this query alone
+      val Seq(p50lo, p50hi, p90lo, p90hi) =
+        graft.operators.DistributedPercentile.exact(
+          li.toDF(), "l_extendedprice", Seq(0.498, 0.502, 0.898, 0.902))
+      val exact = li.agg(countDistinct($"l_partkey").as("exact_cd"))
         .select($"exact_cd",
-          element_at($"b", 1).as("p50lo"), element_at($"b", 2).as("p50hi"),
-          element_at($"b", 3).as("p90lo"), element_at($"b", 4).as("p90hi"))
+          lit(p50lo).as("p50lo"), lit(p50hi).as("p50hi"),
+          lit(p90lo).as("p90lo"), lit(p90hi).as("p90hi"))
       sketch.crossJoin(exact).select(
         $"exact_cd",
         (abs($"acd" - $"exact_cd").cast("double") / $"exact_cd" <= 0.05)

@@ -128,16 +128,25 @@ object DedupQueries extends QueryModule {
     def sigOf(d: DataFrame, id: Column) = d
       .select(id.as("__id"), shingleHashes.as("hs"))
       .select(col("__id"), bits.as("simhash"))
+    // dual 96-bit digest (xxhash64 + murmur), same scheme as
+    // verifiedRepPairsOf: a single 64-bit hash is not collision-safe
+    // at 1e9+ docs — a collision would silently assign a wrong
+    // simhash to one of the colliding texts
     val withDg = docs.select(col("doc_id"), col("text"),
-      xxhash64(col("text")).as("__dg"))
+      xxhash64(col("text")).as("__dg1"), hash(col("text")).as("__dg2"))
     val Array(nDistinct, nTotal) = withDg
-      .agg(approx_count_distinct(col("__dg")), count(lit(1)))
+      .agg(approx_count_distinct(col("__dg1")), count(lit(1)))
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
     if (nTotal > 0 && nDistinct.toDouble / nTotal < 0.9) {
-      val reps = withDg.groupBy(col("__dg"))
+      val reps = withDg.groupBy(col("__dg1"), col("__dg2"))
         .agg(first(col("text")).as("text"))
-      withDg.select(col("doc_id"), col("__dg"))
-        .join(sigOf(reps, col("__dg")), col("__dg") === col("__id"))
+      val repSig = reps
+        .select(col("__dg1").as("__r1"), col("__dg2").as("__r2"),
+          shingleHashes.as("hs"))
+        .select(col("__r1"), col("__r2"), bits.as("simhash"))
+      withDg.select(col("doc_id"), col("__dg1"), col("__dg2"))
+        .join(repSig,
+          col("__dg1") === col("__r1") && col("__dg2") === col("__r2"))
         .select(col("doc_id"), col("simhash"))
     } else {
       sigOf(docs, col("doc_id"))

@@ -50,6 +50,36 @@ class SearchSortedSpec extends SparkSpec {
     assert(eNull.eval(null) === 0)
   }
 
+  test("±0.0 follows Spark comparison semantics (-0.0 == 0.0)") {
+    import spark.implicits._
+    // Spark's nanSafeCompareDoubles treats -0.0 == 0.0; the fold
+    // (`v > b` / `v >= b`) therefore can't tell them apart, and
+    // neither may the binary search — with a 0.0 bound and -0.0
+    // values (and vice versa) both must land in the same bucket.
+    val vals = Seq(-0.0, 0.0, -1.0, 1.0)
+    for (zeroBound <- Seq(0.0, -0.0)) {
+      val bs = Seq(-3.5, zeroBound, 1.25)
+      val df = vals.toDF("v")
+      val foldS = bs.foldLeft(lit(0)) { (a, b) =>
+        a + when($"v" > lit(b), 1).otherwise(0) }
+      val foldI = bs.foldLeft(lit(0)) { (a, b) =>
+        a + when($"v" >= lit(b), 1).otherwise(0) }
+      val got = df.select($"v",
+        graft.functions.SearchSorted.bucketOf($"v", bs, inclusive = false).as("ss_s"),
+        graft.functions.SearchSorted.bucketOf($"v", bs, inclusive = true).as("ss_i"),
+        foldS.as("f_s"), foldI.as("f_i")).collect()
+      got.foreach { r =>
+        assert(r.getInt(1) === r.getInt(3),
+          s"strict mismatch (bound=$zeroBound) at v=${r.get(0)}")
+        assert(r.getInt(2) === r.getInt(4),
+          s"inclusive mismatch (bound=$zeroBound) at v=${r.get(0)}")
+      }
+      // -0.0 and 0.0 values are Spark-equal: identical buckets
+      val byV = got.map(r => r.getDouble(0) -> (r.getInt(1), r.getInt(2))).toMap
+      assert(byV(-0.0) === byV(0.0))
+    }
+  }
+
   test("unsorted or duplicated bounds are normalized by bucketOf") {
     import spark.implicits._
     val df = Seq(0.5, 2.0).toDF("v")

@@ -42,13 +42,16 @@ def main():
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf, t)}'")
     names = sorted(d for d in os.listdir(out)
                    if os.path.isdir(os.path.join(out, d)))
-    # resume: skip names already recorded in the sink (long scaled runs
-    # survive an interruption without redoing finished compares)
+    # resume: skip names already recorded as PASS in the sink (long
+    # scaled runs survive an interruption without redoing finished
+    # compares); failed/errored names re-run so a fix is re-checked
     done = set()
     if len(sys.argv) > 3 and os.path.exists(sys.argv[3]):
         for ln in open(sys.argv[3]):
             try:
-                done.add(json.loads(ln).get("name"))
+                rec = json.loads(ln)
+                if rec.get("status") == "pass":
+                    done.add(rec.get("name"))
             except Exception:
                 pass
     names = [n for n in names if n not in done]
