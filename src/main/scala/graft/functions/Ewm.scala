@@ -41,6 +41,54 @@ object Ewm {
   def alphaFromHalflife(halflife: Double): Double =
     1.0 - math.exp(-math.log(2.0) / halflife)
 
+  /** Per-group EWM mean/variance recursion (aggregations.pyx:2044
+    * kernel state), shared verbatim by the shuffle path (`ewmMean`'s
+    * flatMapGroups) and the zero-shuffle sorted-run path
+    * (`ewmMeanSortedRuns`) so the two can never drift numerically. */
+  private final class MeanState(alpha: Double, ignoreNa: Boolean) {
+    private val decay = 1 - alpha
+    private var num = 0.0; private var den = 0.0   // adjust=true mean
+    private var num2 = 0.0; private var sw2 = 0.0  // variance (Σw·x², Σw²)
+    private var yNoAdj = Double.NaN                // adjust=false state
+    private var wNoAdj = 1.0                       // carried weight across gaps
+
+    def reset(): Unit = {
+      num = 0.0; den = 0.0; num2 = 0.0; sw2 = 0.0
+      yNoAdj = Double.NaN; wNoAdj = 1.0
+    }
+
+    /** advance one row; returns (ewm_adj, ewm_noadj, ewm_var) */
+    def step(vOpt: Option[Double]): (Option[Double], Option[Double], Option[Double]) = {
+      vOpt match {
+        case Some(x) =>
+          num = decay * num + x
+          den = decay * den + 1.0
+          num2 = decay * num2 + x * x
+          sw2 = (decay * decay) * sw2 + 1.0
+          if (yNoAdj.isNaN) { yNoAdj = x; wNoAdj = 1.0 }
+          else {
+            val wd = wNoAdj * decay
+            yNoAdj = (wd * yNoAdj + alpha * x) / (wd + alpha)
+            wNoAdj = 1.0
+          }
+        case None if !ignoreNa =>
+          // absolute-position weighting: one decay step, no value
+          num = decay * num; den = decay * den
+          num2 = decay * num2; sw2 = (decay * decay) * sw2
+          wNoAdj = wNoAdj * decay
+        case None => () // ignore_na=true: state untouched
+      }
+      val ewmVar =
+        if (den > 0 && den * den - sw2 > 0)
+          Some((num2 / den - (num / den) * (num / den)) *
+            ((den * den) / (den * den - sw2)))
+        else None
+      (if (den > 0) Some(num / den) else None,
+       if (yNoAdj.isNaN) None else Some(yNoAdj),
+       ewmVar)
+    }
+  }
+
   /** EWM mean + unbiased variance of `valueCol` per `keyCol`, ordered
     * by `orderCol` (must be non-null and unique within key; null keys/
     * order values fail fast). Null values follow pandas semantics for
@@ -57,7 +105,6 @@ object Ewm {
       alpha: Double,
       ignoreNa: Boolean = false): DataFrame = {
     import spark.implicits._
-    val decay = 1 - alpha
     df.select(
         col(keyCol).cast("long").as("k"),
         unix_micros(col(orderCol)).as("o"),
@@ -71,40 +118,65 @@ object Ewm {
         val rows = it.toArray.sortBy(_._2.getOrElse(
           throw new IllegalArgumentException(
             s"Ewm: null/invalid order in '$orderCol'")))
-        var num = 0.0; var den = 0.0   // adjust=true mean state
-        var num2 = 0.0; var sw2 = 0.0  // variance state (sum w*x^2, sum w^2)
-        var yNoAdj = Double.NaN        // adjust=false state
-        var wNoAdj = 1.0               // adjust=false carried weight across gaps
+        val st = new MeanState(alpha, ignoreNa)
         rows.iterator.map { case (_, ordOpt, vOpt) =>
-          val ord = ordOpt.get
-          vOpt match {
-            case Some(x) =>
-              num = decay * num + x
-              den = decay * den + 1.0
-              num2 = decay * num2 + x * x
-              sw2 = (decay * decay) * sw2 + 1.0
-              if (yNoAdj.isNaN) { yNoAdj = x; wNoAdj = 1.0 }
-              else {
-                val wd = wNoAdj * decay
-                yNoAdj = (wd * yNoAdj + alpha * x) / (wd + alpha)
-                wNoAdj = 1.0
-              }
-            case None if !ignoreNa =>
-              // absolute-position weighting: one decay step, no value
-              num = decay * num; den = decay * den
-              num2 = decay * num2; sw2 = (decay * decay) * sw2
-              wNoAdj = wNoAdj * decay
-            case None => () // ignore_na=true: state untouched
+          val (adj, noadj, v2) = st.step(vOpt)
+          (key, ordOpt.get, vOpt, adj, noadj, v2)
+        }
+      }
+      .toDF(keyCol, "ord_micros", valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
+      .withColumn(orderCol, timestamp_micros(col("ord_micros")))
+      .drop("ord_micros")
+      .select(keyCol, orderCol, valueCol, "ewm_adj", "ewm_noadj", "ewm_var")
+  }
+
+  /** EWM mean over a frame ALREADY clustered by key and sorted by
+    * (key, order) within each partition — a `BucketedLayout` read.
+    * Zero shuffle, zero sort: one streaming pass per partition with
+    * O(1) state; group boundaries are key changes. The required
+    * lexicographic (key, order) run layout is asserted per row — a
+    * regression in either column fails loudly instead of silently
+    * folding rows into the wrong group's recursion. Same `MeanState`
+    * kernel as `ewmMean`, so the two paths are numerically identical.
+    */
+  def ewmMeanSortedRuns(
+      spark: SparkSession,
+      df: DataFrame,
+      keyCol: String,
+      orderCol: String,
+      valueCol: String,
+      alpha: Double,
+      ignoreNa: Boolean = false): DataFrame = {
+    import spark.implicits._
+    df.select(
+        col(keyCol).cast("long").as("k"),
+        unix_micros(col(orderCol)).as("o"),
+        col(valueCol).cast("double").as("v"))
+      .as[(Option[Long], Option[Long], Option[Double])]
+      .mapPartitions { it =>
+        val st = new MeanState(alpha, ignoreNa)
+        var started = false
+        var curKey = 0L
+        var lastOrd = 0L
+        it.map { case (kOpt, oOpt, vOpt) =>
+          val k = kOpt.getOrElse(throw new IllegalArgumentException(
+            s"Ewm: null key in '$keyCol' — pandas rejects NaN group keys"))
+          val o = oOpt.getOrElse(throw new IllegalArgumentException(
+            s"Ewm: null/invalid order in '$orderCol'"))
+          if (!started) { started = true; curKey = k; lastOrd = o }
+          else if (k == curKey) {
+            require(o >= lastOrd,
+              s"Ewm sorted-run: order regression within key $k — " +
+                "input is not (key, order)-sorted; use ewmMean")
+            lastOrd = o
+          } else {
+            require(k > curKey,
+              s"Ewm sorted-run: key regression $curKey -> $k — " +
+                "input is not clustered-sorted by key; use ewmMean")
+            curKey = k; lastOrd = o; st.reset()
           }
-          val ewmVar =
-            if (den > 0 && den * den - sw2 > 0)
-              Some((num2 / den - (num / den) * (num / den)) *
-                ((den * den) / (den * den - sw2)))
-            else None
-          (key, ord, vOpt,
-            if (den > 0) Some(num / den) else None,
-            if (yNoAdj.isNaN) None else Some(yNoAdj),
-            ewmVar)
+          val (adj, noadj, v2) = st.step(vOpt)
+          (k, o, vOpt, adj, noadj, v2)
         }
       }
       .toDF(keyCol, "ord_micros", valueCol, "ewm_adj", "ewm_noadj", "ewm_var")

@@ -455,6 +455,59 @@ object WindowQueries extends QueryModule {
       Ewm.ewmMeanTimes(s, ev, "user_id", "ts", "value",
           halflifeSeconds = 3600.0)
         .withColumn("ewm_tmean", round(col("ewm_tmean"), 5))
+    },
+
+    // ---- bucketed+sorted layout twins (graft.sources.BucketedLayout):
+    // identical semantics/oracles to their plain twins; the difference
+    // is STORAGE — events written bucketBy(user_id).sortBy(user_id,ts)
+    // once, so the window consumes the on-disk run with NO Exchange
+    // and NO Sort (pinned in PlanHygieneSpec). This is the fix for the
+    // last superlinear sf100 spot: 100M-row per-key window sorts
+    // spilling through one disk (SCALE.md r8) — the sort moves to
+    // write time and is paid once for the whole window family.
+    "win_bkt_rolling_sum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts").rowsBetween(-4, 0)
+      graft.sources.BucketedLayout.eventsByUser(s, d)
+        .select($"user_id", $"event_id",
+          when(count($"value").over(w) >= 5,
+            sum(dec($"value")).over(w).cast("double")).as("roll_sum"),
+          when(count($"value").over(w) >= 5,
+            sum(dec($"value")).over(w).cast("double") / count($"value").over(w)).as("roll_mean"))
+    },
+
+    // ewm over the same layout: no window-function form exists (linear
+    // recursion), so the zero-shuffle path is a sorted-run
+    // mapPartitions — one streaming pass per bucket, O(1) state,
+    // layout-order asserted per row (Ewm.ewmMeanSortedRuns)
+    "win_bkt_ewm_mean" -> { (s, d) =>
+      val ev = graft.sources.BucketedLayout.eventsByUser(s, d)
+      Ewm.ewmMeanSortedRuns(s, ev, "user_id", "ts", "value", alpha = 0.1)
+        .withColumn("ewm_adj", round(col("ewm_adj"), 6))
+        .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+        .withColumn("ewm_var", round(col("ewm_var"), 6))
+    },
+
+    // rank windows partition by event_type and order by value, so they
+    // get their own layout: bucketBy(event_type).sortBy(event_type,
+    // value). The tie count is expressed as a range-frame peer count
+    // rather than a PARTITION BY (event_type, value) window: a double
+    // partition key gets normalizenanandzero-wrapped, which no on-disk
+    // sort order can match — the identity rank_avg = (rank + count_le)
+    // / 2 (count_le = peers-inclusive running count = rank + ties − 1)
+    // gives bit-identical values from windows the layout satisfies:
+    // zero Exchange, zero Sort (pinned in PlanHygieneSpec)
+    "win_bkt_rank" -> { (s, d) =>
+      import s.implicits._
+      val ord = Window.partitionBy($"event_type").orderBy($"value")
+      val le = Window.partitionBy($"event_type").orderBy($"value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val grp = Window.partitionBy($"event_type")
+      graft.sources.BucketedLayout.eventsByType(s, d)
+        .select($"event_type", $"event_id", $"value",
+          ((rank().over(ord) + count(lit(1)).over(le)) / lit(2.0)).as("rank_avg"),
+          (((rank().over(ord) + count(lit(1)).over(le)) / lit(2.0)) /
+            count(lit(1)).over(grp)).as("rank_pct"))
     }
   )
 
@@ -464,7 +517,17 @@ object WindowQueries extends QueryModule {
   private val aHl = Ewm.alphaFromHalflife(2.0).toString
   private val dHl = (1 - Ewm.alphaFromHalflife(2.0)).toString
 
-  def oracle: Map[String, String] = Map(
+  // the bucketed-layout twins are layout changes only: same rows, same
+  // oracle SQL as their plain counterparts
+  def oracle: Map[String, String] = {
+    val m = baseOracle
+    m ++ Map(
+      "win_bkt_rolling_sum" -> m("win_rolling_sum"),
+      "win_bkt_ewm_mean" -> m("win_ewm_mean"),
+      "win_bkt_rank" -> m("win_rank_average"))
+  }
+
+  private def baseOracle: Map[String, String] = Map(
     "win_rolling_sum" ->
       """SELECT user_id, event_id,
          CASE WHEN COUNT("value") OVER w >= 5

@@ -1,0 +1,83 @@
+package graft.sources
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Write-once bucketed+sorted table layouts for the window family.
+  *
+  * The sf100 differential showed the per-key window sorts as the last
+  * superlinear spot on one disk: 100M-row partitioned sorts spilling
+  * through 32 concurrent tasks (win_rolling_sum 188 s, win_rank_average
+  * 155 s, win_ewm_mean 141 s — SCALE.md round 8). The plans were
+  * already correct (partitioned windows, one Exchange + Sort); the
+  * remaining lever is LAYOUT: pay the shuffle+sort once at write time
+  * — `bucketBy(n, key).sortBy(key, order...)` — and every subsequent
+  * window over the same (key, order) reads the on-disk run with NO
+  * Exchange and NO Sort. This is the windowed twin of
+  * `src_bucketed_join`'s co-located join (reference has no storage
+  * layout concept — Spark-native capability, SURVEY §4).
+  *
+  * One file per bucket is load-bearing: the scan reports its sort
+  * order (and thus lets the planner drop the Sort) only when each
+  * bucket is a single file, so the frame is repartitioned to the
+  * bucket count on the bucket column — the same hash the bucket id
+  * uses — before the write.
+  *
+  * Writes are once per (table, dataset dir) per JVM and synchronized:
+  * Verify runs query builders on parallel threads, and the first
+  * toucher of a layout must finish writing before the others read.
+  */
+object BucketedLayout {
+
+  private val written = scala.collection.mutable.Set[String]()
+
+  private def layout(s: SparkSession, d: String, name: String,
+                     buckets: Int, bucketCol: String, sortCols: Seq[String])
+                    (build: => DataFrame): DataFrame = synchronized {
+    // keep bucket-per-partition reads even when no operator above
+    // declares a required distribution: the sorted-run EWM is a
+    // mapPartitions (no distribution requirement), and the
+    // auto-bucketed-scan rule would otherwise fall back to file-split
+    // reading, which packs multiple buckets into one partition and
+    // breaks the run layout the pass depends on
+    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    // report the on-disk sort order from the scan (off by default
+    // since Spark 3.1 because it is only sound with one file per
+    // bucket — exactly what the repartition-to-bucket-count write
+    // below guarantees); without it every window above the layout
+    // still plans the Sort the layout exists to eliminate
+    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    val suf = Integer.toHexString(d.hashCode)
+    val tbl = s"${name}_$suf"
+    if (!written.contains(tbl)) {
+      build.repartition(buckets, col(bucketCol))
+        .write.mode("overwrite")
+        .option("path", s"/tmp/graft_src/$suf/layout_$name")
+        .bucketBy(buckets, bucketCol)
+        .sortBy(sortCols.head, sortCols.tail: _*)
+        .saveAsTable(tbl)
+      written += tbl
+    }
+    s.table(tbl)
+  }
+
+  /** events bucketed by user_id, sorted (user_id, ts): serves every
+    * per-user ordered-by-time window (rolling, expanding, ewm). */
+  def eventsByUser(s: SparkSession, d: String): DataFrame =
+    layout(s, d, "events_by_user", 32, "user_id", Seq("user_id", "ts")) {
+      Tables(s, d, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+    }
+
+  /** events bucketed by event_type, sorted (event_type, value): serves
+    * the per-type value-ranking windows. event_type cardinality is
+    * small, so fewer buckets — the win is dropping the 100M-row sort,
+    * not fan-out. */
+  def eventsByType(s: SparkSession, d: String): DataFrame =
+    layout(s, d, "events_by_type", 8, "event_type",
+      Seq("event_type", "value")) {
+      Tables(s, d, "events")
+        .select(col("event_type"), col("event_id"), col("value"))
+    }
+}

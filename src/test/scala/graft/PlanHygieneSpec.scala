@@ -150,6 +150,33 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("bucketed-layout windows plan no Exchange and no Sort") {
+    // VERDICT r8 next-#2: the window family's sf100 cost was the
+    // per-key sort spilling; over the bucketed+sorted events layout
+    // the window must consume the on-disk run — the plan may contain
+    // neither an Exchange nor a Sort (the write paid both, once)
+    for (q <- Seq("win_bkt_rolling_sum", "win_bkt_rank")) {
+      val p = executed(q)
+      assert(p.contains("Window"), s"$q must still be a window plan")
+      assert(!p.contains("Exchange"),
+        s"$q must read the bucket layout co-located, not shuffle:\n$p")
+      assert(!p.contains("Sort"),
+        s"$q must consume the on-disk sort order, not re-sort:\n$p")
+    }
+  }
+
+  test("sorted-run ewm is one zero-shuffle streaming pass over the layout") {
+    // ewm has no window-function form (linear recursion); over the
+    // layout it must be a bare mapPartitions on the bucketed scan —
+    // no Exchange (groupByKey would add one), no Sort
+    val p = executed("win_bkt_ewm_mean")
+    assert(p.contains("MapPartitions"), s"expected the sorted-run pass:\n$p")
+    assert(!p.contains("Exchange"),
+      s"sorted-run ewm must not shuffle — the layout already clusters:\n$p")
+    assert(!p.contains("Sort"),
+      s"sorted-run ewm must not re-sort the on-disk run:\n$p")
+  }
+
   test("substring-span dedup joins on the span key — never pairwise, windows per doc") {
     val p = executed("dedup_substring_spans")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
