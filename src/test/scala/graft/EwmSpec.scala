@@ -87,4 +87,46 @@ class EwmSpec extends SparkSpec {
     }
     assert(ex.getMessage != null)
   }
+
+  test("sorted-run ewm matches the shuffle path on layout-ordered data") {
+    import spark.implicits._
+    // two keys as contiguous ascending runs in ONE partition — the
+    // shape a bucketed+sorted read delivers
+    val rows = Seq(
+      (1L, 1000L, 1.0), (1L, 2000L, 2.0), (1L, 3000L, 3.0),
+      (2L, 1500L, 5.0), (2L, 2500L, 7.0))
+    val df = rows.toDF("k", "tsm", "x").coalesce(1)
+      .withColumn("ts", timestamp_micros($"tsm")).drop("tsm")
+    def collectOut(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"k", $"ts")
+        .select($"k", $"ewm_adj", $"ewm_noadj", $"ewm_var")
+        .collect().map(_.toSeq).toSeq
+    val run = collectOut(Ewm.ewmMeanSortedRuns(spark, df, "k", "ts", "x", alpha = 0.3))
+    val shf = collectOut(Ewm.ewmMean(spark, df, "k", "ts", "x", alpha = 0.3))
+    assert(run === shf, "sorted-run and shuffle paths must agree bit-for-bit")
+  }
+
+  test("sorted-run ewm fails loudly when the input is not layout-sorted") {
+    import spark.implicits._
+    // key regression within one partition: 1, 2, then 1 again
+    val bad = Seq((1L, 1000L, 1.0), (2L, 1500L, 5.0), (1L, 2000L, 2.0))
+      .toDF("k", "tsm", "x").coalesce(1)
+      .withColumn("ts", timestamp_micros($"tsm")).drop("tsm")
+    val ex = intercept[Exception] {
+      Ewm.ewmMeanSortedRuns(spark, bad, "k", "ts", "x", alpha = 0.3).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("key regression")),
+      s"expected the layout guard to fire, got: $ex")
+    // order regression within a key must also fail
+    val bad2 = Seq((1L, 2000L, 1.0), (1L, 1000L, 2.0))
+      .toDF("k", "tsm", "x").coalesce(1)
+      .withColumn("ts", timestamp_micros($"tsm")).drop("tsm")
+    val ex2 = intercept[Exception] {
+      Ewm.ewmMeanSortedRuns(spark, bad2, "k", "ts", "x", alpha = 0.3).collect()
+    }
+    assert(msgs(ex2).exists(_.contains("order regression")),
+      s"expected the order guard to fire, got: $ex2")
+  }
 }
