@@ -37,6 +37,15 @@ object Bench {
     "agg_apply_topn",      // per-group top-n via flatMapGroups
     "win_rolling_sum",     // per-user rolling window
     "win_ewm_mean",        // recursive EWM via flatMapGroups
+    // bucketed+sorted layout twins of the window family: same
+    // semantics, zero Exchange / zero Sort over the on-disk run
+    // (sources/BucketedLayout). Rep 1 pays the one-time layout write;
+    // min-of-reps reports the steady-state read path, which is what a
+    // layout is for. The 19-query total comparable with pre-r9 records
+    // = this total minus the three win_bkt_* entries (bench/README.md).
+    "win_bkt_rolling_sum",
+    "win_bkt_ewm_mean",
+    "win_bkt_rank",
     "rs_pivot",            // groupBy().pivot()
     "set_dropdup_first",   // dedup keep=first window
     "ts_resample_day",     // time bucketing
