@@ -284,12 +284,17 @@ object AggQueries extends QueryModule {
     // no exact-sort/Expand cost. Sketch VALUES are engine-specific,
     // so the dump carries the documented error contracts as booleans
     // instead: HLL++ within rsd 0.05 of the exact distinct count, and
-    // approx_percentile inside the exact RANK bracket (±2/accuracy)
-    // the sketch promises. The oracle emits literal TRUE for each, so
-    // the driver's hash gate machine-checks |approx − exact| ≤ bound
-    // (VERDICT r7 next-#6); exact_cd is compared value-for-value.
-    // The exact half exists only to close the verification loop — the
-    // production 100 TB path is the sketch subtree alone, and
+    // each approx_percentile value holding a RANK within ±2/accuracy
+    // of its target (documented bound ±1/accuracy plus one rank step).
+    // The oracle emits literal TRUE for each, so the driver's hash
+    // gate machine-checks |approx − exact| ≤ bound (VERDICT r7
+    // next-#6); exact_cd is compared value-for-value. The rank check
+    // is ONE conditional-count scan: the value's rank interval
+    // [below+1, upto] must intersect [(p−ε)n, (p+ε)n] — no exact
+    // percentile selection at all (the r8 exact-bracket verification
+    // spent 372 s at sf100 re-deriving brackets the rank counts give
+    // directly). The verification half exists only to close the loop —
+    // the production 100 TB path is the sketch subtree alone, and
     // ApproxSpec pins that it partial-aggregates map-side.
     "agg_approx_stats" -> { (s, d) =>
       import s.implicits._
@@ -301,27 +306,53 @@ object AggQueries extends QueryModule {
         .select($"acd",
           element_at($"pcts", 1).as("p50a"),
           element_at($"pcts", 2).as("p90a"))
-      // rank-error bracket: accuracy=1000 guarantees a returned value
-      // whose RANK is within 1/1000 of the target; the bracket uses
-      // 2/1000 — documented bound plus one rank step, since exact
-      // `percentile` interpolates while the sketch returns a sample.
-      // The bracket values come from DistributedPercentile (two-pass
-      // bracket selection) — Spark's exact `percentile` merges a
-      // value→count map of EVERY distinct value on one reducer, which
-      // cost 517 s of the sf100 differential for this query alone
-      val Seq(p50lo, p50hi, p90lo, p90hi) =
-        graft.operators.DistributedPercentile.exact(
-          li.toDF(), "l_extendedprice", Seq(0.498, 0.502, 0.898, 0.902))
+      // grouping on the broadcast scalar columns carries the sketch
+      // values through the rank scan without a second sketch pass;
+      // the single group partial-aggregates map-side like any agg
+      val ranks = li.crossJoin(broadcast(sketch))
+        .groupBy($"acd", $"p50a", $"p90a")
+        .agg(
+          count($"l_extendedprice").cast("double").as("n"),
+          sum(when($"l_extendedprice" < $"p50a", 1L).otherwise(0L))
+            .cast("double").as("p50_below"),
+          sum(when($"l_extendedprice" <= $"p50a", 1L).otherwise(0L))
+            .cast("double").as("p50_upto"),
+          sum(when($"l_extendedprice" < $"p90a", 1L).otherwise(0L))
+            .cast("double").as("p90_below"),
+          sum(when($"l_extendedprice" <= $"p90a", 1L).otherwise(0L))
+            .cast("double").as("p90_upto"))
+      val eps = 2.0 / 1000
+      def rankOk(p: Double, below: Column, upto: Column): Column =
+        (below + 1 <= (lit(p) + eps) * $"n") && (upto >= (lit(p) - eps) * $"n")
       val exact = li.agg(countDistinct($"l_partkey").as("exact_cd"))
-        .select($"exact_cd",
-          lit(p50lo).as("p50lo"), lit(p50hi).as("p50hi"),
-          lit(p90lo).as("p90lo"), lit(p90hi).as("p90hi"))
-      sketch.crossJoin(exact).select(
+      ranks.crossJoin(exact).select(
         $"exact_cd",
         (abs($"acd" - $"exact_cd").cast("double") / $"exact_cd" <= 0.05)
           .as("acd_ok"),
-        ($"p50a" >= $"p50lo" && $"p50a" <= $"p50hi").as("p50_ok"),
-        ($"p90a" >= $"p90lo" && $"p90a" <= $"p90hi").as("p90_ok"))
+        rankOk(0.5, $"p50_below", $"p50_upto").as("p50_ok"),
+        rankOk(0.9, $"p90_below", $"p90_upto").as("p90_ok"))
+    },
+
+    // exact GLOBAL quantiles at scale (reference: quantile with
+    // interpolation='linear', core/series.py quantile → nanops):
+    // Spark's exact `percentile` aggregate merges a value→count map of
+    // EVERY distinct value on one reducer — that single merge cost
+    // 517 s of the sf100 differential (SCALE.md r8). The scale-safe
+    // exact path is operators/DistributedPercentile: sketch-bracket →
+    // rank offsets → windowed histogram, every pass map-side
+    // partial-aggregated, driver state bounded by the bracket width.
+    // The oracle compares the VALUES against DuckDB's exact
+    // quantile_cont — proving exactness, not just plausibility.
+    "agg_quantile_global" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables(s, d, "lineitem")
+      val qs = graft.operators.DistributedPercentile.exact(
+        li.toDF(), "l_extendedprice", Seq(0.25, 0.5, 0.75, 0.9))
+      s.range(1).select(
+        round(lit(qs(0)), 6).as("q25"),
+        round(lit(qs(1)), 6).as("q50"),
+        round(lit(qs(2)), 6).as("q75"),
+        round(lit(qs(3)), 6).as("q90"))
     },
 
     // df.mode() frame-wide (frame.py mode: per-column most-frequent
@@ -949,6 +980,16 @@ object AggQueries extends QueryModule {
     "agg_approx_stats" ->
       """SELECT COUNT(DISTINCT l_partkey) AS exact_cd,
            TRUE AS acd_ok, TRUE AS p50_ok, TRUE AS p90_ok
+         FROM lineitem""",
+
+    // quantile_cont = linear interpolation at pos = p*(n-1), the same
+    // definition DistributedPercentile interpolates — value-for-value
+    "agg_quantile_global" ->
+      """SELECT
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.25), 6) AS q25,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 6) AS q50,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.75), 6) AS q75,
+           ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.9), 6) AS q90
          FROM lineitem""",
 
     "agg_mode_frame" ->
