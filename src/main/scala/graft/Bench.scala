@@ -96,6 +96,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // shuffle files are only deleted when a GC collects their
+      // ShuffleDependency; a 100g heap under scaled runs may not GC
+      // for the whole bench, so spills accumulate unboundedly — the
+      // round-8 sf100 disk-full event (43 GB of blockmgr files in
+      // 10 min at p256) was exactly this. The driver-side periodic GC
+      // is the ContextCleaner's own knob (default 30 min — far too
+      // lazy for one shared disk); rep() also triggers an untimed
+      // explicit GC after each sample so each rep's shuffle files are
+      // reclaimed before the next begins
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -133,7 +143,11 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           false
         }
-      ((System.nanoTime() - t0) / 1e9, ok, la)
+      val dt = (System.nanoTime() - t0) / 1e9
+      // untimed: release this rep's shuffle deps so the ContextCleaner
+      // can delete their files (see the periodicGC comment above)
+      System.gc()
+      (dt, ok, la)
     }
     def spreadOf(v: Seq[(Double, Boolean, Double)]): Option[Double] = {
       val ok = v.collect { case (t, true, _) => t }

@@ -28,6 +28,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // reclaim finished queries' shuffle files promptly: with a big
+      // heap the default 30-min ContextCleaner GC lets scaled-run
+      // spills pile up on the one shared disk (see Bench.scala)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
