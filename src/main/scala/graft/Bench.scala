@@ -37,12 +37,14 @@ object Bench {
     "agg_apply_topn",      // per-group top-n via flatMapGroups
     "win_rolling_sum",     // per-user rolling window
     "win_ewm_mean",        // recursive EWM via flatMapGroups
+    "win_rank_average",    // per-type value ranking (win_bkt_rank's twin)
     // bucketed+sorted layout twins of the window family: same
     // semantics, zero Exchange / zero Sort over the on-disk run
     // (sources/BucketedLayout). Rep 1 pays the one-time layout write;
     // min-of-reps reports the steady-state read path, which is what a
     // layout is for. The 19-query total comparable with pre-r9 records
-    // = this total minus the three win_bkt_* entries (bench/README.md).
+    // = this total minus the four win_rank_average/win_bkt_* entries
+    // (bench/README.md).
     "win_bkt_rolling_sum",
     "win_bkt_ewm_mean",
     "win_bkt_rank",
