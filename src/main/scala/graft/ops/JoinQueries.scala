@@ -222,12 +222,22 @@ object JoinQueries extends QueryModule {
     },
 
     // explicit salting of the same degenerate join: the hot fact side
-    // carries a uniform salt, the dim replicates x16, so no reducer
+    // carries a uniform salt, the dim replicates xS, so no reducer
     // sees the whole hot key even without AQE. Deterministic fallback
-    // when skew is known ahead of time.
+    // when skew is known ahead of time. The salt count must scale
+    // with the SHUFFLE PARALLELISM, not stay a constant: S spreads
+    // the hot key over exactly S reducers regardless of the partition
+    // setting, so a fixed x16 leaves 240 of 256 data-sized partitions
+    // nearly empty while 16 straggler tasks sort ~34M rows each —
+    // measured at sf100: S=16 cost 141 s at p256 vs 67 s at p32
+    // (SCALE.md round 9). S = partitions/4 (floor 16) keeps the
+    // per-reducer hot slice shrinking as parallelism grows; the value
+    // is a scalar in two literals, so the expression tree stays
+    // partition-count-independent (PlanScalingSpec).
     "join_skew_salted" -> { (s, d) =>
       import s.implicits._
-      val salts = 16
+      val salts = math.max(16,
+        s.conf.get("spark.sql.shuffle.partitions").toInt / 4)
       val dim = s.range(1001)
         .select($"id".as("k"), concat(lit("g"), $"id" % 7).as("grp"))
         .withColumn("salt", explode(sequence(lit(0), lit(salts - 1))))
