@@ -38,12 +38,13 @@ object Bench {
     "win_rolling_sum",     // per-user rolling window
     "win_ewm_mean",        // recursive EWM via flatMapGroups
     "win_rank_average",    // per-type value ranking (win_bkt_rank's twin)
+    "win_rank_hist",       // same ranks via histogram restructuring
     // bucketed+sorted layout twins of the window family: same
     // semantics, zero Exchange / zero Sort over the on-disk run
     // (sources/BucketedLayout). Rep 1 pays the one-time layout write;
     // min-of-reps reports the steady-state read path, which is what a
     // layout is for. The 19-query total comparable with pre-r9 records
-    // = this total minus the four win_rank_average/win_bkt_* entries
+    // = this total minus the five win_rank_*/win_bkt_* entries
     // (bench/README.md).
     "win_bkt_rolling_sum",
     "win_bkt_ewm_mean",

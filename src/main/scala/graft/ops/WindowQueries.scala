@@ -508,6 +508,39 @@ object WindowQueries extends QueryModule {
           ((rank().over(ord) + count(lit(1)).over(le)) / lit(2.0)).as("rank_avg"),
           (((rank().over(ord) + count(lit(1)).over(le)) / lit(2.0)) /
             count(lit(1)).over(grp)).as("rank_pct"))
+    },
+
+    // rank(method='average') RESTRUCTURED for low-cardinality partition
+    // keys: a window partitioned by an 8-value key runs one task per
+    // key at ANY parallelism — 12.5M rows per task at sf100, and no
+    // storage layout raises that ceiling (SCALE.md round 9). Ranks
+    // depend on a row only through its (key, value) pair, so the
+    // corpus first collapses to a histogram (map-side partial-agg
+    // groupBy — the only full-data shuffle, and it moves one row per
+    // DISTINCT pair), the rank arithmetic runs over the histogram
+    // (49k rows at sf100 vs 100M — the window cost vanishes), and the
+    // per-pair ranks join back broadcast (drop the hint for
+    // near-unique value domains and the join degrades gracefully to a
+    // shuffle join on the pair — still no data-sized window). All
+    // integer-exact until the final halving/division so the values are
+    // bit-identical to the window form: rank_min = cum − cnt + 1,
+    // rank_avg = rank_min + (cnt−1)/2, rank_pct = rank_avg / total.
+    "win_rank_hist" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"event_type", $"event_id", $"value")
+      val hist = ev.groupBy($"event_type", $"value")
+        .agg(count(lit(1)).as("cnt"))
+      val ord = Window.partitionBy($"event_type").orderBy($"value")
+      val grp = Window.partitionBy($"event_type")
+      val ranked = hist.select($"event_type", $"value",
+        (sum($"cnt").over(ord) - $"cnt" + 1 + ($"cnt" - 1) / lit(2.0))
+          .as("rank_avg"),
+        ((sum($"cnt").over(ord) - $"cnt" + 1 + ($"cnt" - 1) / lit(2.0)) /
+          sum($"cnt").over(grp)).as("rank_pct"))
+      ev.join(broadcast(ranked), Seq("event_type", "value"))
+        .select($"event_type", $"event_id", $"value",
+          $"rank_avg", $"rank_pct")
     }
   )
 
@@ -524,7 +557,10 @@ object WindowQueries extends QueryModule {
     m ++ Map(
       "win_bkt_rolling_sum" -> m("win_rolling_sum"),
       "win_bkt_ewm_mean" -> m("win_ewm_mean"),
-      "win_bkt_rank" -> m("win_rank_average"))
+      "win_bkt_rank" -> m("win_rank_average"),
+      // the histogram restructuring is computation-only: same rows,
+      // bit-identical values, same oracle as the window form
+      "win_rank_hist" -> m("win_rank_average"))
   }
 
   private def baseOracle: Map[String, String] = Map(

@@ -306,6 +306,29 @@ class PlanHygieneSpec extends SparkSpec {
       "digest aggregate should map-side combine before the shuffle")
   }
 
+  test("histogram rank windows over the aggregate, never the corpus") {
+    // win_rank_hist exists because a window partitioned by an 8-value
+    // key runs one task per key at any parallelism; the restructuring
+    // is only real if the Window consumes the (key, value) HISTOGRAM
+    // (an Aggregate below it) and the corpus side reaches the join
+    // un-windowed and un-sorted
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = SparkEntry.queries("win_rank_hist")(spark, sf())
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "expected the rank window")
+    windows.foreach { w =>
+      assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+        "every Window must sit above the histogram Aggregate — a " +
+          "window over the raw corpus defeats the restructuring")
+    }
+    val p = executed("win_rank_hist")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-pair ranks must broadcast back to the corpus")
+    assert("partial_count".r.findAllIn(p).nonEmpty,
+      "the histogram groupBy must map-side combine")
+  }
+
   test("z-order read-back pushes the 2-d box predicate into the parquet scan") {
     // correctness comes from the oracle; this pins that the box
     // filters actually reach the scan (PushedFilters), which is what
