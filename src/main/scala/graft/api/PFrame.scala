@@ -347,6 +347,29 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
 
   def count(): Long = df.count()
 
+  /** df.quantile(q, interpolation='linear') (frame.py quantile ->
+    * nanops nanpercentile): exact linear-interpolated quantiles, one
+    * row per q, one column per requested (numeric) column, pandas
+    * orientation. Routed through operators/DistributedPercentile so
+    * the exact path survives scale — Spark's own `percentile`
+    * aggregate merges a value→count map of every distinct value on
+    * one reducer (517 s at 600M rows, SCALE.md r8); the distributed
+    * selection answers the same values in map-side partial-aggregated
+    * passes (27.8 s, oracle-equal to DuckDB's quantile_cont). */
+  def quantile(cols: Seq[String], qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val perCol = cols.map(c =>
+      c -> graft.operators.DistributedPercentile.exact(df, c, qs)).toMap
+    val rows = qs.zipWithIndex.map { case (q, i) =>
+      Row.fromSeq(q +: cols.map(c => perCol(c)(i)))
+    }
+    val schema = StructType(StructField("q", DoubleType, nullable = false) +:
+      cols.map(StructField(_, DoubleType, nullable = true)))
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** df.T (frame.py:3994). Transpose is inherently driver-sized on a
     * distributed engine — the result has one COLUMN per input row —
     * so this guards on row count and then runs melt + pivot: values

@@ -104,7 +104,12 @@ object DistributedPercentile {
           res
         }
         val lo1 = orderStat(k)
-        Some(if (frac == 0) lo1 else lo1 + frac * (orderStat(k + 1) - lo1))
+        // convex combination, NOT lo + f*(hi−lo): Spark's Percentile
+        // aggregate interpolates (1−f)·lo + f·hi and the two forms
+        // differ by an ulp — this operator must be bit-equal to the
+        // aggregate it replaces (PFrame.quantile pins that)
+        Some(if (frac == 0) lo1
+             else lo1 * (1.0 - frac) + orderStat(k + 1) * frac)
       }
     }
     if (out.exists(_.isEmpty)) None else Some(out.map(_.get))

@@ -327,4 +327,22 @@ class PFrameSpec extends SparkSpec {
     assert(out.take(2).forall(_.isEmpty))
     assert(math.abs(out.last.get - 1.0) < 1e-9) // y = 2x exactly
   }
+
+  test("quantile matches Spark's exact percentile, pandas orientation") {
+    val li = Tables(spark, sf(), "lineitem")
+    val qs = Seq(0.25, 0.5, 0.9)
+    val out = PFrame(li).quantile(Seq("l_quantity", "l_extendedprice"), qs)
+      .orderBy("q").collect()
+    val want = li.selectExpr(
+      s"percentile(cast(l_quantity as double), array(${qs.mkString(",")})) as a",
+      s"percentile(cast(l_extendedprice as double), array(${qs.mkString(",")})) as b")
+      .head()
+    val (wa, wb) = (want.getSeq[Double](0), want.getSeq[Double](1))
+    assert(out.map(_.getDouble(0)).toSeq == qs)
+    qs.indices.foreach { i =>
+      assert(out(i).getDouble(1) == wa(i) && out(i).getDouble(2) == wb(i),
+        s"q=${qs(i)}: got (${out(i).getDouble(1)}, ${out(i).getDouble(2)}) " +
+          s"want (${wa(i)}, ${wb(i)})")
+    }
+  }
 }
