@@ -110,16 +110,26 @@ object AggQueries extends QueryModule {
     // (group_skew groupby.pyx:1069, group_kurt :1139)
     "agg_skew_kurt" -> { (s, d) =>
       import s.implicits._
-      // DECIMAL(7,2) keeps the 4th power inside DuckDB's exact range
-      val q = $"l_quantity".cast("decimal(7,2)")
+      // powers in LONG, sums in DECIMAL: 100·q is an exact integer for
+      // the ≤2-decimal quantity domain, so each power is an exact long
+      // (long-safe up to q = 215.44; TPC-H quantity is 1..50, and a
+      // violation would wrap and hash-mismatch the oracle loudly at
+      // every sf). The previous form multiplied DECIMALs per row —
+      // three BigDecimal multiplies per row made this the costliest
+      // non-deliberate sf100 differential entry (182 s). The oracle
+      // mirrors the same integer sums (BIGINT → HUGEINT in DuckDB),
+      // cast to double and descaled by the same power-of-ten literals,
+      // so s1..s4 stay bit-identical cross-engine.
+      val q100 = ($"l_quantity".cast(DecimalType(7, 2)) * 100).cast("long")
+      def sdec(c: Column) = sum(c.cast(DecimalType(38, 0))).cast("double")
       val m = Tables(s, d, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
           count($"l_quantity").cast("double").as("n"),
-          dsum($"l_quantity").as("s1"),
-          dsum8(q * q).as("s2"),
-          dsum8(q * q * q).as("s3"),
-          dsum8(q * q * q * q).as("s4"))
+          (sdec(q100) / 1e2).as("s1"),
+          (sdec(q100 * q100) / 1e4).as("s2"),
+          (sdec(q100 * q100 * q100) / 1e6).as("s3"),
+          (sdec(q100 * q100 * q100 * q100) / 1e8).as("s4"))
       val mean = $"s1" / $"n"
       val m2 = $"s2" / $"n" - mean * mean
       val m3 = $"s3" / $"n" - lit(3) * mean * ($"s2" / $"n") + lit(2) * mean * mean * mean
@@ -869,14 +879,18 @@ object AggQueries extends QueryModule {
          FROM m""",
 
     "agg_skew_kurt" ->
-      """WITH m AS (
+      """WITH q AS (
+           SELECT l_returnflag, l_quantity,
+             CAST(CAST(l_quantity AS DECIMAL(7,2)) * 100 AS BIGINT) AS q100
+           FROM lineitem),
+         m AS (
            SELECT l_returnflag,
              CAST(COUNT(l_quantity) AS DOUBLE) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s1,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s2,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s3,
-             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) * CAST(l_quantity AS DECIMAL(7,2)) AS DECIMAL(38,8))) AS DOUBLE) AS s4
-           FROM lineitem GROUP BY l_returnflag),
+             CAST(SUM(q100) AS DOUBLE) / 1e2 AS s1,
+             CAST(SUM(q100 * q100) AS DOUBLE) / 1e4 AS s2,
+             CAST(SUM(q100 * q100 * q100) AS DOUBLE) / 1e6 AS s3,
+             CAST(SUM(q100 * q100 * q100 * q100) AS DOUBLE) / 1e8 AS s4
+           FROM q GROUP BY l_returnflag),
          f AS (
            SELECT l_returnflag, n,
              s1 / n AS mean,
