@@ -79,8 +79,8 @@ object Bench {
       } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = EngineConf.configure(SparkSession.builder()
+      .master(s"local[$cpus]"))
       // shuffle parallelism must scale with DATA, not cores: at sf100
       // (600M lineitem) 32 partitions means ~19M rows each and the
       // sort/join spill path dominates (join_inner 94 s -> 45 s,

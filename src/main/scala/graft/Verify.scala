@@ -19,8 +19,8 @@ object Verify {
       }
       else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = EngineConf.configure(SparkSession.builder()
+      .master(s"local[$cpus]"))
       // scaled differentials size shuffle parallelism with the DATA
       // (e.g. 256 at sf100), same knob as Bench — SCALE.md round-7
       .config("spark.sql.shuffle.partitions",

@@ -590,30 +590,38 @@ final case class PGroupBy(df: DataFrame, keys: Seq[String]) {
     * (a RANGE frame); na_option places NULLs first/last in the order
     * instead of giving them NULL ranks. */
   def rank(colName: String, method: String = "min", pct: Boolean = false,
-      naOption: String = "keep", as: String = "rank"): PFrame = {
-    val orderCol = naOption match {
-      case "keep" | "bottom" => col(colName).asc_nulls_last
-      case "top"             => col(colName).asc_nulls_first
-      case other => throw new IllegalArgumentException(s"na_option: $other")
-    }
-    val ord = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
-    val grp = Window.partitionBy(keys.map(col): _*)
-    val r: Column = method match {
-      case "min"   => F.rank().over(ord)
-      case "dense" => F.dense_rank().over(ord)
-      case "first" => F.row_number().over(ord)
-      case "average" =>
-        F.rank().over(ord) +
-          (F.count(lit(1)).over(Window.partitionBy((keys :+ colName).map(col): _*)) - 1) / lit(2.0)
-      case "max" =>
-        F.count(col(colName)).over(
-          Window.partitionBy(keys.map(col): _*).orderBy(col(colName))
-            .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-      case other => throw new IllegalArgumentException(s"rank method: $other")
-    }
-    val gated = if (naOption == "keep") when(col(colName).isNotNull, r) else r
-    val out = if (pct) gated.cast("double") / F.count(lit(1)).over(grp) else gated
-    PFrame(df.withColumn(as, out))
+      naOption: String = "keep", as: String = "rank"): PFrame = method match {
+    case "first" =>
+      // row-dependent (ties broken by position) — pair-histogram
+      // restructuring does not apply; always the window plan
+      val orderCol = naOption match {
+        case "keep" | "bottom" => col(colName).asc_nulls_last
+        case "top"             => col(colName).asc_nulls_first
+        case other => throw new IllegalArgumentException(s"na_option: $other")
+      }
+      val ord = Window.partitionBy(keys.map(col): _*).orderBy(orderCol)
+      val grp = Window.partitionBy(keys.map(col): _*)
+      val r = F.row_number().over(ord)
+      val gated = if (naOption == "keep") when(col(colName).isNotNull, r) else r
+      val denom = if (naOption == "keep") F.count(col(colName)).over(grp)
+                  else F.count(lit(1)).over(grp)
+      val out = if (pct) gated.cast("double") / denom else gated
+      PFrame(df.withColumn(as, out))
+    case m =>
+      // pair-determined methods (min/max/dense/average) go through the
+      // adaptive operator: a sketch probe picks the pair-histogram
+      // restructuring when distinct (key, value) pairs ≪ rows, the
+      // partitioned window otherwise — same values either way
+      // (operators/AdaptiveRank.scala)
+      if (!pct)
+        PFrame(graft.operators.AdaptiveRank.rank(
+          df, keys, colName, method = m, asRank = as, naOption = naOption))
+      else {
+        val tmp = s"__${as}_rank"
+        PFrame(graft.operators.AdaptiveRank.rank(
+          df, keys, colName, method = m, asRank = tmp, asPct = as,
+          naOption = naOption).drop(tmp))
+      }
   }
 }
 

@@ -107,9 +107,14 @@ object DistributedPercentile {
         // convex combination, NOT lo + f*(hi−lo): Spark's Percentile
         // aggregate interpolates (1−f)·lo + f·hi and the two forms
         // differ by an ulp — this operator must be bit-equal to the
-        // aggregate it replaces (PFrame.quantile pins that)
-        Some(if (frac == 0) lo1
-             else lo1 * (1.0 - frac) + orderStat(k + 1) * frac)
+        // aggregate it replaces (PFrame.quantile pins that). Spark
+        // additionally short-circuits equal bracketing order stats
+        // (lowerKey == higherKey returns lowerKey verbatim); inside a
+        // tie run (1−f)·lo + f·lo can differ from lo by 1 ulp, so the
+        // same short-circuit is required for bit equality.
+        val hi1 = if (frac == 0) lo1 else orderStat(k + 1)
+        Some(if (frac == 0 || hi1 == lo1) lo1
+             else lo1 * (1.0 - frac) + hi1 * frac)
       }
     }
     if (out.exists(_.isEmpty)) None else Some(out.map(_.get))

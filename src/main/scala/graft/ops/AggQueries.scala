@@ -77,6 +77,34 @@ object AggQueries extends QueryModule {
       base.join(nuPart, Seq("l_returnflag")).join(nuSp, Seq("l_returnflag"))
     },
 
+    // the LAYOUT twin of agg_minmax_nunique: over lineitem bucketed by
+    // l_partkey (BucketedLayout.lineitemByPart), every grouping set
+    // here CONTAINS l_partkey, so HashPartitioning(l_partkey) already
+    // satisfies the dedup aggregates' clustered distribution — a
+    // (flag, supp, part) triple cannot span buckets. Both exact
+    // distincts therefore dedup bucket-locally with NO data-sized
+    // Exchange (pinned in PlanHygieneSpec); the only shuffles left are
+    // the O(3 × partitions)-row count partials. This is the scale
+    // answer to exact nunique: the full-column shuffle the unbucketed
+    // form pays (78 s at sf100) is paid ONCE at layout-write time and
+    // amortized across every distinct-flavored query on the table.
+    "agg_bkt_nunique" -> { (s, d) =>
+      import s.implicits._
+      val li = graft.sources.BucketedLayout.lineitemByPart(s, d)
+      val base = li.groupBy($"l_returnflag")
+        .agg(
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"),
+          count($"l_partkey").as("n"))
+      val spSet = li.select($"l_returnflag", $"l_suppkey", $"l_partkey").distinct()
+      val nuSp = spSet.groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_sp"))
+      val nuPart = spSet.select($"l_returnflag", $"l_partkey").distinct()
+        .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_part"))
+      base.join(nuPart, Seq("l_returnflag")).join(nuSp, Seq("l_returnflag"))
+    },
+
     // groupby median/quantile, exact with linear interpolation
     // (group_median_float64 groupby.pyx:196, group_quantile :1424)
     "agg_median_quantile" -> { (s, d) =>
@@ -834,7 +862,12 @@ object AggQueries extends QueryModule {
     }
   )
 
-  def oracle: Map[String, String] = Map(
+  def oracle: Map[String, String] = baseOracle +
+    // the bucketed twin is a pure layout restructuring: same result,
+    // same oracle as the shuffling form
+    ("agg_bkt_nunique" -> baseOracle("agg_minmax_nunique"))
+
+  private def baseOracle: Map[String, String] = Map(
     "q1_groupby_agg" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,

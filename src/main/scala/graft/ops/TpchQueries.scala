@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** TPC-H-shaped composite queries, part 2: the remaining classic
   * decision-support shapes expressible on the fixture schema (Q3, Q5,
-  * Q13, Q18 and the Q21 shape live in [[JoinQueries]]). Together they
+  * Q13 and Q18 live in [[JoinQueries]]). Together they
   * exercise every plan family a warehouse workload hits: scan-only
   * aggregate (Q6), correlated EXISTS (Q4), nation-pair multi-join
   * (Q7), ratio-of-aggregates market share (Q8, Q14), top-k revenue
@@ -15,8 +15,9 @@ import org.apache.spark.sql.functions._
   * aggregate threshold (Q22), per-group argmin join-back (Q2 shape),
   * multi-dim profit rollup (Q9 shape), group-sum vs global-fraction
   * HAVING (Q11 shape), conditional two-class count (Q12 shape), and
-  * correlated half-of-sum semi-join chain (Q20 shape). With those
-  * five, every one of the 22 TPC-H query shapes runs on this engine
+  * correlated half-of-sum semi-join chain (Q20 shape), and the
+  * exists/not-exists waiting-supplier self-join (Q21). With those,
+  * every one of the 22 TPC-H query shapes runs on this engine
   * (partsupp-dependent ones re-anchored on lineitem as the
   * part-supplier fact, date-window ones on l_shipdate vs
   * o_orderdate lateness).
@@ -266,6 +267,51 @@ object TpchQueries extends QueryModule {
     // "no orders at all" form is degenerate on this fixture — every
     // customer has at least one order — so the anti join is against
     // the final-year order book, same plan shape, non-empty result.)
+    // Q21 (suppliers who kept orders waiting): the exists/not-exists
+    // self-join composition — the one classic join shape the table
+    // lacked through round 9. pandas expresses the two correlated
+    // subqueries as merge(indicator=True) passes over a per-order
+    // groupby (reshape/merge.py:149, frame.py:4956); here BOTH
+    // subqueries collapse into ONE per-order aggregate over the same
+    // shuffle, with min/max in place of count-distinct:
+    //   EXISTS (other supplier in order)      ⟺ min(supp) ≠ max(supp)
+    //   NOT EXISTS (other supplier late)      ⟺ the late-supplier set
+    //     is exactly {l1.supp} ⟺ min(late supp) = max(late supp)
+    //     (l1 is itself late, so the set is non-empty)
+    // so lineitem shuffles ONCE on l_orderkey; the orders join, the
+    // per-order aggregate, and the join-back all reuse that
+    // partitioning; supplier⋈nation broadcasts. "Late" re-anchors on
+    // l_shipdate > o_orderdate + 60 days (the fixture schema has no
+    // receipt/commit dates), same convention as Q4.
+    "q21_waiting_suppliers" -> { (s, d) =>
+      import s.implicits._
+      val lo = Tables(s, d, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_shipdate")
+        .join(Tables(s, d, "orders")
+            .filter($"o_orderstatus" === "F")
+            .select($"o_orderkey", $"o_orderdate"),
+          $"l_orderkey" === $"o_orderkey")
+        .withColumn("late",
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"))
+      val ordAgg = lo.groupBy($"l_orderkey".as("ok"))
+        .agg(min($"l_suppkey").as("smin"), max($"l_suppkey").as("smax"),
+          min(when($"late", $"l_suppkey")).as("lmin"),
+          max(when($"late", $"l_suppkey")).as("lmax"))
+      val waiting = lo.filter($"late")
+        .join(ordAgg, $"l_orderkey" === $"ok" &&
+          $"smin" =!= $"smax" && $"lmin" === $"lmax")
+      val supp = Tables(s, d, "supplier")
+        .join(Tables(s, d, "nation"), $"s_nationkey" === $"n_nationkey")
+        .filter($"n_name".isin("NATION_1", "NATION_2", "NATION_3",
+          "NATION_4", "NATION_5"))
+        .select($"s_suppkey", $"s_name")
+      waiting.join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(100)
+    },
+
     "q22_global_sales" -> { (s, d) =>
       import s.implicits._
       val cand = Tables(s, d, "customer")
@@ -546,6 +592,32 @@ object TpchQueries extends QueryModule {
              AND l_quantity BETWEEN 10 AND 20)
            OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
              AND l_quantity BETWEEN 20 AND 30)""",
+
+    // the oracle keeps the CLASSIC correlated exists/not-exists form —
+    // independent of the engine's single-aggregate rewrite
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, COUNT(*) AS numwait
+         FROM supplier, lineitem l1, orders, nation
+         WHERE s_suppkey = l1.l_suppkey
+           AND o_orderkey = l1.l_orderkey
+           AND o_orderstatus = 'F'
+           AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+           AND EXISTS (
+             SELECT 1 FROM lineitem l2
+             WHERE l2.l_orderkey = l1.l_orderkey
+               AND l2.l_suppkey <> l1.l_suppkey)
+           AND NOT EXISTS (
+             SELECT 1 FROM lineitem l3, orders o3
+             WHERE l3.l_orderkey = l1.l_orderkey
+               AND o3.o_orderkey = l3.l_orderkey
+               AND l3.l_suppkey <> l1.l_suppkey
+               AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+           AND s_nationkey = n_nationkey
+           AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3',
+             'NATION_4', 'NATION_5')
+         GROUP BY s_name
+         ORDER BY numwait DESC, s_name
+         LIMIT 100""",
 
     "q22_global_sales" ->
       """WITH cand AS (

@@ -525,20 +525,35 @@ object WindowQueries extends QueryModule {
     // integer-exact until the final halving/division so the values are
     // bit-identical to the window form: rank_min = cum − cnt + 1,
     // rank_avg = rank_min + (cnt−1)/2, rank_pct = rank_avg / total.
+    // since round 10 the restructuring lives in operators/AdaptiveRank
+    // (the promoted single entry point); this query pins the histogram
+    // path for the bench. na_option='top' (nulls ranked first) mirrors
+    // the window twin's plain `orderBy(value)`; the probe gates the
+    // broadcast-back (events' ~49k pairs at sf100 broadcast; a
+    // near-unique domain would degrade to a shuffle join on the pair
+    // instead of a forced corpus-sized broadcast)
     "win_rank_hist" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")
         .select($"event_type", $"event_id", $"value")
-      val hist = ev.groupBy($"event_type", $"value")
-        .agg(count(lit(1)).as("cnt"))
-      val ord = Window.partitionBy($"event_type").orderBy($"value")
-      val grp = Window.partitionBy($"event_type")
-      val ranked = hist.select($"event_type", $"value",
-        (sum($"cnt").over(ord) - $"cnt" + 1 + ($"cnt" - 1) / lit(2.0))
-          .as("rank_avg"),
-        ((sum($"cnt").over(ord) - $"cnt" + 1 + ($"cnt" - 1) / lit(2.0)) /
-          sum($"cnt").over(grp)).as("rank_pct"))
-      ev.join(broadcast(ranked), Seq("event_type", "value"))
+      graft.operators.AdaptiveRank.rank(ev, Seq("event_type"), "value",
+          method = "average", asRank = "rank_avg", asPct = "rank_pct",
+          naOption = "top", forcePath = "histogram")
+        .select($"event_type", $"event_id", $"value",
+          $"rank_avg", $"rank_pct")
+    },
+
+    // the ADAPTIVE entry point itself: the sketch probe picks the plan
+    // (histogram when distinct (type,value) pairs ≤ 1/8 of rows, the
+    // window otherwise) — same rows, bit-identical values either way,
+    // so one oracle serves both regimes
+    "win_rank_adaptive" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d, "events")
+        .select($"event_type", $"event_id", $"value")
+      graft.operators.AdaptiveRank.rank(ev, Seq("event_type"), "value",
+          method = "average", asRank = "rank_avg", asPct = "rank_pct",
+          naOption = "top")
         .select($"event_type", $"event_id", $"value",
           $"rank_avg", $"rank_pct")
     }
@@ -560,7 +575,8 @@ object WindowQueries extends QueryModule {
       "win_bkt_rank" -> m("win_rank_average"),
       // the histogram restructuring is computation-only: same rows,
       // bit-identical values, same oracle as the window form
-      "win_rank_hist" -> m("win_rank_average"))
+      "win_rank_hist" -> m("win_rank_average"),
+      "win_rank_adaptive" -> m("win_rank_average"))
   }
 
   private def baseOracle: Map[String, String] = Map(

@@ -35,19 +35,11 @@ object BucketedLayout {
   private def layout(s: SparkSession, d: String, name: String,
                      buckets: Int, bucketCol: String, sortCols: Seq[String])
                     (build: => DataFrame): DataFrame = synchronized {
-    // keep bucket-per-partition reads even when no operator above
-    // declares a required distribution: the sorted-run EWM is a
-    // mapPartitions (no distribution requirement), and the
-    // auto-bucketed-scan rule would otherwise fall back to file-split
-    // reading, which packs multiple buckets into one partition and
-    // breaks the run layout the pass depends on
-    s.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
-    // report the on-disk sort order from the scan (off by default
-    // since Spark 3.1 because it is only sound with one file per
-    // bucket — exactly what the repartition-to-bucket-count write
-    // below guarantees); without it every window above the layout
-    // still plans the Sort the layout exists to eliminate
-    s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    // the scan-property confs this layout depends on are ENGINE
+    // settings applied at session construction (EngineConf.scala) —
+    // not mutated here: they must be active when the downstream query
+    // plans, which is after this builder returns
+    graft.EngineConf.requireLayoutSettings(s)
     val suf = Integer.toHexString(d.hashCode)
     val tbl = s"${name}_$suf"
     if (!written.contains(tbl)) {
@@ -79,5 +71,21 @@ object BucketedLayout {
       Seq("event_type", "value")) {
       Tables(s, d, "events")
         .select(col("event_type"), col("event_id"), col("value"))
+    }
+
+  /** lineitem bucketed by l_partkey: serves the exact-distinct
+    * aggregates. `HashPartitioning(l_partkey)` satisfies the clustered
+    * distribution of ANY grouping set containing l_partkey — a triple
+    * with a given partkey cannot exist in two buckets — so
+    * `groupBy(flag, suppkey, partkey)` and `groupBy(flag, partkey)`
+    * dedup entirely bucket-locally, with NO data-sized Exchange: the
+    * only shuffles left are the O(groups × partitions) count partials.
+    * At a cluster deployment, size `buckets` to the target parallelism
+    * (here 32 = local cores; the property is bucket-count-independent). */
+  def lineitemByPart(s: SparkSession, d: String): DataFrame =
+    layout(s, d, "lineitem_by_part", 32, "l_partkey", Seq("l_partkey")) {
+      Tables(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_shipdate"))
     }
 }

@@ -11,7 +11,7 @@ object SkewProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors()).toString
-    val spark = SparkSession.builder()
+    val spark = graft.EngineConf.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

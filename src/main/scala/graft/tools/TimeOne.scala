@@ -9,7 +9,7 @@ object TimeOne {
     val names = args(1).split(",").toSeq
     val reps = if (args.length > 2) args(2).toInt else 2
     val cpus = math.min(32, Runtime.getRuntime.availableProcessors()).toString
-    val spark = SparkSession.builder()
+    val spark = graft.EngineConf.configure(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -150,8 +150,8 @@ class PFrameSpec extends SparkSpec {
     assert(mx.contains((None, None)))
     // na_option='top': NULL ranks first
     val top = PFrame(df).groupby("k").rank("x", method = "min", naOption = "top", as = "r")
-      .toDF.filter($"x".isNull).select($"r").as[Int].collect()
-    assert(top.toSeq == Seq(1))
+      .toDF.filter($"x".isNull).select($"r").as[Long].collect()
+    assert(top.toSeq == Seq(1L))
   }
 
   test("nlargestAll keeps boundary ties") {

@@ -15,6 +15,9 @@ class PlanHygieneSpec extends SparkSpec {
   private def optimized(name: String): LogicalPlan =
     SparkEntry.queries(name)(spark, sf()).queryExecution.optimizedPlan
 
+  private def executedPlan(name: String): org.apache.spark.sql.execution.SparkPlan =
+    SparkEntry.queries(name)(spark, sf()).queryExecution.executedPlan
+
   test("q1 scan pushes the shipdate filter and prunes columns") {
     val p = executed("q1_groupby_agg")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
@@ -163,6 +166,32 @@ class PlanHygieneSpec extends SparkSpec {
       assert(!p.contains("Sort"),
         s"$q must consume the on-disk sort order, not re-sort:\n$p")
     }
+  }
+
+  test("bucketed exact-distinct dedups with no data-sized Exchange") {
+    // VERDICT r9 next-#5: agg_bkt_nunique's grouping sets all contain
+    // l_partkey, so HashPartitioning(l_partkey) from the bucketed scan
+    // must satisfy the dedup aggregates' distribution — every
+    // Exchange left in the plan sits ABOVE an aggregate (count
+    // partials / the 3-row flag join), never between a scan and the
+    // wide distinct. Structural check: no Exchange node may have a
+    // FileScan in its subtree without an intervening Aggregate.
+    val plan = executedPlan("agg_bkt_nunique")
+    def offending(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
+      def scanBelowNoAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+        n match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => false
+          case s if s.nodeName.contains("Scan") => true
+          case other => other.children.exists(scanBelowNoAgg)
+        }
+      p match {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+          e.children.exists(scanBelowNoAgg)
+        case other => other.children.exists(offending)
+      }
+    }
+    assert(!offending(plan),
+      s"agg_bkt_nunique shuffles raw scan rows — the bucket layout should dedup locally:\n$plan")
   }
 
   test("sorted-run ewm is one zero-shuffle streaming pass over the layout") {
