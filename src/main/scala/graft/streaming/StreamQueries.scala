@@ -49,14 +49,21 @@ object StreamQueries extends QueryModule {
     dir.toString
   }
 
+  /** SPARK_GRAFT_STREAM_MAX_FILES splits the drive into real
+    * micro-batches (N source files per trigger) instead of one
+    * all-available batch — the throughput-bench mode (StreamBench);
+    * unset, the oracle harness keeps the single-batch drive. */
+  private def maxFilesOpt: Option[String] =
+    sys.env.get("SPARK_GRAFT_STREAM_MAX_FILES")
+
   /** streaming view of the events table (nanos->micros like Tables;
     * conditional — a rewritten copy, e.g. ScaleUp's sf1, already
     * carries a real TimestampType ts) */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     val staticDf = s.read.parquet(s"$d/events.parquet")
-    val raw = s.readStream
-      .schema(staticDf.schema)
-      .parquet(streamDir(d))
+    val rdr = s.readStream.schema(staticDf.schema)
+    maxFilesOpt.foreach(n => rdr.option("maxFilesPerTrigger", n))
+    val raw = rdr.parquet(streamDir(d))
     if (staticDf.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
@@ -65,8 +72,18 @@ object StreamQueries extends QueryModule {
   /** streaming view of the documents table */
   private def docsStream(s: SparkSession, d: String): DataFrame = {
     val staticDf = s.read.parquet(s"$d/documents.parquet")
-    s.readStream.schema(staticDf.schema).parquet(streamDir(d, "documents"))
+    val rdr = s.readStream.schema(staticDf.schema)
+    maxFilesOpt.foreach(n => rdr.option("maxFilesPerTrigger", n))
+    rdr.parquet(streamDir(d, "documents"))
   }
+
+  /** Progress metrics of the most recent [[runToMemory]] drive —
+    * populated from the query's progress log so StreamBench can report
+    * throughput and state-store footprint without re-plumbing every
+    * query builder's return type. */
+  final case class RunMetrics(inputRows: Long, batches: Int,
+      stateRowsPeak: Long, stateRowsRemoved: Long)
+  @volatile var lastRunMetrics: Option[RunMetrics] = None
 
   /** run a streaming frame to completion into a memory sink */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
@@ -77,6 +94,14 @@ object StreamQueries extends QueryModule {
       .queryName(name)
       .start()
     q.processAllAvailable()
+    val progs = q.recentProgress.toSeq
+    lastRunMetrics = Some(RunMetrics(
+      inputRows = progs.map(_.numInputRows).sum,
+      batches = progs.count(_.numInputRows > 0),
+      stateRowsPeak = progs.map(p =>
+        p.stateOperators.map(_.numRowsTotal).sum).foldLeft(0L)(math.max),
+      stateRowsRemoved = progs.map(p =>
+        p.stateOperators.map(_.numRowsRemoved).sum).sum))
     q.stop()
     // materialize before the in-memory sink table goes away
     val out = s.table(name).cache()
