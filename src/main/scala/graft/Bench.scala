@@ -34,18 +34,20 @@ object Bench {
     "join_inner",          // lineitem |><| orders, AQE-chosen strategy
     "join_star_broadcast", // broadcast dim star join
     "agg_minmax_nunique",  // many-label groupby w/ distinct aggs
+    "agg_bkt_nunique",     // same aggs over the partkey-bucketed layout
     "agg_apply_topn",      // per-group top-n via flatMapGroups
     "win_rolling_sum",     // per-user rolling window
     "win_ewm_mean",        // recursive EWM via flatMapGroups
     "win_rank_average",    // per-type value ranking (win_bkt_rank's twin)
     "win_rank_hist",       // same ranks via histogram restructuring
+    "win_rank_adaptive",   // the probe-switched entry point (AdaptiveRank)
     // bucketed+sorted layout twins of the window family: same
     // semantics, zero Exchange / zero Sort over the on-disk run
     // (sources/BucketedLayout). Rep 1 pays the one-time layout write;
     // min-of-reps reports the steady-state read path, which is what a
     // layout is for. The 19-query total comparable with pre-r9 records
-    // = this total minus the five win_rank_*/win_bkt_* entries
-    // (bench/README.md).
+    // = this total minus the win_rank_*/win_bkt_*/agg_bkt_* entries
+    // (seven since round 10 — bench/README.md).
     "win_bkt_rolling_sum",
     "win_bkt_ewm_mean",
     "win_bkt_rank",

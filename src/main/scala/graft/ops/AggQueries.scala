@@ -270,6 +270,15 @@ object AggQueries extends QueryModule {
         .drop("total")
     },
 
+    // Series.value_counts(normalize=True) through the PFrame surface
+    // itself (base.py:961): one-column counts with a broadcast one-row
+    // total as the normalize denominator — never a global window
+    "agg_value_counts_series" -> { (s, d) =>
+      import s.implicits._
+      graft.api.PFrame(Tables(s, d, "orders").select($"o_orderpriority"))
+        .valueCounts("o_orderpriority", normalize = true).df
+    },
+
     // value_counts(bins=5) (base.py:961 value_counts with bins -> cut
     // + count): equal-width bins over [min, max]; the global min/max
     // is one tiny broadcast aggregate, binning is then map-side
@@ -995,6 +1004,12 @@ object AggQueries extends QueryModule {
       """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt,
          CAST(COUNT(*) AS DOUBLE) / CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS proportion
          FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+
+    "agg_value_counts_series" ->
+      """SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) /
+             (SELECT COUNT(*) FROM orders) AS proportion
+         FROM orders GROUP BY o_orderpriority""",
 
     "agg_mode" ->
       """SELECT l_returnflag, l_quantity AS mode_qty, cnt FROM (

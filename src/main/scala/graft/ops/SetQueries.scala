@@ -222,6 +222,22 @@ object SetQueries extends QueryModule {
           coalesce($"patched_bal", $"c_acctbal").as("acctbal"))
     },
 
+    // update (frame.py:8290) through the PFrame surface itself (like
+    // set_concat_keys): overwrite o_totalprice with non-null values
+    // from an aligned patch frame; rows only in the patch are ignored,
+    // untouched columns pass through. One left join on the key —
+    // broadcastable when the patch is small, shuffle-join otherwise.
+    "set_update" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      val patch = Tables(s, d, "orders")
+        .filter($"o_orderkey" % 10 === 0)
+        .select($"o_orderkey", ($"o_totalprice" + 100000.0).as("o_totalprice"))
+      graft.api.PFrame(base)
+        .update(graft.api.PFrame(patch), on = "o_orderkey").df
+    },
+
     // compare (frame.py:12343): differing cells only, self vs clipped
     "set_compare" -> { (s, d) =>
       import s.implicits._
@@ -379,6 +395,15 @@ object SetQueries extends QueryModule {
       """SELECT o_custkey FROM orders WHERE o_totalprice > 400000
          EXCEPT
          SELECT o_custkey FROM orders WHERE o_totalprice > 450000""",
+
+    "set_update" ->
+      """SELECT o.o_orderkey,
+           COALESCE(u.nt, o.o_totalprice) AS o_totalprice,
+           o.o_orderstatus
+         FROM orders o
+         LEFT JOIN (SELECT o_orderkey, o_totalprice + 100000.0 AS nt
+                    FROM orders WHERE o_orderkey % 10 = 0) u
+           ON o.o_orderkey = u.o_orderkey""",
 
     "set_combine_first" ->
       """WITH patch AS (

@@ -19,11 +19,12 @@ import org.apache.spark.sql.functions._
   * Methods NOT re-twinned here, and why:
   *  - queries already BUILT on PFrame are conformant by construction
   *    and oracle-checked directly (sel_multiindex_levels,
-  *    set_concat_keys, rs_get_dummies_opts, win_ewm_* via Ewm,
-  *    join_asof_* via AsofJoin — the same operators PFrame calls);
+  *    set_concat_keys, set_update, agg_value_counts_series,
+  *    rs_get_dummies_opts, win_ewm_* via Ewm, join_asof_* via
+  *    AsofJoin — the same operators PFrame calls);
   *  - scalar lookups (.at/.iat/.count) and guards (transposeSmall,
-  *    dot, update, between, valueCounts, fillna, astype, pipe,
-  *    setIndex family) are pinned by PFrameSpec unit tests;
+  *    dot, between, fillna, astype, pipe, setIndex family) are
+  *    pinned by PFrameSpec unit tests;
   *  - rank conformance (all methods × na_options × both physical
   *    plans) lives in AdaptiveRankSpec.
   */
