@@ -138,9 +138,25 @@ object Bench {
         try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
       } catch { case _: Throwable => -1.0 }
 
-    // (seconds, ok, 1-min loadavg sampled at rep start)
-    def rep(name: String): (Double, Boolean, Double) = {
+    // bytes this JVM actually read from the block device (page-cache
+    // misses), from /proc/self/io. A scaled run whose heap has grown
+    // can evict the table's pages and re-read parquet from DISK —
+    // join_inner cost 93 s mid-sequence vs 51 s standalone at sf100
+    // for exactly this reason (round-9 verdict) — so each rep records
+    // its read delta: a slow-but-high-read rep is a cache artifact, a
+    // slow-but-low-read rep is a code regression. -1 when unavailable.
+    def diskReadBytes(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/io")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("read_bytes:") => l.split(":")(1).trim.toLong
+        }.getOrElse(-1L) finally src.close()
+      } catch { case _: Throwable => -1L }
+
+    // (seconds, ok, 1-min loadavg at rep start, disk GB read by rep)
+    def rep(name: String): (Double, Boolean, Double, Double) = {
       val la = loadAvg()
+      val rb0 = diskReadBytes()
       val t0 = System.nanoTime()
       val ok =
         try { exec(name); true }
@@ -149,13 +165,14 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gb = if (rb0 < 0) -1.0 else (diskReadBytes() - rb0) / 1e9
       // untimed: release this rep's shuffle deps so the ContextCleaner
       // can delete their files (see the periodicGC comment above)
       System.gc()
-      (dt, ok, la)
+      (dt, ok, la, gb)
     }
-    def spreadOf(v: Seq[(Double, Boolean, Double)]): Option[Double] = {
-      val ok = v.collect { case (t, true, _) => t }
+    def spreadOf(v: Seq[(Double, Boolean, Double, Double)]): Option[Double] = {
+      val ok = v.collect { case (t, true, _, _) => t }
       if (ok.size < 2) None else Some(ok.max / ok.min)
     }
     val results = headline.filter(nameFilter).map { name =>
@@ -167,8 +184,8 @@ object Bench {
         samples = samples :+ rep(name)
       name -> samples
     }
-    def minOk(v: Seq[(Double, Boolean, Double)]): Option[Double] = {
-      val ok = v.collect { case (t, true, _) => t }
+    def minOk(v: Seq[(Double, Boolean, Double, Double)]): Option[Double] = {
+      val ok = v.collect { case (t, true, _, _) => t }
       if (ok.isEmpty) None else Some(ok.min)
     }
     val qs = results.map { case (k, v) =>
@@ -176,11 +193,14 @@ object Bench {
     }.mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       "\"" + k + "\":" +
-        v.map { case (t, ok, _) => if (ok) t.toString else "null" }
+        v.map { case (t, ok, _, _) => if (ok) t.toString else "null" }
           .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val loads = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_._3.toString).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val readGb = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(x => f"${x._4}%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>
       "\"" + k + "\":" + spreadOf(v).map(x => f"$x%.2f").getOrElse("null")
@@ -190,7 +210,7 @@ object Bench {
         "\"" + k + "\":" + v.count(!_._2)
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, v) => minOk(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists { case (_, v) => minOk(v).isEmpty }) {
       spark.stop()
       sys.exit(1)
