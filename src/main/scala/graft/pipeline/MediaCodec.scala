@@ -3,7 +3,9 @@ package graft.pipeline
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import java.awt.image.BufferedImage
 import javax.imageio.ImageIO
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+import scala.jdk.CollectionConverters._
 
 /** Pure-JVM media encode/decode for the multimodal pipeline.
   *
@@ -28,6 +30,48 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object MediaCodec {
 
+  /** Codec providers resolved ONCE per JVM.
+    *
+    * The convenience entry points (`ImageIO.read/write`,
+    * `AudioSystem.getAudioInputStream/write`) re-scan the provider
+    * registry on EVERY call, and the audio scan serializes on a
+    * global class monitor (`JSSecurityManager.getProviders`): at sf100
+    * all 32 executor threads sat BLOCKED on that lock and
+    * `mm_wav_decode` degraded to single-threaded — the classic
+    * works-at-sf0.01, dies-at-100× shape. `ImageIO` additionally
+    * routes streams through a DISK-backed cache (a temp file per
+    * call) unless told otherwise. So: resolve the PNG reader/writer
+    * SPIs and the WAVE file reader/writer SPIs once (lazy init takes
+    * the registry locks a single time), then decode through cheap
+    * per-call provider instances over memory-cached streams. Same
+    * genuine JDK codec classes, no global lock in the row loop.
+    */
+  private lazy val pngReaderSpi = {
+    ImageIO.setUseCache(false)
+    ImageIO.getImageReadersByFormatName("png").next().getOriginatingProvider
+  }
+  private lazy val pngWriterSpi = {
+    ImageIO.setUseCache(false)
+    ImageIO.getImageWritersByFormatName("png").next().getOriginatingProvider
+  }
+  private lazy val wavReaderSpi: javax.sound.sampled.spi.AudioFileReader = {
+    // deterministic selection without naming JDK-internal classes:
+    // the provider that parses a one-sample WAVE built via the (locked,
+    // one-time) AudioSystem path
+    val probe = encodeWavViaAudioSystem(Array(0))
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.find { r =>
+        try r.getAudioFileFormat(new ByteArrayInputStream(probe))
+              .getType == AudioFileFormat.Type.WAVE
+        catch { case _: Exception => false }
+      }.getOrElse(sys.error("no WAVE AudioFileReader provider on this JVM"))
+  }
+  private lazy val wavWriterSpi: javax.sound.sampled.spi.AudioFileWriter =
+    java.util.ServiceLoader.load(classOf[javax.sound.sampled.spi.AudioFileWriter])
+      .iterator().asScala
+      .find(_.isFileTypeSupported(AudioFileFormat.Type.WAVE))
+      .getOrElse(sys.error("no WAVE AudioFileWriter provider on this JVM"))
+
   /** Encode `n = 16 * (bytes.length / 16)` leading bytes as a 16-wide
     * 8-bit grayscale PNG (one byte per pixel, row-major). */
   def encodeGrayPng(bytes: Array[Byte]): Array[Byte] = {
@@ -42,14 +86,21 @@ object MediaCodec {
       i += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", out)
+    val writer = pngWriterSpi.createWriterInstance()
+    val ios = new MemoryCacheImageOutputStream(out)
+    try { writer.setOutput(ios); writer.write(img) }
+    finally { writer.dispose(); ios.close() }
     out.toByteArray
   }
 
   /** Decode a PNG through the JDK codec: (width, height, row-major
     * pixel samples). Grayscale 8-bit in == the same values out. */
   def decodePng(png: Array[Byte]): (Int, Int, Array[Int]) = {
-    val img = ImageIO.read(new ByteArrayInputStream(png))
+    val reader = pngReaderSpi.createReaderInstance()
+    val iis = new MemoryCacheImageInputStream(new ByteArrayInputStream(png))
+    val img =
+      try { reader.setInput(iis, true, true); reader.read(0) }
+      finally { reader.dispose(); iis.close() }
     val (w, h) = (img.getWidth, img.getHeight)
     val raster = img.getRaster
     val px = new Array[Int](w * h)
@@ -82,8 +133,16 @@ object MediaCodec {
   /** WAV sample rate used by [[encodeWav]] (mono 16-bit PCM LE). */
   val WavRate = 8000f
 
-  /** Encode signed 16-bit samples as a RIFF/WAVE container. */
-  def encodeWav(samples: Array[Int]): Array[Byte] = {
+  /** One-time probe helper: the only remaining `AudioSystem.write`
+    * call site (runs once, inside [[wavReaderSpi]]'s lazy init). */
+  private def encodeWavViaAudioSystem(samples: Array[Int]): Array[Byte] = {
+    val ais = pcmStream(samples)
+    val out = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  private def pcmStream(samples: Array[Int]): AudioInputStream = {
     val fmt = new AudioFormat(WavRate, 16, 1, true, false)
     val pcm = new Array[Byte](samples.length * 2)
     var i = 0
@@ -92,16 +151,20 @@ object MediaCodec {
       pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new AudioInputStream(
+    new AudioInputStream(
       new ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+  }
+
+  /** Encode signed 16-bit samples as a RIFF/WAVE container. */
+  def encodeWav(samples: Array[Int]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
-    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    wavWriterSpi.write(pcmStream(samples), AudioFileFormat.Type.WAVE, out)
     out.toByteArray
   }
 
   /** Decode a WAV through the JDK codec: (sampleRate, signed samples). */
   def decodeWav(wav: Array[Byte]): (Int, Array[Int]) = {
-    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val ais = wavReaderSpi.getAudioInputStream(new ByteArrayInputStream(wav))
     val fmt = ais.getFormat
     require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
       s"unexpected decoded format: $fmt")
