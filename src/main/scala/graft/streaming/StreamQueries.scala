@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.{OracleNum, QueryModule}
 import OracleNum._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -85,14 +85,34 @@ object StreamQueries extends QueryModule {
       stateRowsPeak: Long, stateRowsRemoved: Long)
   @volatile var lastRunMetrics: Option[RunMetrics] = None
 
-  /** run a streaming frame to completion into a memory sink */
+  /** Run a streaming frame to completion and return its full output.
+    *
+    * Default sink is `memory` — right for the oracle harness at test
+    * scale, but the memory sink ships every output row to the DRIVER
+    * (stream_session_window at sf100 blew `spark.driver.maxResultSize`
+    * at 1 GB of serialized sessions — the canonical non-scalable
+    * collect). `SPARK_GRAFT_STREAM_FILE_SINK=<dir>` switches to the
+    * production shape: a `foreachBatch` parquet sink — per-batch
+    * overwrite for Complete mode (the last batch IS the result),
+    * append for Append mode (each batch emits only finalized rows,
+    * exactly what a distributed file/queue sink persists) — so output
+    * size is bounded by the cluster's disks, never the driver. The
+    * scaled differentials set it; both sinks feed the same compare. */
   private def runToMemory(s: SparkSession, df: DataFrame, mode: OutputMode): DataFrame = {
+    val fileSinkBase = sys.env.get("SPARK_GRAFT_STREAM_FILE_SINK")
     val name = s"stream_out_${System.nanoTime()}"
-    val q = df.writeStream
-      .outputMode(mode)
-      .format("memory")
-      .queryName(name)
-      .start()
+    val writer = df.writeStream.outputMode(mode)
+    val q = fileSinkBase match {
+      case Some(base) =>
+        val dir = s"$base/$name"
+        val saveMode =
+          if (mode == OutputMode.Complete()) SaveMode.Overwrite
+          else SaveMode.Append
+        writer.foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode(saveMode).parquet(dir)
+        }.start()
+      case None => writer.format("memory").queryName(name).start()
+    }
     q.processAllAvailable()
     val progs = q.recentProgress.toSeq
     lastRunMetrics = Some(RunMetrics(
@@ -103,10 +123,19 @@ object StreamQueries extends QueryModule {
       stateRowsRemoved = progs.map(p =>
         p.stateOperators.map(_.numRowsRemoved).sum).sum))
     q.stop()
-    // materialize before the in-memory sink table goes away
-    val out = s.table(name).cache()
-    out.count()
-    out
+    fileSinkBase match {
+      case Some(base) =>
+        val dir = new java.io.File(s"$base/$name")
+        // a query whose every batch was empty never created the dir
+        if (dir.isDirectory) s.read.parquet(dir.getPath)
+        else s.createDataFrame(
+          s.sparkContext.emptyRDD[org.apache.spark.sql.Row], df.schema)
+      case None =>
+        // materialize before the in-memory sink table goes away
+        val out = s.table(name).cache()
+        out.count()
+        out
+    }
   }
 
   def queries: Map[String, Q] = Map(
