@@ -54,13 +54,27 @@ object BucketedLayout {
     s.table(tbl)
   }
 
+  /** Bucket count for the data-sized layouts: the layout's analogue
+    * of `spark.sql.shuffle.partitions`, and it must scale with the
+    * DATA for the same reason. The round-10 sf100 bench caught the
+    * fixed-32 version: a 600M-row table in 32 buckets is 19M rows per
+    * scan task, and the per-bucket hash distinct spilled —
+    * agg_bkt_nunique cost MORE than the plain two-shuffle path it
+    * exists to beat. Sizing buckets to shuffle parallelism (256 at
+    * sf100) keeps each bucket's group state in memory, and the
+    * no-Exchange property is bucket-count-independent. */
+  private def dataBuckets(s: SparkSession): Int =
+    math.max(32, s.sessionState.conf.numShufflePartitions)
+
   /** events bucketed by user_id, sorted (user_id, ts): serves every
     * per-user ordered-by-time window (rolling, expanding, ewm). */
-  def eventsByUser(s: SparkSession, d: String): DataFrame =
-    layout(s, d, "events_by_user", 32, "user_id", Seq("user_id", "ts")) {
+  def eventsByUser(s: SparkSession, d: String): DataFrame = {
+    val n = dataBuckets(s)
+    layout(s, d, s"events_by_user_$n", n, "user_id", Seq("user_id", "ts")) {
       Tables(s, d, "events")
         .select(col("user_id"), col("event_id"), col("ts"), col("value"))
     }
+  }
 
   /** events bucketed by event_type, sorted (event_type, value): serves
     * the per-type value-ranking windows. event_type cardinality is
@@ -80,12 +94,15 @@ object BucketedLayout {
     * `groupBy(flag, suppkey, partkey)` and `groupBy(flag, partkey)`
     * dedup entirely bucket-locally, with NO data-sized Exchange: the
     * only shuffles left are the O(groups × partitions) count partials.
-    * At a cluster deployment, size `buckets` to the target parallelism
-    * (here 32 = local cores; the property is bucket-count-independent). */
-  def lineitemByPart(s: SparkSession, d: String): DataFrame =
-    layout(s, d, "lineitem_by_part", 32, "l_partkey", Seq("l_partkey")) {
+    * Bucket count sized by [[dataBuckets]] (the no-Exchange property
+    * is bucket-count-independent; the per-bucket memory footprint is
+    * not — see the scaladoc there). */
+  def lineitemByPart(s: SparkSession, d: String): DataFrame = {
+    val n = dataBuckets(s)
+    layout(s, d, s"lineitem_by_part_$n", n, "l_partkey", Seq("l_partkey")) {
       Tables(s, d, "lineitem")
         .select(col("l_partkey"), col("l_suppkey"), col("l_returnflag"),
           col("l_extendedprice"), col("l_shipdate"))
     }
+  }
 }
