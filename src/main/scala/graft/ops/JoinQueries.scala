@@ -479,7 +479,7 @@ object JoinQueries extends QueryModule {
       ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")
         .join(li, $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+        .agg(round(sum($"rev"), 4).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
         .limit(10)
     },
@@ -510,7 +510,7 @@ object JoinQueries extends QueryModule {
         .join(broadcast(cust), $"o_custkey" === $"c_custkey" &&
           $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
-        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+        .agg(round(sum($"rev"), 4).cast("double").as("revenue"))
     },
 
     // TPC-H Q13 (customer distribution): double aggregation — orders
@@ -645,8 +645,8 @@ object JoinQueries extends QueryModule {
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
-             CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+             CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem
          WHERE c_mktsegment = 'BUILDING'
            AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -658,8 +658,8 @@ object JoinQueries extends QueryModule {
 
     "q5_local_volume" ->
       """SELECT n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
-             CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+             CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem, supplier, nation, region
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

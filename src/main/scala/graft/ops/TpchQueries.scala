@@ -48,8 +48,13 @@ object TpchQueries extends QueryModule {
           $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
           $"l_discount" >= 0.05 && $"l_discount" <= 0.07 &&
           $"l_quantity" < 24)
+        // round in DECIMAL space, then cast: the sum is an exact
+        // scale-8 decimal, and a value landing exactly on a half at
+        // the rounding scale diverges across engines if rounded as a
+        // double (Spark rounds the shortest decimal string, DuckDB the
+        // binary value — the txt_dsir_weights sf100 find, SCALE.md r10)
         .agg(round(sum($"l_extendedprice".cast("decimal(11,4)") *
-          $"l_discount".cast("decimal(6,4)")).cast("double"), 4)
+          $"l_discount".cast("decimal(6,4)")), 4).cast("double")
           .as("revenue"))
     },
 
@@ -97,7 +102,7 @@ object TpchQueries extends QueryModule {
           ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
         .groupBy($"supp_nation", $"cust_nation",
           year($"l_shipdate").cast("long").as("l_year"))
-        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+        .agg(round(sum($"rev"), 4).cast("double").as("revenue"))
     },
 
     // Q8 (national market share): NATION_2's share of ECONOMY-part
@@ -155,7 +160,7 @@ object TpchQueries extends QueryModule {
         .join(Tables(s, d, "customer"), $"o_custkey" === $"c_custkey")
         .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
-        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+        .agg(round(sum($"rev"), 4).cast("double").as("revenue"))
         .orderBy($"revenue".desc, $"c_custkey")
         .limit(20)
     },
@@ -193,7 +198,7 @@ object TpchQueries extends QueryModule {
       rev.join(broadcast(mx), $"r" === $"mx")
         .join(Tables(s, d, "supplier"), $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name",
-          round($"r".cast("double"), 4).as("total_rev"))
+          round($"r", 4).cast("double").as("total_rev"))
     },
 
     // Q16 (parts/supplier relationship): distinct suppliers per
@@ -256,7 +261,7 @@ object TpchQueries extends QueryModule {
             $"l_quantity".between(10, 20)) ||
           ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) &&
             $"l_quantity".between(20, 30)))
-        .agg(round(sum($"rev").cast("double"), 4).as("revenue"))
+        .agg(round(sum($"rev"), 4).cast("double").as("revenue"))
     },
 
     // Q22 (global sales opportunity): customers above the positive-
@@ -354,7 +359,7 @@ object TpchQueries extends QueryModule {
         // supplier key, deterministically, via a second keyed argmin
         .groupBy($"p_partkey", $"p_brand", $"p_size")
         .agg(min($"s_suppkey").as("s_suppkey"),
-          round(min($"bal").cast("double"), 2).as("s_acctbal"))
+          round(min($"bal"), 2).cast("double").as("s_acctbal"))
     },
 
     // Q9 shape (product-type profit): profit per supplier nation and
@@ -381,8 +386,8 @@ object TpchQueries extends QueryModule {
         .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
         .join(ord, $"l_orderkey" === $"o_orderkey")
         .groupBy($"nation", year($"o_orderdate").cast("long").as("o_year"))
-        .agg(round((sum($"rev") -
-          sum(($"cost" * $"qty").cast("decimal(26,8)"))).cast("double"), 4)
+        .agg(round(sum($"rev") -
+          sum(($"cost" * $"qty").cast("decimal(26,8)")), 4).cast("double")
           .as("sum_profit"))
     },
 
@@ -408,7 +413,7 @@ object TpchQueries extends QueryModule {
       byPart.join(broadcast(total),
           $"value" * lit(1000) > $"tot")  // value > 0.1% of total
         .select($"l_partkey".as("p_partkey"),
-          round($"value".cast("double"), 4).as("value"))
+          round($"value", 4).cast("double").as("value"))
     },
 
     // Q12 shape (shipping-mode priority classes): late lines (shipped
@@ -463,8 +468,8 @@ object TpchQueries extends QueryModule {
 
   def oracle: Map[String, String] = Map(
     "q6_forecast_revenue" ->
-      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
-           CAST(l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+           CAST(l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
            AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -485,8 +490,8 @@ object TpchQueries extends QueryModule {
     "q7_nation_volume" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
-             CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+             CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
          FROM supplier, lineitem, orders, customer, nation n1, nation n2
          WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
            AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -519,8 +524,8 @@ object TpchQueries extends QueryModule {
 
     "q10_returned_top" ->
       """SELECT c_custkey, c_name, c_acctbal, n_name,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
-             CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+             CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
          FROM customer, orders, lineitem, nation
          WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
            AND o_orderdate >= TIMESTAMP '1996-07-01'
@@ -552,7 +557,7 @@ object TpchQueries extends QueryModule {
            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
              AND l_shipdate < TIMESTAMP '1996-04-01'
            GROUP BY l_suppkey)
-         SELECT s_suppkey, s_name, ROUND(CAST(r AS DOUBLE), 4) AS total_rev
+         SELECT s_suppkey, s_name, CAST(ROUND(r, 4) AS DOUBLE) AS total_rev
          FROM rev JOIN supplier ON l_suppkey = s_suppkey
          WHERE r = (SELECT MAX(r) FROM rev)""",
 
@@ -583,8 +588,8 @@ object TpchQueries extends QueryModule {
          WHERE CAST(l_quantity AS DECIMAL(18,4)) * (5 * cnt) < sq""",
 
     "q19_disjunct_revenue" ->
-      """SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
-           CAST(1.0 - l_discount AS DECIMAL(6,4))) AS DOUBLE), 4) AS revenue
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
+           CAST(1.0 - l_discount AS DECIMAL(6,4))), 4) AS DOUBLE) AS revenue
          FROM lineitem JOIN part ON p_partkey = l_partkey
          WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
              AND l_quantity BETWEEN 1 AND 11)
@@ -650,19 +655,19 @@ object TpchQueries extends QueryModule {
            SELECT p_partkey AS mp, MIN(bal) AS mb FROM ps GROUP BY 1)
          SELECT p_partkey, p_brand, p_size,
            MIN(s_suppkey) AS s_suppkey,
-           ROUND(CAST(MIN(bal) AS DOUBLE), 2) AS s_acctbal
+           CAST(ROUND(MIN(bal), 2) AS DOUBLE) AS s_acctbal
          FROM ps JOIN mn ON p_partkey = mp AND bal = mb
          GROUP BY p_partkey, p_brand, p_size""",
 
     "q9_product_profit" ->
       """SELECT n_name AS nation,
            CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
-           ROUND(CAST(
+           CAST(ROUND(
              SUM(CAST(l_extendedprice AS DECIMAL(11,4)) *
                  CAST(1.0 - l_discount AS DECIMAL(6,4))) -
              SUM(CAST(CAST(p_retailprice AS DECIMAL(12,4)) *
-                 CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(26,8)))
-             AS DOUBLE), 4) AS sum_profit
+                 CAST(l_quantity AS DECIMAL(12,4)) AS DECIMAL(26,8))),
+             4) AS DOUBLE) AS sum_profit
          FROM lineitem
          JOIN part ON l_partkey = p_partkey
          JOIN supplier ON l_suppkey = s_suppkey
@@ -681,7 +686,7 @@ object TpchQueries extends QueryModule {
              SELECT s_suppkey FROM supplier WHERE s_nationkey IN (1, 2, 3))
            GROUP BY 1)
          SELECT l_partkey AS p_partkey,
-           ROUND(CAST(value AS DOUBLE), 4) AS value
+           CAST(ROUND(value, 4) AS DOUBLE) AS value
          FROM byp
          WHERE value * 1000 > (SELECT SUM(value) FROM byp)""",
 

@@ -402,7 +402,12 @@ object TextQueries extends QueryModule {
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum($"lr").as("w_raw"))
         .select($"doc_id", $"n_tokens",
-          round($"w_raw".cast("double"), 6).as("dsir_weight"),
+          // round the exact DECIMAL, then cast: at sf100 one thousand
+          // docs' scale-8 sums landed exactly on a half at 6dp, and
+          // double-space rounding diverged across engines (Spark
+          // rounds the shortest decimal string, DuckDB the binary
+          // value) — the only mismatch of the round-10 differential
+          round($"w_raw", 6).cast("double").as("dsir_weight"),
           ($"w_raw" > 0).as("kept"))
     },
 
@@ -679,7 +684,7 @@ object TextQueries extends QueryModule {
                - CAST(ROUND(ln((rc + 1.0) / (r_total + 256)), 8) AS DECIMAL(18,8)) AS lr
              FROM cnt CROSS JOIN tot)
            SELECT i.doc_id, COUNT(*) AS n_tokens,
-             ROUND(CAST(SUM(lr.lr) AS DOUBLE), 6) AS dsir_weight,
+             CAST(ROUND(CAST(SUM(lr.lr) AS DECIMAL(38,8)), 6) AS DOUBLE) AS dsir_weight,
              CAST(SUM(lr.lr) AS DECIMAL(38,8)) > 0 AS kept
            FROM inst i JOIN lr USING (b)
            GROUP BY i.doc_id""",
