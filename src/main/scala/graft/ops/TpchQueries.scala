@@ -331,7 +331,7 @@ object TpchQueries extends QueryModule {
         .join(recent, $"c_custkey" === $"o_custkey", "left_anti")
         .groupBy($"c_nationkey".cast("long").as("cntry"))
         .agg(count(lit(1)).as("numcust"),
-          round(sum($"c_acctbal".cast("decimal(18,4)")).cast("double"), 4)
+          round(sum($"c_acctbal".cast("decimal(18,4)")), 4).cast("double")
             .as("totacctbal"))
     },
 
@@ -634,7 +634,7 @@ object TpchQueries extends QueryModule {
            FROM cand WHERE c_acctbal > 0)
          SELECT CAST(c_nationkey AS BIGINT) AS cntry,
            COUNT(*) AS numcust,
-           ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE), 4)
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 4) AS DOUBLE)
              AS totacctbal
          FROM cand, ab
          WHERE c_acctbal > ab

@@ -53,6 +53,24 @@ class OracleLintSpec extends AnyFunSuite {
 
   private def isWordChar(c: Char): Boolean = c.isLetterOrDigit || c == '_'
 
+  /** First top-level argument of the call whose '(' is at `open`. */
+  private def firstArg(s: String, open: Int): String = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return s.substring(open + 1, i)
+        case ',' if depth == 1 => return s.substring(open + 1, i)
+        case _ =>
+      }
+      i += 1
+    }
+    s.substring(open + 1)
+  }
+
   private def argIsNonInteger(arg: String): Boolean = {
     val a = arg.toLowerCase
     a.matches("(?s).*\\bas\\s+(double|decimal|float|real).*") ||
@@ -91,6 +109,54 @@ class OracleLintSpec extends AnyFunSuite {
           }
         }
         from = from + 3
+      }
+    }
+    assert(violations.isEmpty, violations.mkString("\n", "\n", "\n"))
+  }
+
+  /** Round-10 rule: never round an exact DECIMAL through a DOUBLE cast.
+    *
+    * Spark's `round(double, n)` rounds the double's SHORTEST DECIMAL
+    * STRING (`BigDecimal.valueOf`) while DuckDB rounds the binary
+    * value — so an exact decimal landing on a half at the rounding
+    * scale (possible whenever its scale exceeds n) rounds
+    * away-from-zero in one engine and down in the other. Fired live:
+    * 1000 txt_dsir_weights docs at sf100 whose scale-8 sums ended in
+    * ...50 at 6dp differed by exactly 1e-6 (SCALE.md round 10). The
+    * fix — and the shape this lint enforces — is to round the decimal
+    * itself (HALF_UP, exact integer arithmetic, identical in both
+    * engines) and cast after: `CAST(ROUND(x, n) AS DOUBLE)`.
+    *
+    * Syntactic rule: a ROUND whose ENTIRE first argument is
+    * `CAST(x AS DOUBLE)` with x decimal-typed (mentions DECIMAL) is a
+    * violation unless x contains a `/` (a float quotient is genuine
+    * double arithmetic — ratio oracles keep the double-space ROUND
+    * discipline, as does anything not shaped like a bare decimal
+    * cast). */
+  test("no oracle rounds an exact DECIMAL through a DOUBLE cast") {
+    val violations = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((name, sql) <- SparkEntry.oracleSql.toSeq.sortBy(_._1)) {
+      val lower = sql.toLowerCase
+      var from = 0
+      while ({ from = lower.indexOf("round", from); from >= 0 }) {
+        val wordOk = (from == 0 || !isWordChar(lower.charAt(from - 1)))
+        var p = from + 5
+        while (p < lower.length && lower.charAt(p).isWhitespace) p += 1
+        if (wordOk && p < lower.length && lower.charAt(p) == '(') {
+          val a = firstArg(sql, p).trim
+          val al = a.toLowerCase
+          val isWholeCast = al.startsWith("cast") && {
+            var q = 4
+            while (q < a.length && a.charAt(q).isWhitespace) q += 1
+            q < a.length && a.charAt(q) == '(' && closeParen(a, q) == a.length
+          }
+          if (isWholeCast && al.replaceAll("\\s+", " ").endsWith("as double)") &&
+              al.contains("decimal") && !a.contains("/")) {
+            violations += s"$name: ROUND over a double-cast DECIMAL " +
+              s"(round the decimal, cast after): ${a.replaceAll("\\s+", " ").take(90)}"
+          }
+        }
+        from += 5
       }
     }
     assert(violations.isEmpty, violations.mkString("\n", "\n", "\n"))
