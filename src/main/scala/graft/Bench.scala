@@ -32,6 +32,7 @@ object Bench {
   val headline: Seq[String] = Seq(
     "q1_groupby_agg",      // scan + filter + hash agg + sort
     "join_inner",          // lineitem |><| orders, AQE-chosen strategy
+    "join_bkt_inner",      // same join over co-bucketed layouts: no Exchange/Sort
     "join_star_broadcast", // broadcast dim star join
     "agg_minmax_nunique",  // many-label groupby w/ distinct aggs
     "agg_bkt_nunique",     // same aggs over the partkey-bucketed layout

@@ -32,6 +32,23 @@ object JoinQueries extends QueryModule {
           dsum($"l_extendedprice").as("sum_price"))
     },
 
+    // join_inner's bucketed-layout twin: lineitem and orders
+    // co-bucketed + sorted on the order key, so the sort-merge join
+    // plans no Exchange on either side and no Sort (PlanHygieneSpec
+    // pins all three). Same rows as join_inner — one oracle serves
+    // both. The fact-fact shuffle is THE scale cost of the plain
+    // form; a warehouse that buckets its fact tables at write time
+    // never pays it at read.
+    "join_bkt_inner" -> { (s, d) =>
+      import s.implicits._
+      graft.sources.BucketedLayout.lineitemByOrder(s, d)
+        .join(graft.sources.BucketedLayout.ordersByKey(s, d),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_lines"),
+          dsum($"l_extendedprice").as("sum_price"))
+    },
+
     // merge how='left' (join.pyx:112 left_outer_join): unmatched left
     // rows survive with NULLs
     "join_left" -> { (s, d) =>
@@ -611,6 +628,14 @@ object JoinQueries extends QueryModule {
          ON c.key = o.key""",
 
     "join_inner" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_lines,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority""",
+
+    // identical semantics to join_inner — the layout changes the plan,
+    // never the rows
+    "join_bkt_inner" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey

@@ -105,4 +105,32 @@ object BucketedLayout {
           col("l_extendedprice"), col("l_shipdate"))
     }
   }
+
+  /** lineitem and orders CO-BUCKETED on the order key, both sorted by
+    * it: the fact-fact join layout. Identical bucket counts make the
+    * two scans' HashPartitioning compatible, so the sort-merge join
+    * plans NO Exchange on either side — and the on-disk sort order
+    * removes both Sorts. The sf100 headline's join_inner (39.7 s,
+    * round 10) pays a 600M + 150M row shuffle and two sorts every
+    * run; the layout pays them once at write. On a cluster this is
+    * the standard co-located fact-fact layout (bucketed warehouse
+    * tables); the reference has no storage-layout concept (SURVEY §4,
+    * Spark-native capability). */
+  def lineitemByOrder(s: SparkSession, d: String): DataFrame = {
+    val n = dataBuckets(s)
+    layout(s, d, s"lineitem_by_order_$n", n, "l_orderkey", Seq("l_orderkey")) {
+      Tables(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+    }
+  }
+
+  /** orders bucketed+sorted by o_orderkey — [[lineitemByOrder]]'s
+    * join partner (same bucket count by construction). */
+  def ordersByKey(s: SparkSession, d: String): DataFrame = {
+    val n = dataBuckets(s)
+    layout(s, d, s"orders_by_key_$n", n, "o_orderkey", Seq("o_orderkey")) {
+      Tables(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+    }
+  }
 }

@@ -168,6 +168,32 @@ class PlanHygieneSpec extends SparkSpec {
     }
   }
 
+  test("co-bucketed fact-fact join plans no Exchange and no Sort") {
+    // round 10: join_inner's layout twin. lineitem and orders are
+    // co-bucketed + sorted on the order key (same bucket count), so
+    // the SMJ must consume both scans in place — no shuffle of either
+    // fact table, no re-sort. The only Exchange allowed is the one
+    // ABOVE the join for the small groupBy(o_orderpriority) partials.
+    // At the sf0.001 fixture scale the planner would (correctly)
+    // broadcast the tiny orders side, which hides the property under
+    // test — disable auto-broadcast so the plan shows the decision
+    // the 600M-row regime faces: shuffle both facts, or read the
+    // co-located buckets.
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "-1")
+    try {
+      val p = executed("join_bkt_inner")
+      assert(p.contains("SortMergeJoin"),
+        s"join_bkt_inner must be a sort-merge join over the sorted runs:\n$p")
+      val joinPart = p.substring(p.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange"),
+        s"join_bkt_inner must not shuffle either fact table below the join:\n$p")
+      assert(!joinPart.contains("Sort ") && !joinPart.contains("Sort\n"),
+        s"join_bkt_inner must consume the on-disk sort order, not re-sort:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("bucketed exact-distinct dedups with no data-sized Exchange") {
     // VERDICT r9 next-#5: agg_bkt_nunique's grouping sets all contain
     // l_partkey, so HashPartitioning(l_partkey) from the bucketed scan
