@@ -47,8 +47,9 @@ object Bench {
     // (sources/BucketedLayout). Rep 1 pays the one-time layout write;
     // min-of-reps reports the steady-state read path, which is what a
     // layout is for. The 19-query total comparable with pre-r9 records
-    // = this total minus the win_rank_*/win_bkt_*/agg_bkt_* entries
-    // (seven since round 10 — bench/README.md).
+    // = this total minus the win_rank_*/win_bkt_*/agg_bkt_*/
+    // join_bkt_inner entries (EIGHT since round 10, matching
+    // bench/README.md — join_bkt_inner is also post-r9).
     "win_bkt_rolling_sum",
     "win_bkt_ewm_mean",
     "win_bkt_rank",
@@ -154,10 +155,24 @@ object Bench {
         }.getOrElse(-1L) finally src.close()
       } catch { case _: Throwable => -1L }
 
-    // (seconds, ok, 1-min loadavg at rep start, disk GB read by rep)
-    def rep(name: String): (Double, Boolean, Double, Double) = {
+    // cumulative stop-the-world GC time of this JVM (ms) across all
+    // collectors. Recorded as a per-rep delta next to read_gb so a
+    // noisy rep is self-describing: high read_gb = page-cache artifact,
+    // high gc_sec = heap churn (join_bkt_inner's 8.2x sf100 spread in
+    // the round-10 record was GC variance on the 600M-row merge —
+    // round-10 verdict, What's wrong #3), both low = code regression.
+    def gcMillis(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
+    // (seconds, ok, 1-min loadavg at rep start, disk GB read by rep,
+    //  GC seconds inside the timed window)
+    def rep(name: String): (Double, Boolean, Double, Double, Double) = {
       val la = loadAvg()
       val rb0 = diskReadBytes()
+      val gc0 = gcMillis()
       val t0 = System.nanoTime()
       val ok =
         try { exec(name); true }
@@ -166,14 +181,15 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis() - gc0) / 1e3
       val gb = if (rb0 < 0) -1.0 else (diskReadBytes() - rb0) / 1e9
       // untimed: release this rep's shuffle deps so the ContextCleaner
       // can delete their files (see the periodicGC comment above)
       System.gc()
-      (dt, ok, la, gb)
+      (dt, ok, la, gb, gcSec)
     }
-    def spreadOf(v: Seq[(Double, Boolean, Double, Double)]): Option[Double] = {
-      val ok = v.collect { case (t, true, _, _) => t }
+    def spreadOf(v: Seq[(Double, Boolean, Double, Double, Double)]): Option[Double] = {
+      val ok = v.collect { case (t, true, _, _, _) => t }
       if (ok.size < 2) None else Some(ok.max / ok.min)
     }
     val results = headline.filter(nameFilter).map { name =>
@@ -185,8 +201,8 @@ object Bench {
         samples = samples :+ rep(name)
       name -> samples
     }
-    def minOk(v: Seq[(Double, Boolean, Double, Double)]): Option[Double] = {
-      val ok = v.collect { case (t, true, _, _) => t }
+    def minOk(v: Seq[(Double, Boolean, Double, Double, Double)]): Option[Double] = {
+      val ok = v.collect { case (t, true, _, _, _) => t }
       if (ok.isEmpty) None else Some(ok.min)
     }
     val qs = results.map { case (k, v) =>
@@ -194,7 +210,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       "\"" + k + "\":" +
-        v.map { case (t, ok, _, _) => if (ok) t.toString else "null" }
+        v.map { case (t, ok, _, _, _) => if (ok) t.toString else "null" }
           .mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val loads = results.map { case (k, v) =>
@@ -202,6 +218,9 @@ object Bench {
     }.mkString("{", ",", "}")
     val readGb = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(x => f"${x._4}%.2f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val gcSecs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(x => f"${x._5}%.2f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val spreads = results.map { case (k, v) =>
       "\"" + k + "\":" + spreadOf(v).map(x => f"$x%.2f").getOrElse("null")
@@ -211,7 +230,7 @@ object Bench {
         "\"" + k + "\":" + v.count(!_._2)
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, v) => minOk(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"gc_sec":$gcSecs,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
     if (results.exists { case (_, v) => minOk(v).isEmpty }) {
       spark.stop()
       sys.exit(1)

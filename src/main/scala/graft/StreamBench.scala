@@ -34,6 +34,12 @@ object StreamBench {
     val sfDir = if (args.nonEmpty) args(0)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val names = if (args.length > 1) args(1).split(",").toSeq else defaultQueries
+    // apply the documented default HERE (round-10 ADVICE: the doc said
+    // "default 4" but nothing set it — an unset env var silently
+    // degraded the run to one all-available batch). The env var still
+    // overrides.
+    graft.streaming.StreamQueries.maxFilesDefault = Some("4")
+    val maxFiles = graft.streaming.StreamQueries.maxFilesOpt.get
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors()).toString)
     val spark = EngineConf.configure(SparkSession.builder()
@@ -70,7 +76,8 @@ object StreamBench {
         f"state peak ${m.stateRowsPeak})")
     }
     val q = per.map { case (k, v) => s""""$k":$v""" }.mkString(",")
-    println(f"""{"metric":"stream_total","value":$total%.1f,"unit":"sec","sf":"$sfDir","max_files":"${sys.env.getOrElse("SPARK_GRAFT_STREAM_MAX_FILES", "all")}","queries":{$q}}""")
+    val delay = graft.streaming.StreamQueries.dedupDelay
+    println(f"""{"metric":"stream_total","value":$total%.1f,"unit":"sec","sf":"$sfDir","max_files":"$maxFiles","dedup_delay":"$delay","queries":{$q}}""")
     spark.stop()
   }
 }

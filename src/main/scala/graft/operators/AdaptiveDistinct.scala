@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact (and opt-in approximate) per-group `nunique` over one or more
+  * column sets, behind ONE probe-switched entry point — the
+  * distinct-aggregate twin of [[AdaptiveRank]]'s plan switch (round-10
+  * verdict next-#1; reference semantics: pandas `groupby.nunique`,
+  * generic.py:890 / :3096).
+  *
+  * Exact distinct is the classic scale cliff: the values themselves
+  * must meet, so SOME full-data clustering is unavoidable — but WHICH
+  * clustering varies 2-10x in cost with the data's shape, and no single
+  * plan is right across regimes. The five plans:
+  *
+  *  - EXPAND — one `count(distinct struct(...))` aggregate per set in a
+  *    single Aggregate (Spark rewrites via Expand: every row duplicated
+  *    once per set). Right when distinct combos ≪ rows: the map-side
+  *    partial aggregation collapses each partition to its local combos,
+  *    so the k-fold Expand shuffles almost nothing and the whole query
+  *    is ONE scan. Wrong when combos ≈ rows (shuffles k × data).
+  *  - CLUSTERED — project the needed columns, ONE hash exchange on an
+  *    ANCHOR column contained in every distinct set, then every dedup
+  *    runs partition-locally: `HashPartitioning(anchor)` satisfies
+  *    `ClusteredDistribution(keys ++ set)` for any set ∋ anchor, so
+  *    Catalyst inserts no further data-sized Exchange (same property
+  *    the l_partkey bucket layout pins on disk). The superset dedup and
+  *    every per-set dedup share that one exchange (reused — the
+  *    branches are pruned identically by construction). Right when
+  *    combos are data-sized: pays the unavoidable clustering ONCE,
+  *    where the naive split pays it once per set.
+  *  - BUCKETED — CLUSTERED with the exchange already paid at
+  *    layout-write time: over a `BucketedLayout` frame whose bucket
+  *    column anchors every set, NO data-sized exchange at all.
+  *  - SPLIT — dedup the superset of all sets once, derive each set's
+  *    count from that (smaller) result. The fallback when the sets
+  *    share NO anchor column, where per-set clustering can't be
+  *    satisfied by one partitioning.
+  *  - APPROX — `approx_count_distinct` (HLL++), single scan, no Expand,
+  *    no data shuffle. NEVER probe-chosen: it changes answers. Chosen
+  *    only when the caller passes `maxRelErr > 0`, which becomes the
+  *    sketch's rsd — the pinned error contract (standard error of the
+  *    estimate ≤ maxRelErr; AggQueries' agg_approx_stats pins ±2% at
+  *    the default 0.02).
+  *
+  * The probe is one map-side `approx_count_distinct` scan (rows,
+  * superset-combo estimate, candidate-anchor NDVs — all in one job,
+  * same sketch-probe pattern as AdaptiveRank / the dedup HLL switch).
+  * EXPAND is picked when est. combos ≤ rows × [[expandFraction]];
+  * otherwise CLUSTERED on the highest-NDV anchor with fan-out ≥
+  * [[minAnchorFanout]] × shuffle partitions (a low-cardinality anchor
+  * would collapse parallelism); otherwise SPLIT. All exact paths
+  * produce IDENTICAL values (null combos count once, like
+  * `distinct()`), pinned by AdaptiveDistinctSpec.
+  *
+  * Eagerness contract: like AdaptiveRank, the adaptive path runs the
+  * probe job at plan-build time; `forcePath` pins a plan with no job.
+  */
+object AdaptiveDistinct {
+
+  /** EXPAND chosen when est. distinct combos ≤ rows × this (map-side
+    * combine then collapses the Expand to near-nothing). */
+  val expandFraction = 0.125
+  /** CLUSTERED requires the anchor's NDV ≥ this × shuffle partitions,
+    * so the single exchange still fans out across the cluster. */
+  val minAnchorFanout = 4
+
+  /** Probe result; exposed so tests can pin the switch. */
+  final case class Probe(rows: Long, estCombos: Long,
+      anchorNdv: Map[String, Long], partitions: Int) {
+    def useExpand: Boolean = estCombos <= (rows * expandFraction).toLong
+    /** best anchor with enough fan-out, if any */
+    def anchor: Option[String] = {
+      val floor = minAnchorFanout.toLong * partitions
+      val ok = anchorNdv.filter(_._2 >= floor)
+      if (ok.isEmpty) None else Some(ok.maxBy(_._2)._1)
+    }
+  }
+
+  /** Columns present in EVERY distinct set — the CLUSTERED candidates. */
+  def anchorCandidates(sets: Seq[(String, Seq[String])]): Seq[String] =
+    sets.map(_._2.toSet).reduce(_ intersect _).toSeq.sorted
+
+  def probe(df: DataFrame, groupKeys: Seq[String],
+      sets: Seq[(String, Seq[String])]): Probe = {
+    val superset = sets.flatMap(_._2).distinct
+    val cands = anchorCandidates(sets)
+    val aggs = count(lit(1)).as("__n") +:
+      approx_count_distinct(struct((groupKeys ++ superset).map(col): _*)).as("__c") +:
+      cands.map(c => approx_count_distinct(col(c)).as(s"__a_$c"))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    Probe(r.getLong(0), r.getLong(1),
+      cands.zipWithIndex.map { case (c, i) => c -> r.getLong(2 + i) }.toMap,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+  }
+
+  /** One row per `groupKeys` combination with an exact distinct count
+    * per entry of `sets` (output column name -> columns). `layout`
+    * optionally supplies a bucketed twin of `df` plus its bucket
+    * column — used (BUCKETED) only when that column anchors every set.
+    * `maxRelErr > 0` opts into APPROX with that error bound.
+    * `forcePath`: "" adaptive | expand | clustered | split | bucketed |
+    * approx (tests and the paired bench queries pin paths). */
+  def nuniques(df: DataFrame, groupKeys: Seq[String],
+      sets: Seq[(String, Seq[String])],
+      layout: Option[(DataFrame, String)] = None,
+      maxRelErr: Double = 0.0,
+      forcePath: String = ""): DataFrame = {
+    require(sets.nonEmpty, "nuniques: no distinct sets")
+    require(sets.forall(_._2.nonEmpty), "nuniques: empty column set")
+    val layoutServes = layout.exists { case (_, bkt) =>
+      sets.forall(_._2.contains(bkt))
+    }
+    val path = forcePath match {
+      case "" =>
+        if (maxRelErr > 0) "approx"
+        else if (layoutServes) "bucketed"
+        else {
+          val p = probe(df, groupKeys, sets)
+          if (p.useExpand) "expand"
+          else if (p.anchor.isDefined) s"clustered:${p.anchor.get}"
+          else "split"
+        }
+      case "clustered" =>
+        val cands = anchorCandidates(sets)
+        require(cands.nonEmpty, "clustered: sets share no anchor column")
+        s"clustered:${cands.head}"
+      case p @ ("expand" | "split" | "approx") => p
+      case "bucketed" =>
+        require(layoutServes,
+          "bucketed: no layout provided, or its bucket column is not in every set")
+        "bucketed"
+      case other => throw new IllegalArgumentException(s"forcePath: $other")
+    }
+    path match {
+      case "approx" =>
+        val rsd = if (maxRelErr > 0) maxRelErr else 0.02
+        df.groupBy(groupKeys.map(col): _*).agg(
+          approx_count_distinct(struct(sets.head._2.map(col): _*), rsd).as(sets.head._1),
+          sets.tail.map { case (n, cs) =>
+            approx_count_distinct(struct(cs.map(col): _*), rsd).as(n) }: _*)
+      case "expand" =>
+        // struct-wrapped so a null combo counts once, exactly like the
+        // distinct()-based paths (bare countDistinct drops null rows)
+        df.groupBy(groupKeys.map(col): _*).agg(
+          countDistinct(struct(sets.head._2.map(col): _*)).as(sets.head._1),
+          sets.tail.map { case (n, cs) =>
+            countDistinct(struct(cs.map(col): _*)).as(n) }: _*)
+      case "split" =>
+        val superset = sets.flatMap(_._2).distinct
+        val sup = df.select(((groupKeys ++ superset).distinct).map(col): _*).distinct()
+        joinCounts(sup, groupKeys, sets, superset)
+      case "bucketed" =>
+        // the scan is already HashPartitioning(bucketCol): clusteredAgg
+        // runs with NO data-sized exchange at all (pinned in
+        // PlanHygieneSpec / AdaptiveDistinctSpec)
+        clusteredAgg(layout.get._1, groupKeys, sets)
+      case clustered if clustered.startsWith("clustered:") =>
+        val anchor = clustered.stripPrefix("clustered:")
+        val superset = sets.flatMap(_._2).distinct
+        // ONE data-sized exchange, on the anchor only — everything
+        // above it is partition-local (see clusteredAgg)
+        clusteredAgg(
+          df.select(((groupKeys ++ superset).distinct).map(col): _*)
+            .repartition(col(anchor)),
+          groupKeys, sets)
+    }
+  }
+
+  /** All counts in ONE aggregate over an anchor-clustered child.
+    * Because the anchor is in every distinct set, every grouping the
+    * planner derives — the pre-dedup on (keys ++ superset), the
+    * Expand's regroup on (keys, gid, cols), the one-distinct rewrite's
+    * (keys ++ set) — contains the anchor, so `HashPartitioning(anchor)`
+    * satisfies each ClusteredDistribution and NO further data-sized
+    * exchange is planned; only the per-key partial states (O(groups ×
+    * partitions) rows) shuffle at the end. A set equal to the superset
+    * degrades to `count(1)` over the deduped rows — same value, no
+    * extra Expand branch. (An earlier join-based form let
+    * RemoveRedundantAggregates splice the shared dedup into per-branch
+    * copies with DIFFERENT pruned widths, breaking exchange reuse and
+    * paying the data shuffle per set — AdaptiveDistinctSpec pins the
+    * single-exchange shape.) */
+  private def clusteredAgg(child: DataFrame, groupKeys: Seq[String],
+      sets: Seq[(String, Seq[String])]): DataFrame = {
+    val superset = sets.flatMap(_._2).distinct
+    val sup = child.select(((groupKeys ++ superset).distinct).map(col): _*)
+      .distinct()
+    val aggs = sets.map { case (name, cs) =>
+      if (cs.toSet == superset.toSet) count(lit(1)).as(name)
+      else countDistinct(struct(cs.map(col): _*)).as(name)
+    }
+    sup.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-set counts derived from the deduped superset, joined on the
+    * group keys. For the set that IS the superset no second dedup is
+    * needed; sub-sets re-dedup over the (already partition-local or
+    * tiny) superset result. The join is NULL-SAFE on the keys so a
+    * null-keyed group survives exactly as Spark's groupBy keeps it —
+    * otherwise the join-based paths would silently drop groups the
+    * expand/approx paths report. */
+  private def joinCounts(sup: DataFrame, groupKeys: Seq[String],
+      sets: Seq[(String, Seq[String])], superset: Seq[String]): DataFrame = {
+    val counts = sets.map { case (name, cs) =>
+      val deduped =
+        if (cs.toSet == superset.toSet) sup
+        else sup.select(((groupKeys ++ cs).distinct).map(col): _*).distinct()
+      deduped.groupBy(groupKeys.map(col): _*).agg(count(lit(1)).as(name))
+    }
+    counts.reduce { (l, r) =>
+      val rr = r.select(groupKeys.map(k => col(k).as(s"__j_$k")) ++
+        r.columns.filterNot(groupKeys.contains).map(col): _*)
+      val cond = groupKeys.map(k => col(k) <=> col(s"__j_$k")).reduce(_ && _)
+      l.join(rr, cond).drop(groupKeys.map(k => s"__j_$k"): _*)
+    }
+  }
+}

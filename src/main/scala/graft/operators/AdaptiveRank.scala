@@ -69,7 +69,18 @@ object AdaptiveRank {
     * physical plan from a sketch probe (or an explicit `forcePath`:
     * "window" | "histogram" | "" = adaptive — tests and the paired
     * bench queries pin each path explicitly). Output columns `asAvg`
-    * (rank by `method`) and, when non-empty, `asPct`. */
+    * (rank by `method`) and, when non-empty, `asPct`.
+    *
+    * EAGERNESS CONTRACT (round-10 ADVICE): the adaptive path runs the
+    * probe — one map-side `approx_count_distinct` job — at PLAN-BUILD
+    * time, because the plan choice needs the cardinality before a
+    * DataFrame exists. Callers that need a fully lazy rank (deeply
+    * lazy pipelines, non-deterministic upstream stages they must not
+    * re-execute) should pass `forcePath = "window"`, which builds the
+    * window plan with NO job. Streaming frames short-circuit to the
+    * window plan automatically — a probe job cannot run on an
+    * unstarted stream, and the histogram join-back would be a
+    * stream-stream join with no watermark anyway. */
   def rank(df: DataFrame, keyCols: Seq[String], valueCol: String,
            method: String = "average", asRank: String = "rank_avg",
            asPct: String = "", naOption: String = "keep",
@@ -78,6 +89,8 @@ object AdaptiveRank {
       s"AdaptiveRank supports pair-determined methods, got: $method")
     require(Set("keep", "top", "bottom").contains(naOption),
       s"na_option: $naOption")
+    if (df.isStreaming)
+      return windowPlan(df, keyCols, valueCol, method, asRank, asPct, naOption)
     val p = forcePath match {
       case "window"    => None
       case "histogram" => Some(probe(df, keyCols, valueCol))
@@ -158,12 +171,18 @@ object AdaptiveRank {
         (if (asPct.isEmpty) Nil
          else Seq((r.cast("double") / denom).as(asPct))): _*)
     if (broadcastJoin) ranked = broadcast(ranked)
+    // withColumn semantics parity with the window plan: a pre-existing
+    // column named asRank/asPct is REPLACED, not duplicated — otherwise
+    // the same rank() call succeeds or throws on an ambiguous column
+    // depending on which plan the probe picks (round-10 ADVICE)
+    val base = (asRank +: (if (asPct.isEmpty) Nil else Seq(asPct)))
+      .foldLeft(df)((d, c) => if (d.columns.contains(c)) d.drop(c) else d)
     // null-safe pair equality: the window form ranks null-value rows
     // (they are peers of each other); a null-dropping equi-join would
     // silently lose them from the histogram form (round-9 ADVICE)
     val cond = keyCols.map(k => col(k) <=> col(s"__k_$k"))
       .reduce(_ && _) && (col(valueCol) <=> col("__v"))
-    val joined = df.join(ranked, cond)
+    val joined = base.join(ranked, cond)
       .drop("__v").drop(keyCols.map(k => s"__k_$k"): _*)
     gate(joined, valueCol, naOption,
       asRank +: (if (asPct.isEmpty) Nil else Seq(asPct)))

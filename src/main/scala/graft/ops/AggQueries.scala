@@ -53,10 +53,14 @@ object AggQueries extends QueryModule {
     },
 
     // groupby min/max/count/count_distinct (groupby.pyx:2257/:2229;
-    // nunique generic.py:890). Two count-distincts in one Aggregate
-    // force an Expand (every input row duplicated per distinct set);
-    // at scale it is cheaper to dedup each key set independently and
-    // join the 3 tiny per-group results back.
+    // nunique generic.py:890). The exact distincts route through the
+    // probe-switched operators/AdaptiveDistinct (round-10 verdict
+    // next-#1): a sketch probe picks EXPAND (map-side-collapsible
+    // combos), CLUSTERED (one anchor-column exchange serving every
+    // dedup — at sf100 this replaces the old split plan's second
+    // full shuffle), or SPLIT; and when the l_partkey bucket layout
+    // is ALREADY materialized in this session its sunk exchange is
+    // ridden instead (BUCKETED — same values, zero data shuffles).
     "agg_minmax_nunique" -> { (s, d) =>
       import s.implicits._
       val li = Tables(s, d, "lineitem")
@@ -67,27 +71,25 @@ object AggQueries extends QueryModule {
           min($"l_shipdate").as("min_ship"),
           max($"l_shipdate").as("max_ship"),
           count($"l_partkey").as("n"))
-      // ONE full-table dedup on the superset key; the partkey-only
-      // distinct then runs over that already-tiny set instead of a
-      // second full-table shuffle
-      val spSet = li.select($"l_returnflag", $"l_suppkey", $"l_partkey").distinct()
-      val nuSp = spSet.groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_sp"))
-      val nuPart = spSet.select($"l_returnflag", $"l_partkey").distinct()
-        .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_part"))
-      base.join(nuPart, Seq("l_returnflag")).join(nuSp, Seq("l_returnflag"))
+      val nu = graft.operators.AdaptiveDistinct.nuniques(
+        li, Seq("l_returnflag"),
+        Seq("nunique_part" -> Seq("l_partkey"),
+            "nunique_sp" -> Seq("l_suppkey", "l_partkey")),
+        layout = graft.sources.BucketedLayout.existingLineitemByPart(s, d)
+          .map(f => (f, "l_partkey")))
+      base.join(nu, Seq("l_returnflag"))
     },
 
-    // the LAYOUT twin of agg_minmax_nunique: over lineitem bucketed by
-    // l_partkey (BucketedLayout.lineitemByPart), every grouping set
-    // here CONTAINS l_partkey, so HashPartitioning(l_partkey) already
-    // satisfies the dedup aggregates' clustered distribution — a
-    // (flag, supp, part) triple cannot span buckets. Both exact
-    // distincts therefore dedup bucket-locally with NO data-sized
-    // Exchange (pinned in PlanHygieneSpec); the only shuffles left are
-    // the O(3 × partitions)-row count partials. This is the scale
-    // answer to exact nunique: the full-column shuffle the unbucketed
-    // form pays (78 s at sf100) is paid ONCE at layout-write time and
-    // amortized across every distinct-flavored query on the table.
+    // the LAYOUT twin of agg_minmax_nunique: same AdaptiveDistinct
+    // entry point, BUCKETED path pinned by construction — lineitem
+    // bucketed by l_partkey (BucketedLayout.lineitemByPart) anchors
+    // every grouping set, so HashPartitioning(l_partkey) satisfies the
+    // dedup aggregates' clustered distribution and both exact
+    // distincts dedup bucket-locally with NO data-sized Exchange
+    // (pinned in PlanHygieneSpec); the only shuffles left are the
+    // O(3 × partitions)-row count partials. The full-column exchange
+    // the unbucketed form pays per query is paid ONCE at layout-write
+    // time and amortized across every distinct-flavored query.
     "agg_bkt_nunique" -> { (s, d) =>
       import s.implicits._
       val li = graft.sources.BucketedLayout.lineitemByPart(s, d)
@@ -98,11 +100,12 @@ object AggQueries extends QueryModule {
           min($"l_shipdate").as("min_ship"),
           max($"l_shipdate").as("max_ship"),
           count($"l_partkey").as("n"))
-      val spSet = li.select($"l_returnflag", $"l_suppkey", $"l_partkey").distinct()
-      val nuSp = spSet.groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_sp"))
-      val nuPart = spSet.select($"l_returnflag", $"l_partkey").distinct()
-        .groupBy($"l_returnflag").agg(count(lit(1)).as("nunique_part"))
-      base.join(nuPart, Seq("l_returnflag")).join(nuSp, Seq("l_returnflag"))
+      val nu = graft.operators.AdaptiveDistinct.nuniques(
+        li, Seq("l_returnflag"),
+        Seq("nunique_part" -> Seq("l_partkey"),
+            "nunique_sp" -> Seq("l_suppkey", "l_partkey")),
+        layout = Some((li, "l_partkey")))
+      base.join(nu, Seq("l_returnflag"))
     },
 
     // groupby median/quantile, exact with linear interpolation

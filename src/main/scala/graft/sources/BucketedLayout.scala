@@ -106,6 +106,20 @@ object BucketedLayout {
     }
   }
 
+  /** [[lineitemByPart]] IF already materialized — never triggers the
+    * write. This is the "layout availability" input to the adaptive
+    * distinct switch (operators/AdaptiveDistinct): a query should ride
+    * the bucket-local plan only when the layout's write cost is
+    * already sunk, not pay a full shuffle+write to answer one
+    * aggregate. */
+  def existingLineitemByPart(s: SparkSession, d: String): Option[DataFrame] =
+    synchronized {
+      val n = dataBuckets(s)
+      val tbl = s"lineitem_by_part_${n}_${Integer.toHexString(d.hashCode)}"
+      if (written.contains(tbl) || s.catalog.tableExists(tbl)) Some(s.table(tbl))
+      else None
+    }
+
   /** lineitem and orders CO-BUCKETED on the order key, both sorted by
     * it: the fact-fact join layout. Identical bucket counts make the
     * two scans' HashPartitioning compatible, so the sort-merge join

@@ -69,6 +69,21 @@ class AdaptiveRankSpec extends SparkSpec {
     }
   }
 
+  test("re-ranking into an existing column name replaces it on BOTH paths") {
+    // round-10 ADVICE: the histogram join-back used to DUPLICATE a
+    // pre-existing output column where the window path replaced it —
+    // the same call succeeded or threw depending on the probe's pick
+    import org.apache.spark.sql.functions.lit
+    val df = lowCard.withColumn("r", lit(0)).withColumn("p", lit(0.0))
+    for (path <- Seq("window", "histogram")) {
+      val out = AdaptiveRank.rank(df, Seq("k"), "v", method = "min",
+        asRank = "r", asPct = "p", naOption = "keep", forcePath = path)
+      assert(out.columns.count(_ == "r") == 1, s"$path duplicated column r")
+      assert(out.columns.count(_ == "p") == 1, s"$path duplicated column p")
+      assert(out.count() == 600)
+    }
+  }
+
   test("na_option=keep nulls the rank and uses the valid-count pct denominator") {
     import spark.implicits._
     val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", None))
