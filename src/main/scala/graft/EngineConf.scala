@@ -37,9 +37,17 @@ object EngineConf {
     "spark.sql.sources.bucketing.autoBucketedScan.enabled" -> "false",
     "spark.sql.legacy.bucketedTableScan.outputOrdering" -> "true")
 
-  /** Fold the engine settings into a session builder. */
+  /** Fold the engine settings into a session builder — including the
+    * extensions class, so every harness session carries the custom
+    * strategy, the graft_* functions, and the optimizer rules exactly
+    * as a cluster deployment would (`--conf spark.sql.extensions=
+    * graft.GraftExtensions`). Applies only at session CREATION;
+    * `getOrCreate` against an existing session keeps its extensions. */
   def configure(b: SparkSession.Builder): SparkSession.Builder =
-    layoutSettings.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+    layoutSettings.foldLeft(
+      b.config("spark.sql.extensions", "graft.GraftExtensions")) {
+      case (bb, (k, v)) => bb.config(k, v)
+    }
 
   /** Loud check used by layout readers: a session missing the engine
     * settings would plan the Sort/Exchange the layout exists to

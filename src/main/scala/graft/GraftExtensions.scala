@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsofStrategy)
+    // index-alignment elision (SURVEY §4 item 4): a provably
+    // same-lineage aligned binary op loses its self-join. Post-hoc
+    // resolution, not optimizer: column pruning would split the shared
+    // subtree before an operator-optimization rule could prove lineage
+    ext.injectPostHocResolutionRule(_ => graft.plans.AlignmentElision)
 
     def fn(name: String, builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((FunctionIdentifier(name),

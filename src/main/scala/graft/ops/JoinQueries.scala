@@ -311,6 +311,27 @@ object JoinQueries extends QueryModule {
         .select($"key", round($"a" + $"b", 6).as("sum_ab"))
     },
 
+    // aligned binary op where both series come from the SAME frame —
+    // pandas' `self.index is other.index` fast path (frame.py:9607).
+    // Written as the full alignment join on purpose: the
+    // plans/AlignmentElision optimizer rule proves the two inputs
+    // share lineage and a unique key, and rewrites the self-join into
+    // ONE pass over the shared aggregate (plan pinned no-Join in
+    // AlignmentElisionSpec; at 100 TB this removes a whole-frame
+    // self-shuffle per arithmetic op). The <=> condition is the
+    // faithful translation anyway — pandas alignment matches NaN
+    // index labels.
+    "join_aligned_elide" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables(s, d, "orders")
+        .groupBy($"o_custkey".as("key"))
+        .agg(dsum($"o_totalprice").as("total"), count(lit(1)).as("cnt"))
+      val a = base.select($"key", $"total")
+      val b = base.select($"key", $"cnt")
+      a.join(b, a("key") <=> b("key"), "full")
+        .select(a("key"), round($"total" / $"cnt", 6).as("avg_price"))
+    },
+
     // merge_asof backward, by=user (merge.py:644 _AsOfMerge;
     // join.pyx:725 asof_join_backward_on_X_by_Y): latest purchase value
     // at/before each click
@@ -626,6 +647,17 @@ object JoinQueries extends QueryModule {
              CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS b
            FROM orders GROUP BY o_custkey) o
          ON c.key = o.key""",
+
+    // the oracle states the SEMANTICS (the aligned self-join); the
+    // engine's answer must match whether or not the elision fires
+    "join_aligned_elide" ->
+      """SELECT a.key, ROUND(a.total / b.cnt, 6) AS avg_price
+         FROM (SELECT o_custkey AS key,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+               FROM orders GROUP BY o_custkey) a
+         FULL JOIN (SELECT o_custkey AS key, COUNT(*) AS cnt
+                    FROM orders GROUP BY o_custkey) b
+         ON a.key = b.key""",
 
     "join_inner" ->
       """SELECT o_orderpriority, COUNT(*) AS n_lines,
