@@ -60,6 +60,15 @@ def main():
     if len(sys.argv) > 4:
         pats = [p for p in sys.argv[4].split(",") if p]
         names = [n for n in names if any(p in n for p in pats)]
+    # BIGCHECK_EXCLUDE: comma-separated substrings to SKIP — for
+    # known ORACLE-side pathologies at a given scale (e.g. DuckDB's
+    # 43-minute global dense_rank on agg_ngroup's 60M heavily-tied
+    # rows, SCALE.md round 6) whose rows are already proven in an
+    # earlier round's differential. Skips are printed, never silent.
+    excl = [p for p in os.environ.get("BIGCHECK_EXCLUDE", "").split(",") if p]
+    for n in [n for n in names if any(p in n for p in excl)]:
+        print(f"[skip-excluded] {n}")
+    names = [n for n in names if not any(p in n for p in excl)]
     fails = 0
     for name in names:
         if name not in oracle:
