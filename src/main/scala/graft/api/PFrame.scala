@@ -558,6 +558,19 @@ final case class PGroupBy(df: DataFrame, keys: Seq[String]) {
   def size(): PFrame =
     PFrame(df.groupBy(keys.map(col): _*).agg(F.count(lit(1)).as("size")), keys)
 
+  /** gb[cols].nunique() — pandas DataFrameGroupBy.nunique
+    * (generic.py:890): one exact distinct count per column, routed
+    * through the probe-switched operators/AdaptiveDistinct (per-column
+    * singleton sets share an anchor only for one column, so the probe
+    * picks EXPAND when combos collapse map-side and SPLIT otherwise;
+    * `path` pins a plan and keeps the call lazy). Null semantics =
+    * pandas dropna=False (a null counts as one value, consistent
+    * across every physical path); filter first for dropna=True. */
+  def nunique(cols: Seq[String], path: String = ""): PFrame =
+    PFrame(graft.operators.AdaptiveDistinct.nuniques(
+      df, keys, cols.map(c => s"${c}_nunique" -> Seq(c)),
+      forcePath = path), keys)
+
   /** gb.transform('mean', col) — group aggregate broadcast to rows */
   def transform(func: String, colName: String, as: String): PFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

@@ -282,6 +282,18 @@ object AggQueries extends QueryModule {
         .valueCounts("o_orderpriority", normalize = true).df
     },
 
+    // DataFrameGroupBy.nunique (generic.py:890): one exact distinct
+    // count per column, through the PFrame surface and the adaptive
+    // operator — the per-column singleton sets share NO anchor, so
+    // this row exercises AdaptiveDistinct's anchorless probe branch
+    // (SPLIT here: the custkey column keeps the combo superset
+    // data-sized; an all-low-cardinality mix would take EXPAND)
+    "agg_nunique_frame" -> { (s, d) =>
+      graft.api.PFrame(Tables(s, d, "orders"))
+        .groupby("o_orderpriority")
+        .nunique(Seq("o_custkey", "o_orderstatus", "o_orderdate")).df
+    },
+
     // value_counts(bins=5) (base.py:961 value_counts with bins -> cut
     // + count): equal-width bins over [min, max]; the global min/max
     // is one tiny broadcast aggregate, binning is then map-side
@@ -1012,6 +1024,13 @@ object AggQueries extends QueryModule {
       """SELECT o_orderpriority,
            CAST(COUNT(*) AS DOUBLE) /
              (SELECT COUNT(*) FROM orders) AS proportion
+         FROM orders GROUP BY o_orderpriority""",
+
+    "agg_nunique_frame" ->
+      """SELECT o_orderpriority,
+           COUNT(DISTINCT o_custkey) AS o_custkey_nunique,
+           COUNT(DISTINCT o_orderstatus) AS o_orderstatus_nunique,
+           COUNT(DISTINCT o_orderdate) AS o_orderdate_nunique
          FROM orders GROUP BY o_orderpriority""",
 
     "agg_mode" ->
