@@ -42,6 +42,18 @@ object SourceQueries extends QueryModule {
       case "orc" =>
         src.write.mode("overwrite").orc(path)
         s.read.orc(path)
+      case "xml" =>
+        // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
+        // XML source is NATIVE in Spark 4 (the spark-xml package was
+        // merged upstream), so the SURVEY §2.1 row previously skipped
+        // as needing an external jar is closeable offline. rowTag
+        // scopes one element per record; the explicit schema keeps
+        // type fidelity (XML is stringly-typed on the wire, exactly
+        // like CSV)
+        src.write.mode("overwrite").option("rowTag", "order")
+          .option("rootTag", "orders").format("xml").save(path)
+        s.read.option("rowTag", "order").schema(src.schema)
+          .format("xml").load(path)
     }
   }
 
@@ -76,6 +88,9 @@ object SourceQueries extends QueryModule {
 
     // read_orc (io/orc.py:40) -> spark.read.orc
     "src_orc_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "orc")) },
+
+    // read_xml/to_xml (io/xml.py:861) -> Spark 4's native xml source
+    "src_xml_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xml")) },
 
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
@@ -352,6 +367,7 @@ object SourceQueries extends QueryModule {
     "src_csv_gzip" -> oracleAgg,
     "src_json_roundtrip" -> oracleAgg,
     "src_orc_roundtrip" -> oracleAgg,
+    "src_xml_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
