@@ -42,6 +42,15 @@ object SourceQueries extends QueryModule {
       case "orc" =>
         src.write.mode("overwrite").orc(path)
         s.read.orc(path)
+      case "html" =>
+        // read_html/to_html (io/html.py:1023) — sources/HtmlTable:
+        // one XHTML doc per partition on write, one doc per task on
+        // read, cells stringly-typed like CSV/XML so the cast-back
+        // restores the schema
+        HtmlTable.write(src, path)
+        val raw = HtmlTable.read(s, path)
+        raw.select(src.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "xml" =>
         // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
         // XML source is NATIVE in Spark 4 (the spark-xml package was
@@ -91,6 +100,9 @@ object SourceQueries extends QueryModule {
 
     // read_xml/to_xml (io/xml.py:861) -> Spark 4's native xml source
     "src_xml_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xml")) },
+
+    // read_html/to_html (io/html.py:1023) -> sources/HtmlTable
+    "src_html_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "html")) },
 
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
@@ -368,6 +380,7 @@ object SourceQueries extends QueryModule {
     "src_json_roundtrip" -> oracleAgg,
     "src_orc_roundtrip" -> oracleAgg,
     "src_xml_roundtrip" -> oracleAgg,
+    "src_html_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
