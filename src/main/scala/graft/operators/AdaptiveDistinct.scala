@@ -116,6 +116,10 @@ object AdaptiveDistinct {
       case "" =>
         if (maxRelErr > 0) "approx"
         else if (layoutServes) "bucketed"
+        // same eagerness contract as AdaptiveRank: a probe job cannot
+        // run on an unstarted stream — take the single-Aggregate plan,
+        // which is the one Structured Streaming can execute at all
+        else if (df.isStreaming) "expand"
         else {
           val p = probe(df, groupKeys, sets)
           if (p.useExpand) "expand"
