@@ -51,6 +51,16 @@ object SourceQueries extends QueryModule {
         val raw = HtmlTable.read(s, path)
         raw.select(src.schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
+      case "xlsx" =>
+        // read_excel/to_excel (io/excel/_base.py:93,478) —
+        // sources/Xlsx: pure-JDK SpreadsheetML workbooks, one capped
+        // workbook per partition chunk on write, one per task on
+        // read; cells stringly-typed like CSV/XML/HTML so the
+        // cast-back restores the schema
+        Xlsx.write(src, path)
+        val raw = Xlsx.read(s, path)
+        raw.select(src.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "xml" =>
         // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
         // XML source is NATIVE in Spark 4 (the spark-xml package was
@@ -103,6 +113,9 @@ object SourceQueries extends QueryModule {
 
     // read_html/to_html (io/html.py:1023) -> sources/HtmlTable
     "src_html_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "html")) },
+
+    // read_excel/to_excel (io/excel/_base.py:93,478) -> sources/Xlsx
+    "src_excel_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xlsx")) },
 
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
@@ -381,6 +394,7 @@ object SourceQueries extends QueryModule {
     "src_orc_roundtrip" -> oracleAgg,
     "src_xml_roundtrip" -> oracleAgg,
     "src_html_roundtrip" -> oracleAgg,
+    "src_excel_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
