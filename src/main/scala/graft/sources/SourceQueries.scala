@@ -61,6 +61,16 @@ object SourceQueries extends QueryModule {
         val raw = Xlsx.read(s, path)
         raw.select(src.schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
+      case "dta" =>
+        // read_stata/to_stata (io/stata.py:2100) — sources/StataDta:
+        // pure-JDK dta-118 files, one capped file per partition chunk
+        // on write, one per task on read. dta is binary-typed, so the
+        // read restores real types; the cast below only re-widens the
+        // int32 longs (Stata has no int64) back to the source schema
+        StataDta.write(src, path)
+        val raw = StataDta.read(s, path)
+        raw.select(src.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "xml" =>
         // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
         // XML source is NATIVE in Spark 4 (the spark-xml package was
@@ -116,6 +126,9 @@ object SourceQueries extends QueryModule {
 
     // read_excel/to_excel (io/excel/_base.py:93,478) -> sources/Xlsx
     "src_excel_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xlsx")) },
+
+    // read_stata/to_stata (io/stata.py:2100) -> sources/StataDta
+    "src_stata_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "dta")) },
 
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
@@ -395,6 +408,7 @@ object SourceQueries extends QueryModule {
     "src_xml_roundtrip" -> oracleAgg,
     "src_html_roundtrip" -> oracleAgg,
     "src_excel_roundtrip" -> oracleAgg,
+    "src_stata_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price

@@ -1,0 +1,87 @@
+package graft
+
+import graft.sources.StataDta
+import org.apache.spark.sql.types._
+
+/** sources/StataDta — pure-JDK dta-118 read_stata/to_stata.
+  * Reference semantics: pandas io/stata.py:1023 (StataReader),
+  * :2100 (StataWriter/117+ -> StataWriterUTF8 for 118).
+  */
+class StataDtaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) = s"/tmp/graft_test/dta_$name"
+
+  test("round-trips every mapped type including nulls") {
+    val df = Seq(
+      (1L, Option("alpha"), Option(3.5), Option(7), Option(true)),
+      (2L, Option("βeta 漢"), None, None, Option(false)),
+      (3L, None, Option(-0.25), Option(-1), None)
+    ).toDF("k", "s", "v", "i", "b")
+      .select($"k", $"s", $"v", $"i".cast("int").as("i"), $"b")
+    StataDta.write(df, tmp("rt"))
+    val back = StataDta.read(spark, tmp("rt"))
+    // dta is binary-typed: longs come back int32, booleans as byte
+    assert(back.schema("k").dataType == IntegerType)
+    assert(back.schema("s").dataType == StringType)
+    assert(back.schema("v").dataType == DoubleType)
+    assert(back.schema("b").dataType == ByteType)
+    val cast = back.select($"k".cast("long"), $"s", $"v",
+      $"i".cast("int"), ($"b" === 1).as("b"))
+    assert(cast.collect().toSet == df.collect().toSet)
+  }
+
+  test("timestamps ride %tc (ms since 1960) and dates %td, nulls preserved") {
+    val df = Seq(
+      (1, Option(java.sql.Timestamp.valueOf("1998-07-04 12:30:45")),
+        Option(java.sql.Date.valueOf("1959-12-31"))),
+      (2, None, None)
+    ).toDF("k", "ts", "d")
+    StataDta.write(df, tmp("tc"))
+    val back = StataDta.read(spark, tmp("tc"))
+    assert(back.schema("ts").dataType == TimestampType)
+    assert(back.schema("d").dataType == DateType)
+    assert(back.select($"k".cast("int"), $"ts", $"d").collect().toSet ==
+      df.collect().toSet)
+  }
+
+  test("caps rows per file and reads all chunks back") {
+    val df = (1 to 23).map(i => (i, s"r$i")).toDF("k", "s").repartition(2)
+    StataDta.write(df, tmp("cap"), cap = 4)
+    val fs = new java.io.File(tmp("cap")).listFiles()
+      .filter(_.getName.endsWith(".dta"))
+    assert(fs.length >= 5, s"expected >=5 capped dta files, got ${fs.length}")
+    val back = StataDta.read(spark, tmp("cap")).select($"k".cast("int"), $"s")
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
+  test("rejects int64 values beyond Stata's long range, like pandas") {
+    val df = Seq((3000000000L, "x")).toDF("k", "s")
+    val e = intercept[org.apache.spark.SparkException] {
+      StataDta.write(df, tmp("range"))
+    }
+    assert(e.getMessage.contains("int32") || e.getCause != null)
+  }
+
+  test("map offsets are exact (reader can seek by the map)") {
+    val df = Seq((1, "a"), (2, "bb")).toDF("k", "s")
+    StataDta.write(df, tmp("map"), cap = 10)
+    val f = new java.io.File(tmp("map")).listFiles()
+      .filter(_.getName.endsWith(".dta")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // <map> payload starts right after the "<map>" tag
+    val mapTag = "<map>".getBytes("US-ASCII")
+    val mapAt = (0 until bytes.length - 5).find(i =>
+      mapTag.indices.forall(j => bytes(i + j) == mapTag(j))).get
+    bb.position(mapAt + 5)
+    val offs = (0 until 14).map(_ => bb.getLong)
+    assert(offs(1) == mapAt)                       // <map> offset
+    assert(offs(13) == bytes.length)               // EOF
+    def tagAt(off: Long, tag: String): Boolean =
+      tag.getBytes("US-ASCII").zipWithIndex.forall { case (b, j) => bytes(off.toInt + j) == b }
+    assert(tagAt(offs(2), "<variable_types>"))
+    assert(tagAt(offs(9), "<data>"))
+    assert(tagAt(offs(12), "</stata_dta>"))
+  }
+}
