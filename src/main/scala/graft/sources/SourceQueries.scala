@@ -71,6 +71,16 @@ object SourceQueries extends QueryModule {
         val raw = StataDta.read(s, path)
         raw.select(src.schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
+      case "sav" =>
+        // read_spss (io/spss.py:17) — sources/SpssSav: pure-JDK SPSS
+        // system files (+ the writer pandas lacks, enabling the
+        // round-trip). sav's only numeric type is double, so the
+        // cast below narrows the keys back, mirroring what pandas'
+        // read_spss float64 columns need
+        SpssSav.write(src, path)
+        val raw = SpssSav.read(s, path)
+        raw.select(src.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "xml" =>
         // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
         // XML source is NATIVE in Spark 4 (the spark-xml package was
@@ -129,6 +139,9 @@ object SourceQueries extends QueryModule {
 
     // read_stata/to_stata (io/stata.py:2100) -> sources/StataDta
     "src_stata_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "dta")) },
+
+    // read_spss (io/spss.py:17) -> sources/SpssSav
+    "src_spss_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "sav")) },
 
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
@@ -409,6 +422,7 @@ object SourceQueries extends QueryModule {
     "src_html_roundtrip" -> oracleAgg,
     "src_excel_roundtrip" -> oracleAgg,
     "src_stata_roundtrip" -> oracleAgg,
+    "src_spss_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
