@@ -81,6 +81,16 @@ object SourceQueries extends QueryModule {
         val raw = SpssSav.read(s, path)
         raw.select(src.schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
+      case "xpt" =>
+        // read_sas format="xport" (io/sas/sas_xport.py:253) —
+        // sources/SasXport: pure-JDK SAS Transport (TS-140) members;
+        // IBM hex-float numerics are exactly convertible, so the
+        // cast below only narrows the doubles back (xport has one
+        // numeric type, like pandas' float64 surfacing)
+        SasXport.write(src, path)
+        val raw = SasXport.read(s, path)
+        raw.select(src.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "xml" =>
         // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
         // XML source is NATIVE in Spark 4 (the spark-xml package was
@@ -142,6 +152,9 @@ object SourceQueries extends QueryModule {
 
     // read_spss (io/spss.py:17) -> sources/SpssSav
     "src_spss_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "sav")) },
+
+    // read_sas format="xport" (io/sas/sas_xport.py:253) -> sources/SasXport
+    "src_sas_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xpt")) },
 
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
@@ -423,6 +436,7 @@ object SourceQueries extends QueryModule {
     "src_excel_roundtrip" -> oracleAgg,
     "src_stata_roundtrip" -> oracleAgg,
     "src_spss_roundtrip" -> oracleAgg,
+    "src_sas_roundtrip" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
