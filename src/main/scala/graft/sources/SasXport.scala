@@ -139,11 +139,28 @@ object SasXport {
     val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = confB.value.value
       it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
+        writeXpt(rows, fields, shorts,
+          new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.xpt"), conf)
+        1
+      }
+    }.count()
+    // empty frame: one zero-observation member (NOBS=0), so read
+    // restores the schema
+    if (written == 0L)
+      writeXpt(Seq.empty, fields, shorts,
+        new org.apache.hadoop.fs.Path(path, "part-empty-0.xpt"),
+        sc.hadoopConfiguration)
+  }
+
+  private def writeXpt(rows: Seq[Row], fields: Seq[StructField],
+      shorts: IndexedSeq[String], file: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
         val vars = fields.zipWithIndex.map { case (f, i) =>
           val w = if (f.dataType == StringType) {
             val m = rows.iterator.map(r =>
               if (r.isNullAt(i)) 0
-              else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8).length).max
+              else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+              .foldLeft(1)(math.max)
             require(m <= 200, s"SasXport.write: column '${f.name}' has a $m-byte " +
               "value; xport v5 char fields cap at 200 bytes")
             m
@@ -151,7 +168,6 @@ object SasXport {
           planOf(f, shorts(i), w)
         }
         val rowWidth = vars.map(_.width).sum
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.xpt")
         val o = new java.io.BufferedOutputStream(
           file.getFileSystem(conf).create(file, true), 1 << 16)
         val wb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.BIG_ENDIAN)
@@ -214,10 +230,6 @@ object SasXport {
           }
           while (outLen % 80 != 0) { o.write(' '); outLen += 1 }
         } finally o.close()
-        1
-      }
-    }.count()
-    require(written > 0 || df.isEmpty, s"SasXport.write: no files under $path")
   }
 
   // ---- reader ----

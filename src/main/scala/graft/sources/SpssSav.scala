@@ -122,11 +122,28 @@ object SpssSav {
     val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = confB.value.value
       it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
+        writeSav(rows, fields, shorts,
+          new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.sav"), conf)
+        1
+      }
+    }.count()
+    // empty frame: one zero-case sav (ncases=0 with full dictionary),
+    // so read restores the schema
+    if (written == 0L)
+      writeSav(Seq.empty, fields, shorts,
+        new org.apache.hadoop.fs.Path(path, "part-empty-0.sav"),
+        sc.hadoopConfiguration)
+  }
+
+  private def writeSav(rows: Seq[Row], fields: Seq[StructField],
+      shorts: IndexedSeq[String], file: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
         val vars = fields.zipWithIndex.map { case (f, i) =>
           val w = if (f.dataType == StringType) {
             val m = rows.iterator.map(r =>
               if (r.isNullAt(i)) 0
-              else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8).length).max
+              else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8).length)
+              .foldLeft(1)(math.max)
             require(m <= 255, s"SpssSav.write: column '${f.name}' has a $m-byte " +
               "value; sav fixed strings cap at 255 bytes")
             m
@@ -134,7 +151,6 @@ object SpssSav {
           planOf(f, shorts(i), w)
         }
         val caseSize = vars.map(_.elems).sum
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.sav")
         val o = new java.io.BufferedOutputStream(
           file.getFileSystem(conf).create(file, true), 1 << 16)
         try {
@@ -199,10 +215,6 @@ object SpssSav {
             }
           }
         } finally o.close()
-        1
-      }
-    }.count()
-    require(written > 0 || df.isEmpty, s"SpssSav.write: no files under $path")
   }
 
   // ---- reader ----

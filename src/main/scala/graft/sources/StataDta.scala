@@ -115,13 +115,29 @@ object StataDta {
     val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = confB.value.value
       it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
+        writeDta(rows, fields, plans,
+          new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.dta"), conf)
+        1
+      }
+    }.count()
+    // empty frame: one zero-observation dta (valid per the format —
+    // N=0 with full descriptors), so read restores the schema
+    if (written == 0L)
+      writeDta(Seq.empty, fields, plans,
+        new org.apache.hadoop.fs.Path(path, "part-empty-0.dta"),
+        sc.hadoopConfiguration)
+  }
+
+  private def writeDta(rows: Seq[Row], fields: Seq[StructField],
+      plans: Seq[VarPlan], file: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
         // chunk pass 1: per-column max UTF-8 width for str{w} types
         val widths = plans.zipWithIndex.map { case (pl, i) =>
           if (fields(i).dataType != StringType) pl.width
           else math.max(1, rows.iterator.map { r =>
             if (r.isNullAt(i)) 0
             else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-          }.max) match {
+          }.foldLeft(0)(math.max)) match {
             case w if w > 2045 => throw new IllegalArgumentException(
               s"StataDta.write: column '${fields(i).name}' has a $w-byte value; " +
                 "Stata fixed strings cap at 2045 bytes (strL blobs not emitted by this sink)")
@@ -167,7 +183,6 @@ object StataDta {
         val offClose = offVl + lenVl
         val offEof = offClose + 12
 
-        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.dta")
         val o = new java.io.BufferedOutputStream(
           file.getFileSystem(conf).create(file, true), 1 << 16)
         try {
@@ -241,10 +256,6 @@ object StataDta {
           wAscii(o, "</data>")
           wAscii(o, "<strls></strls><value_labels></value_labels></stata_dta>")
         } finally o.close()
-        1
-      }
-    }.count()
-    require(written > 0 || df.isEmpty, s"StataDta.write: no files under $path")
   }
 
   // ---- reader ----

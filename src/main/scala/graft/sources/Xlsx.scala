@@ -107,42 +107,53 @@ object Xlsx {
     val written = strDf.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = confB.value.value
       it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
-        val file = new org.apache.hadoop.fs.Path(
-          path, f"part-$pid%05d-$ci.xlsx")
-        val out = file.getFileSystem(conf).create(file, true)
-        val zos = new java.util.zip.ZipOutputStream(out)
-        val w = new java.io.OutputStreamWriter(zos, java.nio.charset.StandardCharsets.UTF_8)
-        def entry(name: String, body: String): Unit = {
-          zos.putNextEntry(new java.util.zip.ZipEntry(name))
-          w.write(body); w.flush(); zos.closeEntry()
-        }
-        entry("[Content_Types].xml", contentTypes)
-        entry("_rels/.rels", pkgRels)
-        entry("xl/workbook.xml", workbook)
-        entry("xl/_rels/workbook.xml.rels", wbRels)
-        zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
-        w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-        w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-        w.write(header)
-        var r = 2L
-        rows.foreach { row =>
-          w.write(s"""<row r="$r">""")
-          var i = 0
-          while (i < row.length) {
-            val ref = s"${colLetters(i)}$r"
-            if (row.isNullAt(i)) w.write(s"""<c r="$ref"/>""")
-            else w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(row.getString(i))}</t></is></c>""")
-            i += 1
-          }
-          w.write("</row>")
-          r += 1
-        }
-        w.write("</sheetData></worksheet>")
-        w.flush(); zos.closeEntry(); zos.close()
+        writeWorkbook(rows, header,
+          new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.xlsx"), conf)
         1
       }
     }.count()
-    require(written > 0 || strDf.isEmpty, s"Xlsx.write: no files under $path")
+    // empty frame: one header-only workbook, so read restores the
+    // schema — pandas' to_excel writes the header row of an empty
+    // frame too
+    if (written == 0L)
+      writeWorkbook(Nil, header,
+        new org.apache.hadoop.fs.Path(path, "part-empty-0.xlsx"),
+        sc.hadoopConfiguration)
+  }
+
+  private def writeWorkbook(rows: Iterable[Row], header: String,
+      file: org.apache.hadoop.fs.Path,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
+    val out = file.getFileSystem(conf).create(file, true)
+    val zos = new java.util.zip.ZipOutputStream(out)
+    val w = new java.io.OutputStreamWriter(zos, java.nio.charset.StandardCharsets.UTF_8)
+    def entry(name: String, body: String): Unit = {
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      w.write(body); w.flush(); zos.closeEntry()
+    }
+    entry("[Content_Types].xml", contentTypes)
+    entry("_rels/.rels", pkgRels)
+    entry("xl/workbook.xml", workbook)
+    entry("xl/_rels/workbook.xml.rels", wbRels)
+    zos.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    w.write(header)
+    var r = 2L
+    rows.foreach { row =>
+      w.write(s"""<row r="$r">""")
+      var i = 0
+      while (i < row.length) {
+        val ref = s"${colLetters(i)}$r"
+        if (row.isNullAt(i)) w.write(s"""<c r="$ref"/>""")
+        else w.write(s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(row.getString(i))}</t></is></c>""")
+        i += 1
+      }
+      w.write("</row>")
+      r += 1
+    }
+    w.write("</sheetData></worksheet>")
+    w.flush(); zos.closeEntry(); zos.close()
   }
 
   /** Shared-strings table of a workbook, if present (empty for files

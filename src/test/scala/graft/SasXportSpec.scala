@@ -80,4 +80,11 @@ class SasXportSpec extends SparkSpec {
     assert(card(7).startsWith("HEADER RECORD*******NAMESTR"))
     assert(card(7).substring(54, 58) == "0002")
   }
+  test("empty frame round-trips as a NOBS=0 member") {
+    val df = Seq((1, "x")).toDF("k", "s").filter($"k" < 0)
+    SasXport.write(df, tmp("empty"))
+    val back = SasXport.read(spark, tmp("empty"))
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(back.count() == 0)
+  }
 }

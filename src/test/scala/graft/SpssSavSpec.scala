@@ -92,4 +92,11 @@ class SpssSavSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("double") || e.getCause != null)
   }
+  test("empty frame round-trips as a zero-case file") {
+    val df = Seq((1, "x")).toDF("k", "s").filter($"k" < 0)
+    SpssSav.write(df, tmp("empty"))
+    val back = SpssSav.read(spark, tmp("empty"))
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(back.count() == 0)
+  }
 }

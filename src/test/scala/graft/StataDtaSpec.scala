@@ -84,4 +84,11 @@ class StataDtaSpec extends SparkSpec {
     assert(tagAt(offs(9), "<data>"))
     assert(tagAt(offs(12), "</stata_dta>"))
   }
+  test("empty frame round-trips as a zero-observation file") {
+    val df = Seq((1, "x")).toDF("k", "s").filter($"k" < 0)
+    StataDta.write(df, tmp("empty"))
+    val back = StataDta.read(spark, tmp("empty"))
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(back.count() == 0)
+  }
 }

@@ -76,4 +76,11 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colLetters(701) == "ZZ")
     assert(Xlsx.colLetters(702) == "AAA")
   }
+  test("empty frame round-trips as a header-only workbook") {
+    val df = Seq((1L, "x")).toDF("k", "s").filter($"k" < 0)
+    graft.sources.Xlsx.write(df, tmp("empty"))
+    val back = graft.sources.Xlsx.read(spark, tmp("empty"))
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s"))
+    assert(back.count() == 0)
+  }
 }
