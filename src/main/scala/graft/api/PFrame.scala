@@ -506,10 +506,56 @@ final case class PFrame(df: DataFrame, index: Seq[String] = Nil) {
     }
     copy(df = joined.select(out: _*))
   }
+
+  // ---- interchange-format sinks (pandas DataFrame.to_*) ----
+  // Each writes one capped file per partition chunk in parallel; see
+  // graft.sources scaladoc for the format contracts. Bulk data
+  // belongs in parquet (df.write.parquet) — these are the formats
+  // pandas users exchange with other tools.
+
+  /** df.to_excel(path) (io/excel/_base.py:478) */
+  def toExcel(path: String): Unit = graft.sources.Xlsx.write(df, path)
+
+  /** df.to_stata(path) (io/stata.py:2100) */
+  def toStata(path: String): Unit = graft.sources.StataDta.write(df, path)
+
+  /** SPSS .sav writer (pandas has read_spss only) */
+  def toSpss(path: String): Unit = graft.sources.SpssSav.write(df, path)
+
+  /** SAS Transport writer (pandas has read_sas only) */
+  def toXport(path: String): Unit = graft.sources.SasXport.write(df, path)
+
+  /** df.to_html(path) (io/formats/html.py) */
+  def toHtml(path: String): Unit = graft.sources.HtmlTable.write(df, path)
 }
 
 object PFrame {
   def apply(df: DataFrame): PFrame = new PFrame(df, Nil)
+
+  // ---- interchange-format sources (pandas pd.read_*) ----
+  // One file per task via binaryFile; binary-typed formats (dta/sav/
+  // xpt) restore real types, stringly-typed ones (xlsx/html) return
+  // strings for the caller to cast, the CSV discipline.
+
+  /** pd.read_excel(path) (io/excel/_base.py:93); all-string columns */
+  def readExcel(s: org.apache.spark.sql.SparkSession, path: String): PFrame =
+    PFrame(graft.sources.Xlsx.read(s, path))
+
+  /** pd.read_stata(path) (io/stata.py:1023) */
+  def readStata(s: org.apache.spark.sql.SparkSession, path: String): PFrame =
+    PFrame(graft.sources.StataDta.read(s, path))
+
+  /** pd.read_spss(path) (io/spss.py:17) */
+  def readSpss(s: org.apache.spark.sql.SparkSession, path: String): PFrame =
+    PFrame(graft.sources.SpssSav.read(s, path))
+
+  /** pd.read_sas(path, format="xport") (io/sas/sasreader.py:61) */
+  def readSas(s: org.apache.spark.sql.SparkSession, path: String): PFrame =
+    PFrame(graft.sources.SasXport.read(s, path))
+
+  /** pd.read_html(path) (io/html.py:1023); all-string columns */
+  def readHtml(s: org.apache.spark.sql.SparkSession, path: String): PFrame =
+    PFrame(graft.sources.HtmlTable.read(s, path))
 
   /** pd.concat(frames, axis=0) — union by name with type promotion */
   def concat(frames: Seq[PFrame]): PFrame =

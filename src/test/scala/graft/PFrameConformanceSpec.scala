@@ -336,4 +336,20 @@ class PFrameConformanceSpec extends SparkSpec {
         .getDummies("o_orderstatus", "status")
         .apply("o_orderkey", "status_F", "status_O", "status_P"))
   }
+  test("PFrame IO wrappers ~ src_*_roundtrip sources") {
+    import spark.implicits._
+    val pf = PFrame(Seq((1L, Option("a"), Option(2.5)),
+      (2L, None, None)).toDF("k", "s", "v"))
+    val base = "/tmp/graft_test/pframe_io"
+    pf.toExcel(s"$base/x"); pf.toStata(s"$base/d")
+    pf.toSpss(s"$base/p"); pf.toXport(s"$base/t"); pf.toHtml(s"$base/h")
+    def norm(f: PFrame) = f.toDF.select($"k".cast("long"), $"s", $"v".cast("double"))
+      .collect().toSet
+    val want = norm(pf)
+    assert(norm(PFrame.readExcel(spark, s"$base/x")) == want)
+    assert(norm(PFrame.readStata(spark, s"$base/d")) == want)
+    assert(norm(PFrame.readSpss(spark, s"$base/p")) == want)
+    assert(norm(PFrame.readSas(spark, s"$base/t")) == want)
+    assert(norm(PFrame.readHtml(spark, s"$base/h")) == want)
+  }
 }
