@@ -199,7 +199,11 @@ object SasXport {
             ns.putShort(v.width.toShort)        // field length
             ns.putShort((i + 1).toShort)        // varnum
             ns.put(pad(v.shortName, 8).getBytes("US-ASCII"))
-            ns.put(pad(v.longName, 40).getBytes("UTF-8")) // label = real name
+            // label = real name; pad in BYTES (a 40-char pad of a
+            // multi-byte UTF-8 name would overflow the fixed field)
+            val lb = v.longName.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            ns.put(lb)
+            (lb.length until 40).foreach(_ => ns.put(' '.toByte))
             ns.put(pad(v.sasFmt, 8).getBytes("US-ASCII")) // format name
             ns.putShort(0); ns.putShort(0); ns.putShort(0) // nfl/nfd/nfj
             ns.put(pad("", 2).getBytes("US-ASCII"))        // nfill

@@ -87,4 +87,11 @@ class SasXportSpec extends SparkSpec {
     assert(back.schema.fieldNames.toSeq == Seq("k", "s"))
     assert(back.count() == 0)
   }
+  test("non-ASCII column names pad byte-exact in the NAMESTR label") {
+    val df = Seq((1.5, "x")).toDF("prix_unité_éè", "s")
+    SasXport.write(df, tmp("uni"))
+    val back = SasXport.read(spark, tmp("uni"))
+    assert(back.schema.fieldNames.toSeq == Seq("prix_unité_éè", "s"))
+    assert(back.select($"s").as[String].collect().toSeq == Seq("x"))
+  }
 }
