@@ -156,6 +156,25 @@ object SourceQueries extends QueryModule {
     // read_sas format="xport" (io/sas/sas_xport.py:253) -> sources/SasXport
     "src_sas_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xpt")) },
 
+    // read_csv(chunksize=) (io/parsers/readers.py TextFileReader) ->
+    // sources/ChunkedReader: deterministic file-group batches; the
+    // union of all chunks re-aggregated against the unchunked oracle
+    // pins exactly-once coverage (a dropped or doubled chunk breaks
+    // the counts)
+    "src_chunked_csv" -> { (s, d) =>
+      import s.implicits._
+      val src = Tables(s, d, "orders")
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+          date_format($"o_orderdate", "yyyy-MM-dd HH:mm:ss").as("o_date_str"))
+      val path = tmpDir(d, "chunked_csv")
+      src.repartition(16).write.mode("overwrite")
+        .option("header", "true").csv(path)
+      val chunks = ChunkedReader.byFiles(s, path, "csv", filesPerChunk = 3,
+        schema = Some(src.schema), options = Map("header" -> "true")).toSeq
+      require(chunks.length == 6, s"expected 6 chunks of <=3 files, got ${chunks.length}")
+      agg(chunks.reduce(_.unionByName(_)))
+    },
+
     // partitioned parquet sink + partition-pruned scan (pandas has no
     // partitioning concept — Spark-native capability, SURVEY §4)
     "src_partitioned_parquet" -> { (s, d) =>
@@ -437,6 +456,7 @@ object SourceQueries extends QueryModule {
     "src_stata_roundtrip" -> oracleAgg,
     "src_spss_roundtrip" -> oracleAgg,
     "src_sas_roundtrip" -> oracleAgg,
+    "src_chunked_csv" -> oracleAgg,
     "src_partitioned_parquet" ->
       """SELECT COUNT(*) AS n,
          CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
