@@ -19,9 +19,15 @@ import org.apache.spark.sql.types._
   *   - string  -> str{w}, w = max UTF-8 byte width in the chunk
   *     (Stata's native fixed-width strings; ≤2045 enforced loudly)
   *   - byte/boolean -> dta byte; short -> dta int
-  *   - int/long -> dta long (int32) — Stata HAS NO int64, exactly as
-  *     pandas: values outside ±2,147,483,620 fail loudly with advice
-  *     to cast to double first
+  *   - int/long -> dta long (int32) — Stata HAS NO int64. Exactly as
+  *     pandas (`io/stata.py:406` `_cast_to_stata_types`), integral
+  *     columns whose values exceed the int32 long range are SIDECAST
+  *     to double, decided frame-wide by one min/max aggregate before
+  *     the write (the distributed form of pandas' column max scan);
+  *     beyond 2^53, where doubles stop being integer-exact, the write
+  *     fails loudly (pandas warns and silently loses precision — a
+  *     deliberate divergence: a distributed writer must not corrupt
+  *     quietly)
   *   - float -> dta float, double/decimal -> dta double
   *   - timestamp -> dta double with %tc format (ms since 1960-01-01)
   *   - date -> dta long with %td format (days since 1960-01-01)
@@ -111,7 +117,25 @@ object StataDta {
     fs.mkdirs(p)
     val confB = sc.broadcast(new SerializableWritable(sc.hadoopConfiguration))
     val fields = df.schema.fields.toSeq
-    val plans = fields.map(planOf)
+    // pandas io/stata.py:481 — int64/int32 columns sidecast to double
+    // when any value is outside Stata's long range, decided
+    // frame-wide (one min/max aggregate) so every chunk agrees
+    val intCols = fields.filter(f =>
+      f.dataType == LongType || f.dataType == IntegerType)
+    val sidecast: Set[String] = if (intCols.isEmpty) Set.empty else {
+      import org.apache.spark.sql.functions.{col, min, max}
+      val aggs = intCols.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
+      val r = df.agg(aggs.head, aggs.tail: _*).head()
+      intCols.zipWithIndex.collect {
+        case (f, i) if !r.isNullAt(2 * i) &&
+            (r.getAs[Number](2 * i).longValue < -2147483647L ||
+             r.getAs[Number](2 * i + 1).longValue > maxLong) => f.name
+      }.toSet
+    }
+    val plans = fields.map { f =>
+      if (sidecast(f.name)) VarPlan(stataName(f.name), T_DOUBLE, "%10.0g", 8)
+      else planOf(f)
+    }
     val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = confB.value.value
       it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
@@ -221,13 +245,28 @@ object StataDta {
                 case BooleanType =>
                   o.write(if (r.isNullAt(i)) MISS_BYTE else if (r.getBoolean(i)) 1 else 0)
                 case ShortType => w2(o, if (r.isNullAt(i)) MISS_INT else r.getShort(i).toInt)
+                case IntegerType if plans(i).dtaType == T_DOUBLE => // sidecast
+                  w8(o, java.lang.Double.doubleToLongBits(
+                    if (r.isNullAt(i)) MISS_DOUBLE else r.getInt(i).toDouble))
                 case IntegerType => w4(o, if (r.isNullAt(i)) MISS_LONG else r.getInt(i))
+                case LongType if plans(i).dtaType == T_DOUBLE => // sidecast
+                  if (r.isNullAt(i))
+                    w8(o, java.lang.Double.doubleToLongBits(MISS_DOUBLE))
+                  else {
+                    val v = r.getLong(i)
+                    require(math.abs(v) <= (1L << 53), s"StataDta.write: " +
+                      s"${fields(i).name}=$v exceeds a double's exact-integer " +
+                      "range — pandas would silently lose precision here; " +
+                      "cast to double explicitly to accept the rounding")
+                    w8(o, java.lang.Double.doubleToLongBits(v.toDouble))
+                  }
                 case LongType =>
                   if (r.isNullAt(i)) w4(o, MISS_LONG)
                   else {
                     val v = r.getLong(i)
                     require(math.abs(v) <= maxLong, s"StataDta.write: ${fields(i).name}=$v " +
-                      "exceeds Stata's int32 long (no int64 in dta, as in pandas) — cast to double first")
+                      "exceeds Stata's int32 long — the frame-wide sidecast scan " +
+                      "should have widened this column (data changed mid-write?)")
                     w4(o, v.toInt)
                   }
                 case FloatType =>

@@ -55,12 +55,24 @@ class StataDtaSpec extends SparkSpec {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
-  test("rejects int64 values beyond Stata's long range, like pandas") {
-    val df = Seq((3000000000L, "x")).toDF("k", "s")
+  test("int64 beyond Stata's long range sidecasts to double, like pandas") {
+    // io/stata.py:481 _cast_to_stata_types: int64 -> float64 when
+    // outside int32; decided frame-wide so every chunk agrees
+    val df = Seq((3000000000L, 1L), (-5L, 2L)).toDF("big", "small")
+    StataDta.write(df, tmp("sidecast"))
+    val back = StataDta.read(spark, tmp("sidecast"))
+    assert(back.schema("big").dataType == DoubleType)   // sidecast
+    assert(back.schema("small").dataType == IntegerType) // still long
+    assert(back.select($"big".cast("long"), $"small".cast("long"))
+      .collect().toSet == df.collect().toSet)
+  }
+
+  test("sidecast fails loudly past 2^53 instead of silently losing precision") {
+    val df = Seq(((1L << 53) + 1, "x")).toDF("k", "s")
     val e = intercept[org.apache.spark.SparkException] {
       StataDta.write(df, tmp("range"))
     }
-    assert(e.getMessage.contains("int32") || e.getCause != null)
+    assert(e.getMessage.contains("exact-integer") || e.getCause != null)
   }
 
   test("map offsets are exact (reader can seek by the map)") {
