@@ -249,10 +249,24 @@ object SasXport {
     val nsHead = card(7)
     require(nsHead.startsWith("HEADER RECORD*******NAMESTR"), "SasXport.read: NAMESTR header missing")
     val k = nsHead.substring(54, 58).trim.toInt
-    val nsBytes = ((k * 140 + 79) / 80) * 80
-    val bb = java.nio.ByteBuffer.wrap(bytes, 8 * 80, nsBytes)
-      .order(java.nio.ByteOrder.BIG_ENDIAN)
-    val vars = (0 until k).map { _ =>
+    // NAMESTR record length is DECLARED in the member header card —
+    // 140 on most platforms but 136 (or 135) on VAX/VMS-authored
+    // files. pandas reads it from header1[-5:-2] (sas_xport.py:319-320)
+    // and pads each record to 140 before decoding; hardcoding 140
+    // would parse such files at the wrong stride into garbage.
+    val nsLen = {
+      val declared = card(3).substring(75, 78).trim
+      val v = if (declared.isEmpty) 140 else declared.toInt
+      require(v == 140 || v == 136 || v == 135,
+        s"SasXport.read: NAMESTR record length $v not one of 135/136/140")
+      v
+    }
+    val nsBytes = ((k * nsLen + 79) / 80) * 80
+    val base = 8 * 80
+    val vars = (0 until k).map { i =>
+      val rec = java.util.Arrays.copyOfRange(bytes, base + i * nsLen, base + i * nsLen + nsLen)
+      val padded = if (nsLen == 140) rec else java.util.Arrays.copyOf(rec, 140)
+      val bb = java.nio.ByteBuffer.wrap(padded).order(java.nio.ByteOrder.BIG_ENDIAN)
       val ntype = bb.getShort
       bb.getShort // nhfun
       val width = bb.getShort
@@ -263,10 +277,9 @@ object SasXport {
       val label = new String(lb, "UTF-8").trim
       val fb = new Array[Byte](8); bb.get(fb)
       val fmtName = new String(fb, "US-ASCII").trim
-      bb.position(bb.position() + 2 * 3 + 2 + 8 + 2 * 2 + 4 + 52)
       XVar(if (label.nonEmpty) label else short, short, ntype == 2, width, fmtName)
     }
-    val dataAt = 8 * 80 + nsBytes + 80
+    val dataAt = base + nsBytes + 80
     require(new String(bytes, dataAt - 80, 80, "US-ASCII") == obsHeader,
       "SasXport.read: OBS header missing")
     val rowWidth = vars.map(_.width).sum

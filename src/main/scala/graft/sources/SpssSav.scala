@@ -265,6 +265,26 @@ object SpssSav {
           if (subtype == 13)
             nameMap = new String(payload, "UTF-8").split("\t").iterator
               .map(_.split("=", 2)).collect { case Array(s, l) => s -> l }.toMap
+        case 3 =>
+          // value-label record (PSPP manual, "Value Labels Records"):
+          // count pairs of {8-byte value, 1-byte label length, label
+          // padded so len+1 is a multiple of 8}. Very common in
+          // SPSS/pyreadstat-authored files; labels carry no data, skip.
+          val count = bb.getInt
+          (0 until count).foreach { _ =>
+            bb.position(bb.position() + 8) // labeled value
+            val len = bb.get() & 0xff
+            bb.position(bb.position() + ((len + 1 + 7) / 8) * 8 - 1)
+          }
+        case 4 =>
+          // companion variable-index record (always follows type 3):
+          // n int32 dictionary indexes
+          val n = bb.getInt
+          bb.position(bb.position() + 4 * n)
+        case 6 =>
+          // document record: n lines x 80 bytes of free text
+          val n = bb.getInt
+          bb.position(bb.position() + 80 * n)
         case 999 =>
           bb.getInt // filler
           done = true

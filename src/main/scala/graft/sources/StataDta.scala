@@ -18,7 +18,11 @@ import org.apache.spark.sql.types._
   * Type mapping (write):
   *   - string  -> str{w}, w = max UTF-8 byte width in the chunk
   *     (Stata's native fixed-width strings; ≤2045 enforced loudly)
-  *   - byte/boolean -> dta byte; short -> dta int
+  *   - byte/boolean -> dta byte; short -> dta int. Values in the
+  *     missing-code space (byte >100 or <-127, short >32740 or
+  *     <-32767) widen the column frame-wide — byte->int, short->long —
+  *     exactly as pandas (`io/stata.py:473-477`); writing them raw
+  *     would silently read back as NULL
   *   - int/long -> dta long (int32) — Stata HAS NO int64. Exactly as
   *     pandas (`io/stata.py:406` `_cast_to_stata_types`), integral
   *     columns whose values exceed the int32 long range are SIDECAST
@@ -117,25 +121,39 @@ object StataDta {
     fs.mkdirs(p)
     val confB = sc.broadcast(new SerializableWritable(sc.hadoopConfiguration))
     val fields = df.schema.fields.toSeq
-    // pandas io/stata.py:481 — int64/int32 columns sidecast to double
-    // when any value is outside Stata's long range, decided
-    // frame-wide (one min/max aggregate) so every chunk agrees
-    val intCols = fields.filter(f =>
-      f.dataType == LongType || f.dataType == IntegerType)
-    val sidecast: Set[String] = if (intCols.isEmpty) Set.empty else {
+    // pandas io/stata.py:473-481 — integral columns whose values escape
+    // their native Stata range (the top of each range is missing-code
+    // space: byte >100, int >32740, long >2147483620) are widened:
+    // byte -> int, short -> long, int/long -> double. Decided
+    // frame-wide by ONE min/max aggregate so every chunk agrees;
+    // without this, e.g. a byte value of 101 would silently read back
+    // as NULL (it IS Stata's '.' for bytes).
+    val intCols = fields.filter(f => f.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    })
+    val widened: Map[String, VarPlan] = if (intCols.isEmpty) Map.empty else {
       import org.apache.spark.sql.functions.{col, min, max}
       val aggs = intCols.flatMap(f => Seq(min(col(f.name)), max(col(f.name))))
       val r = df.agg(aggs.head, aggs.tail: _*).head()
-      intCols.zipWithIndex.collect {
-        case (f, i) if !r.isNullAt(2 * i) &&
-            (r.getAs[Number](2 * i).longValue < -2147483647L ||
-             r.getAs[Number](2 * i + 1).longValue > maxLong) => f.name
-      }.toSet
+      intCols.zipWithIndex.flatMap { case (f, i) =>
+        if (r.isNullAt(2 * i)) None
+        else {
+          val lo = r.getAs[Number](2 * i).longValue
+          val hi = r.getAs[Number](2 * i + 1).longValue
+          f.dataType match {
+            case ByteType if hi > 100L || lo < -127L =>
+              Some(f.name -> VarPlan(stataName(f.name), T_INT, "%8.0g", 2))
+            case ShortType if hi > 32740L || lo < -32767L =>
+              Some(f.name -> VarPlan(stataName(f.name), T_LONG, "%12.0g", 4))
+            case IntegerType | LongType if hi > maxLong || lo < -2147483647L =>
+              Some(f.name -> VarPlan(stataName(f.name), T_DOUBLE, "%10.0g", 8))
+            case _ => None
+          }
+        }
+      }.toMap
     }
-    val plans = fields.map { f =>
-      if (sidecast(f.name)) VarPlan(stataName(f.name), T_DOUBLE, "%10.0g", 8)
-      else planOf(f)
-    }
+    val plans = fields.map(f => widened.getOrElse(f.name, planOf(f)))
     val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
       val conf = confB.value.value
       it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
@@ -241,14 +259,42 @@ object StataDta {
                   val b = if (r.isNullAt(i)) Array.empty[Byte]
                     else r.getString(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
                   o.write(b); o.write(new Array[Byte](widths(i) - b.length))
-                case ByteType => o.write(if (r.isNullAt(i)) MISS_BYTE else r.getByte(i).toInt)
+                case ByteType if plans(i).dtaType == T_INT => // widened: value escaped byte range
+                  w2(o, if (r.isNullAt(i)) MISS_INT else r.getByte(i).toInt)
+                case ByteType =>
+                  if (r.isNullAt(i)) o.write(MISS_BYTE)
+                  else {
+                    val v = r.getByte(i).toInt
+                    require(v >= -127 && v <= 100, s"StataDta.write: ${fields(i).name}=$v " +
+                      "is in Stata's byte missing-code space — the frame-wide widening " +
+                      "scan should have upcast this column (data changed mid-write?)")
+                    o.write(v)
+                  }
                 case BooleanType =>
                   o.write(if (r.isNullAt(i)) MISS_BYTE else if (r.getBoolean(i)) 1 else 0)
-                case ShortType => w2(o, if (r.isNullAt(i)) MISS_INT else r.getShort(i).toInt)
+                case ShortType if plans(i).dtaType == T_LONG => // widened: value escaped int range
+                  w4(o, if (r.isNullAt(i)) MISS_LONG else r.getShort(i).toInt)
+                case ShortType =>
+                  if (r.isNullAt(i)) w2(o, MISS_INT)
+                  else {
+                    val v = r.getShort(i).toInt
+                    require(v >= -32767 && v <= 32740, s"StataDta.write: ${fields(i).name}=$v " +
+                      "is in Stata's int missing-code space — the frame-wide widening " +
+                      "scan should have upcast this column (data changed mid-write?)")
+                    w2(o, v)
+                  }
                 case IntegerType if plans(i).dtaType == T_DOUBLE => // sidecast
                   w8(o, java.lang.Double.doubleToLongBits(
                     if (r.isNullAt(i)) MISS_DOUBLE else r.getInt(i).toDouble))
-                case IntegerType => w4(o, if (r.isNullAt(i)) MISS_LONG else r.getInt(i))
+                case IntegerType =>
+                  if (r.isNullAt(i)) w4(o, MISS_LONG)
+                  else {
+                    val v = r.getInt(i)
+                    require(v >= -2147483647 && v <= maxLong, s"StataDta.write: " +
+                      s"${fields(i).name}=$v exceeds Stata's int32 long — the frame-wide " +
+                      "widening scan should have sidecast this column (data changed mid-write?)")
+                    w4(o, v)
+                  }
                 case LongType if plans(i).dtaType == T_DOUBLE => // sidecast
                   if (r.isNullAt(i))
                     w8(o, java.lang.Double.doubleToLongBits(MISS_DOUBLE))
@@ -264,9 +310,12 @@ object StataDta {
                   if (r.isNullAt(i)) w4(o, MISS_LONG)
                   else {
                     val v = r.getLong(i)
-                    require(math.abs(v) <= maxLong, s"StataDta.write: ${fields(i).name}=$v " +
-                      "exceeds Stata's int32 long — the frame-wide sidecast scan " +
-                      "should have widened this column (data changed mid-write?)")
+                    // [-2147483647, 2147483620]: Stata's valid long range — the
+                    // same bounds the widening scan checked, so a scan-passed
+                    // value can never trip this
+                    require(v >= -2147483647L && v <= maxLong, s"StataDta.write: " +
+                      s"${fields(i).name}=$v exceeds Stata's int32 long — the frame-wide " +
+                      "widening scan should have sidecast this column (data changed mid-write?)")
                     w4(o, v.toInt)
                   }
                 case FloatType =>

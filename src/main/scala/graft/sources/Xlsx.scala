@@ -44,8 +44,56 @@ object Xlsx {
     * the per-task `binaryFile` read stays cheap. */
   val rowsPerFile = 65536
 
-  private def esc(s: String): String =
-    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+  /** True at `i` when `s` carries a literal `_xHHHH_` sequence — the
+    * OOXML escape pattern — which must itself be escaped on write so
+    * the read side stays unambiguous. */
+  private def looksEscaped(s: String, i: Int): Boolean =
+    i + 6 < s.length && s.charAt(i + 1) == 'x' && s.charAt(i + 6) == '_' &&
+      (2 to 5).forall { j =>
+        val c = s.charAt(i + j)
+        c.isDigit || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
+      }
+
+  /** Entity-escape markup AND `_xHHHH_`-encode characters XML 1.0
+    * cannot carry at all (U+0000-U+0008, U+000B/C, U+000E-U+001F) —
+    * the standard SpreadsheetML escape (ECMA-376; openpyxl does the
+    * same). Without it a  in a cell writes a workbook whose
+    * sheet XML no parser accepts — corruption found only at read
+    * time. A literal `_xHHHH_` in the data gets its underscore
+    * encoded (`_x005F_`) so decode is unambiguous. */
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (ch == '&') sb.append("&amp;")
+      else if (ch == '<') sb.append("&lt;")
+      else if (ch == '>') sb.append("&gt;")
+      // \r is XML-legal but parsers NORMALIZE it to \n (XML 1.0 §2.11),
+      // so it must be encoded to round-trip — Excel does the same
+      else if (ch < 0x20 && ch != '\t' && ch != '\n')
+        sb.append(f"_x${ch.toInt}%04X_")
+      else if (ch == '_' && looksEscaped(s, i)) sb.append("_x005F_")
+      else sb.append(ch)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Decode `_xHHHH_` escapes (the inverse of [[esc]]; also what
+    * openpyxl/Excel-authored files carry for control characters). */
+  private def unesc(s: String): String = {
+    if (s.indexOf("_x") < 0) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '_' && looksEscaped(s, i)) {
+        sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+        i += 7
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
 
   /** 0-based column index -> A1-style column letters (0->A, 26->AA). */
   private[graft] def colLetters(i: Int): String = {
@@ -240,9 +288,10 @@ object Xlsx {
               if (text != null) {
                 val raw = text.toString
                 cells(colIdx) = cellType match {
-                  case "s" => shared(raw.toInt) // shared-strings cell
+                  case "s" => unesc(shared(raw.toInt)) // shared-strings cell
                   case "b" => if (raw == "1") "true" else "false"
-                  case _ => raw // inlineStr/str/n all surface verbatim
+                  case "n" => raw // numeric: never escaped
+                  case _ => unesc(raw) // inlineStr/str: decode _xHHHH_
                 }
               }
               text = null; cellType = null

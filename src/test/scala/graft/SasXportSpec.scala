@@ -80,6 +80,58 @@ class SasXportSpec extends SparkSpec {
     assert(card(7).startsWith("HEADER RECORD*******NAMESTR"))
     assert(card(7).substring(54, 58) == "0002")
   }
+  test("reads members declaring 136-byte NAMESTR records (VAX/VMS stride)") {
+    // the NAMESTR record length is declared in the member header card
+    // (pandas reads header1[-5:-2], sas_xport.py:319-320); 140 on most
+    // platforms, 136 on VMS. Hardcoding 140 would decode such files at
+    // the wrong stride into garbage widths/offsets.
+    val df = Seq((1.0, Option("aa")), (2.0, None)).toDF("num", "txt")
+    SasXport.write(df.coalesce(1), tmp("ns136src"))
+    val f = new java.io.File(tmp("ns136src")).listFiles()
+      .filter(_.getName.endsWith(".xpt")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val k = 2
+    val base = 8 * 80
+    val oldNs = ((k * 140 + 79) / 80) * 80
+    // rebuild: member card declares 136, records packed at 136 stride
+    // (the dropped tail is filler — real fields end well before 136)
+    val head = java.util.Arrays.copyOfRange(bytes, 0, base)
+    val member = new String(head, 3 * 80, 80, "US-ASCII")
+    val patched = (member.substring(0, 75) + "136" + member.substring(78))
+      .getBytes("US-ASCII")
+    System.arraycopy(patched, 0, head, 3 * 80, 80)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head)
+    val ns = new java.io.ByteArrayOutputStream()
+    (0 until k).foreach(i => ns.write(bytes, base + i * 140, 136))
+    while (ns.size() % 80 != 0) ns.write(' ')
+    out.write(ns.toByteArray)
+    out.write(bytes, base + oldNs, bytes.length - base - oldNs)
+    val dir = new java.io.File(tmp("ns136")); dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "m.xpt").toPath, out.toByteArray)
+    val back = SasXport.read(spark, tmp("ns136"))
+    assert(back.schema.fieldNames.toSeq == Seq("num", "txt"))
+    assert(back.select($"num", $"txt").collect().toSet == df.collect().toSet)
+  }
+
+  test("rejects an undeclared or absurd NAMESTR record length loudly") {
+    val df = Seq((1.0, "x")).toDF("n", "s")
+    SasXport.write(df, tmp("nsbad"))
+    val f = new java.io.File(tmp("nsbad")).listFiles()
+      .filter(_.getName.endsWith(".xpt")).head
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    val member = new String(bytes, 3 * 80, 80, "US-ASCII")
+    val patched = (member.substring(0, 75) + "128" + member.substring(78))
+      .getBytes("US-ASCII")
+    System.arraycopy(patched, 0, bytes, 3 * 80, 80)
+    val dir = new java.io.File(tmp("nsbad2")); dir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "m.xpt").toPath, bytes)
+    val e = intercept[Exception] { SasXport.read(spark, tmp("nsbad2")).collect() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NAMESTR record length")))
+  }
+
   test("empty frame round-trips as a NOBS=0 member") {
     val df = Seq((1, "x")).toDF("k", "s").filter($"k" < 0)
     SasXport.write(df, tmp("empty"))

@@ -85,6 +85,39 @@ class SpssSavSpec extends SparkSpec {
       (Some(1234.5), Some(42.0))))
   }
 
+  test("skips value-label (3/4) and document (6) dictionary records") {
+    // real SPSS/pyreadstat files very commonly carry these; they
+    // label values but hold no data, so the reader must skip, not
+    // throw. Layouts per the PSPP manual ("Value Labels Records",
+    // "Document Record").
+    val dir = new java.io.File(tmp("vlab")); dir.mkdirs()
+    val bo = new java.io.ByteArrayOutputStream()
+    def w4(v: Int): Unit = { bo.write(v & 0xff); bo.write((v >>> 8) & 0xff)
+      bo.write((v >>> 16) & 0xff); bo.write((v >>> 24) & 0xff) }
+    def w8d(v: Double): Unit = { val b = java.lang.Double.doubleToLongBits(v)
+      (0 until 8).foreach(i => bo.write(((b >>> (8 * i)) & 0xff).toInt)) }
+    def pad(s: String, w: Int): Unit = { val b = s.getBytes("UTF-8")
+      bo.write(b); (b.length until w).foreach(_ => bo.write(' ')) }
+    pad("$FL2", 4); pad("test", 60); w4(2); w4(1); w4(0); w4(0); w4(2)
+    w8d(100.0); pad("01 Jan 70", 9); pad("00:00:00", 8); pad("", 64); pad("", 3)
+    w4(2); w4(0); w4(0); w4(0); w4((5 << 16) | (8 << 8) | 2)
+    w4((5 << 16) | (8 << 8) | 2); pad("X", 8)
+    // type 3: two labeled values; label block pads so len+1 % 8 == 0
+    w4(3); w4(2)
+    w8d(1.0); bo.write(3); pad("yes", 7)          // len+1=4  -> 8-byte block
+    w8d(2.0); bo.write(10); pad("negatory!!", 15) // len+1=11 -> 16-byte block
+    // type 4: the companion variable-index record
+    w4(4); w4(1); w4(1)
+    // type 6: two 80-byte document lines
+    w4(6); w4(2); pad("first documentation line", 80); pad("second line", 80)
+    w4(999); w4(0)
+    w8d(5.0); w8d(2.0) // two uncompressed cases
+    java.nio.file.Files.write(new java.io.File(dir, "v.sav").toPath, bo.toByteArray)
+    val back = SpssSav.read(spark, tmp("vlab"))
+    assert(back.schema.fieldNames.toSeq == Seq("X"))
+    assert(back.collect().map(_.getDouble(0)).toSet == Set(5.0, 2.0))
+  }
+
   test("rejects integral values beyond exact-double range") {
     val df = Seq(((1L << 53) + 1, "x")).toDF("k", "s")
     val e = intercept[org.apache.spark.SparkException] {

@@ -67,6 +67,48 @@ class StataDtaSpec extends SparkSpec {
       .collect().toSet == df.collect().toSet)
   }
 
+  test("byte/short values in Stata's missing-code space widen, not corrupt") {
+    // io/stata.py:473-477: int8 max>100 or min<-127 -> int16; int16
+    // max>32740 or min<-32767 -> int32. Written raw, 101 IS Stata's
+    // '.' for bytes and would silently read back as NULL.
+    val df = Seq(
+      (1, 101.toByte, 32741.toShort),
+      (2, (-128).toByte, (-32768).toShort),
+      (3, 7.toByte, 9.toShort)
+    ).toDF("k", "b", "s")
+      .select($"k", $"b".cast("byte").as("b"), $"s".cast("short").as("s"))
+    StataDta.write(df, tmp("widen"))
+    val back = StataDta.read(spark, tmp("widen"))
+    assert(back.schema("b").dataType == ShortType)  // byte -> dta int
+    assert(back.schema("s").dataType == IntegerType) // short -> dta long
+    assert(back.select($"k".cast("int"), $"b".cast("byte"), $"s".cast("short"))
+      .collect().toSet == df.collect().toSet)
+  }
+
+  test("byte/short within native range keep their narrow dta types") {
+    val df = Seq((1, 100.toByte, 32740.toShort), (2, (-127).toByte, (-32767).toShort))
+      .toDF("k", "b", "s")
+      .select($"k", $"b".cast("byte").as("b"), $"s".cast("short").as("s"))
+    StataDta.write(df, tmp("narrow"))
+    val back = StataDta.read(spark, tmp("narrow"))
+    assert(back.schema("b").dataType == ByteType)
+    assert(back.schema("s").dataType == ShortType)
+    assert(back.select($"k".cast("int"), $"b", $"s").collect().toSet ==
+      df.collect().toSet)
+  }
+
+  test("longs at the negative edge of Stata's range write plain, not crash") {
+    // valid long range is [-2147483647, 2147483620]; the per-row guard
+    // must match the scan's bound (a |v|-based check would reject
+    // legal values in [-2147483647, -2147483621] mid-write)
+    val df = Seq((-2147483647L, 1L), (2147483620L, 2L)).toDF("edge", "k")
+    StataDta.write(df, tmp("negedge"))
+    val back = StataDta.read(spark, tmp("negedge"))
+    assert(back.schema("edge").dataType == IntegerType) // no sidecast
+    assert(back.select($"edge".cast("long"), $"k".cast("long"))
+      .collect().toSet == df.collect().toSet)
+  }
+
   test("sidecast fails loudly past 2^53 instead of silently losing precision") {
     val df = Seq(((1L << 53) + 1, "x")).toDF("k", "s")
     val e = intercept[org.apache.spark.SparkException] {

@@ -26,6 +26,22 @@ class XlsxSpec extends SparkSpec {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
+  test("control characters _xHHHH_-encode (ECMA-376) and round-trip") {
+    // XML 1.0 cannot carry U+0001 etc. at all — written raw, the
+    // workbook's sheet XML is unparseable and the whole directory
+    // becomes unreadable. OOXML's escape is _xHHHH_; a literal
+    // _x0041_ in the data must survive too (via _x005F_ encoding).
+    val df = Seq(
+      (1L, Option("a\u0001b")),
+      (2L, Option("tab\tand\nnewline stay literal")),
+      (3L, Option("literal _x0041_ not an A")),
+      (4L, Option("\u0000\u001f edges"))
+    ).toDF("k", "s")
+    Xlsx.write(df, tmp("ctrl"))
+    val back = Xlsx.read(spark, tmp("ctrl")).select($"k".cast("long"), $"s")
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("caps rows per workbook and reads all chunks back") {
     val df = (1 to 25).map(i => (i.toLong, s"row$i")).toDF("k", "s")
       .repartition(2)
