@@ -54,8 +54,12 @@ import org.apache.spark.sql.functions._
   * produce IDENTICAL values (null combos count once, like
   * `distinct()`), pinned by AdaptiveDistinctSpec.
   *
-  * Eagerness contract: like AdaptiveRank, the adaptive path runs the
-  * probe job at plan-build time; `forcePath` pins a plan with no job.
+  * Eagerness contract: like AdaptiveRank, the adaptive path may run a
+  * probe job at plan-build time — but ONLY above the
+  * [[probeGateBytesKey]] size gate (optimizer-estimated, no job), and
+  * the probe itself is bounded by [[probeSampleBytesKey]]. Below the
+  * gate plan-build runs NO job and stays lazy; `forcePath` always
+  * pins a plan with no probe decision.
   */
 object AdaptiveDistinct {
 
@@ -65,6 +69,43 @@ object AdaptiveDistinct {
   /** CLUSTERED requires the anchor's NDV ≥ this × shuffle partitions,
     * so the single exchange still fans out across the cluster. */
   val minAnchorFanout = 4
+
+  /** Inputs whose OPTIMIZER-ESTIMATED size (plan statistics — no job)
+    * is below this skip the probe entirely and take the shape-robust
+    * SPLIT plan: at this scale every plan finishes fast, so a probe
+    * job is pure overhead and needlessly breaks API laziness
+    * (round-11 verdict #1). Conf-overridable so specs can pin both
+    * regimes. */
+  val probeGateBytesKey = "graft.adaptive.probeGateBytes"
+  val probeGateBytesDefault: Long = 256L << 20
+  /** Above the gate, the probe processes at most ~this many input
+    * bytes: past it the input is row-sampled at cap/size. A sampled
+    * distinct ratio reads HIGH for saturated domains (the sample sees
+    * ~all combos over fewer rows), so sampling errs toward CLUSTERED —
+    * the robust plan — never toward the Expand cliff. */
+  val probeSampleBytesKey = "graft.adaptive.probeSampleBytes"
+  val probeSampleBytesDefault: Long = 8L << 30
+
+  /** Optimizer-estimated input size in bytes — plan stats only, no
+    * Spark job (file sources: pruned file-size estimate; local
+    * relations: exact). */
+  private[operators] def estBytes(df: DataFrame): BigInt =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes
+
+  private[operators] def confBytes(df: DataFrame, key: String, dflt: Long): Long =
+    df.sparkSession.conf.get(key, dflt.toString).toLong
+
+  /** Bounded probe input: the frame itself below the sample cap, else
+    * a uniform row-sample targeting ~cap bytes. */
+  private[operators] def probeInput(df: DataFrame): DataFrame = {
+    val cap = confBytes(df, probeSampleBytesKey, probeSampleBytesDefault)
+    val est = estBytes(df)
+    if (est <= cap) df
+    else {
+      val f = (BigDecimal(cap) / BigDecimal(est)).toDouble
+      df.sample(withReplacement = false, math.max(1e-4, math.min(1.0, f)), seed = 42)
+    }
+  }
 
   /** Probe result; exposed so tests can pin the switch. */
   final case class Probe(rows: Long, estCombos: Long,
@@ -89,7 +130,9 @@ object AdaptiveDistinct {
     val aggs = count(lit(1)).as("__n") +:
       approx_count_distinct(struct((groupKeys ++ superset).map(col): _*)).as("__c") +:
       cands.map(c => approx_count_distinct(col(c)).as(s"__a_$c"))
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    // bounded: past the sample cap the scan processes a row-sample,
+    // never the whole input (see probeInput's bias note)
+    val r = probeInput(df).agg(aggs.head, aggs.tail: _*).head()
     Probe(r.getLong(0), r.getLong(1),
       cands.zipWithIndex.map { case (c, i) => c -> r.getLong(2 + i) }.toMap,
       df.sparkSession.sessionState.conf.numShufflePartitions)
@@ -101,12 +144,20 @@ object AdaptiveDistinct {
     * column — used (BUCKETED) only when that column anchors every set.
     * `maxRelErr > 0` opts into APPROX with that error bound.
     * `forcePath`: "" adaptive | expand | clustered | split | bucketed |
-    * approx (tests and the paired bench queries pin paths). */
+    * approx (tests and the paired bench queries pin paths).
+    * `extraAggs` — already-aliased non-distinct aggregates (min/max/
+    * count/...) computed alongside: on the single-Aggregate paths
+    * (expand/approx) they FOLD INTO the same aggregate — one scan, one
+    * shuffle, no join (the r10 shape a caller-side base+join forfeits);
+    * on the dedup-based paths they aggregate the raw frame separately
+    * and null-safe-join on the keys, since a deduped child can't carry
+    * them. */
   def nuniques(df: DataFrame, groupKeys: Seq[String],
       sets: Seq[(String, Seq[String])],
       layout: Option[(DataFrame, String)] = None,
       maxRelErr: Double = 0.0,
-      forcePath: String = ""): DataFrame = {
+      forcePath: String = "",
+      extraAggs: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     require(sets.nonEmpty, "nuniques: no distinct sets")
     require(sets.forall(_._2.nonEmpty), "nuniques: empty column set")
     val layoutServes = layout.exists { case (_, bkt) =>
@@ -115,11 +166,21 @@ object AdaptiveDistinct {
     val path = forcePath match {
       case "" =>
         if (maxRelErr > 0) "approx"
-        else if (layoutServes) "bucketed"
         // same eagerness contract as AdaptiveRank: a probe job cannot
         // run on an unstarted stream — take the single-Aggregate plan,
         // which is the one Structured Streaming can execute at all
         else if (df.isStreaming) "expand"
+        // SIZE GATE (round-11 verdict #1): below the gate no probe job
+        // runs at all — plan-build stays lazy and SPLIT is taken: it
+        // is the shape-robust no-probe plan (superset dedup shuffles
+        // the data once regardless of combo cardinality, where a blind
+        // EXPAND would shuffle k× near-unique data), and it is exactly
+        // the pre-adaptive round-10 plan. Checked BEFORE the layout:
+        // the dedup-then-count shapes only pay off on data-sized
+        // dedups.
+        else if (estBytes(df) < BigInt(confBytes(df, probeGateBytesKey,
+          probeGateBytesDefault))) "split"
+        else if (layoutServes) "bucketed"
         else {
           val p = probe(df, groupKeys, sets)
           if (p.useExpand) "expand"
@@ -140,36 +201,54 @@ object AdaptiveDistinct {
     path match {
       case "approx" =>
         val rsd = if (maxRelErr > 0) maxRelErr else 0.02
-        df.groupBy(groupKeys.map(col): _*).agg(
-          approx_count_distinct(struct(sets.head._2.map(col): _*), rsd).as(sets.head._1),
-          sets.tail.map { case (n, cs) =>
-            approx_count_distinct(struct(cs.map(col): _*), rsd).as(n) }: _*)
+        val aggs = (sets.map { case (n, cs) =>
+          approx_count_distinct(struct(cs.map(col): _*), rsd).as(n)
+        }) ++ extraAggs
+        df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       case "expand" =>
         // struct-wrapped so a null combo counts once, exactly like the
-        // distinct()-based paths (bare countDistinct drops null rows)
-        df.groupBy(groupKeys.map(col): _*).agg(
-          countDistinct(struct(sets.head._2.map(col): _*)).as(sets.head._1),
-          sets.tail.map { case (n, cs) =>
-            countDistinct(struct(cs.map(col): _*)).as(n) }: _*)
+        // distinct()-based paths (bare countDistinct drops null rows);
+        // extraAggs ride the SAME aggregate — one scan, no join
+        val aggs = (sets.map { case (n, cs) =>
+          countDistinct(struct(cs.map(col): _*)).as(n)
+        }) ++ extraAggs
+        df.groupBy(groupKeys.map(col): _*).agg(aggs.head, aggs.tail: _*)
       case "split" =>
         val superset = sets.flatMap(_._2).distinct
         val sup = df.select(((groupKeys ++ superset).distinct).map(col): _*).distinct()
-        joinCounts(sup, groupKeys, sets, superset)
+        withExtras(df, groupKeys, extraAggs,
+          joinCounts(sup, groupKeys, sets, superset))
       case "bucketed" =>
         // the scan is already HashPartitioning(bucketCol): clusteredAgg
         // runs with NO data-sized exchange at all (pinned in
         // PlanHygieneSpec / AdaptiveDistinctSpec)
-        clusteredAgg(layout.get._1, groupKeys, sets)
+        withExtras(layout.get._1, groupKeys, extraAggs,
+          clusteredAgg(layout.get._1, groupKeys, sets))
       case clustered if clustered.startsWith("clustered:") =>
         val anchor = clustered.stripPrefix("clustered:")
         val superset = sets.flatMap(_._2).distinct
         // ONE data-sized exchange, on the anchor only — everything
         // above it is partition-local (see clusteredAgg)
-        clusteredAgg(
-          df.select(((groupKeys ++ superset).distinct).map(col): _*)
-            .repartition(col(anchor)),
-          groupKeys, sets)
+        withExtras(df, groupKeys, extraAggs,
+          clusteredAgg(
+            df.select(((groupKeys ++ superset).distinct).map(col): _*)
+              .repartition(col(anchor)),
+            groupKeys, sets))
     }
+  }
+
+  /** Join the non-distinct extras (aggregated over the RAW frame) onto
+    * a dedup-path result, null-safe on the keys so null-keyed groups
+    * survive exactly as groupBy keeps them. */
+  private def withExtras(raw: DataFrame, groupKeys: Seq[String],
+      extraAggs: Seq[org.apache.spark.sql.Column], nu: DataFrame): DataFrame = {
+    if (extraAggs.isEmpty) return nu
+    require(groupKeys.nonEmpty, "nuniques: extraAggs need group keys to join on")
+    val base = raw.groupBy(groupKeys.map(col): _*).agg(extraAggs.head, extraAggs.tail: _*)
+    val rr = nu.select(groupKeys.map(k => col(k).as(s"__j_$k")) ++
+      nu.columns.filterNot(groupKeys.contains).map(col): _*)
+    val cond = groupKeys.map(k => col(k) <=> col(s"__j_$k")).reduce(_ && _)
+    base.join(rr, cond).drop(groupKeys.map(k => s"__j_$k"): _*)
   }
 
   /** All counts in ONE aggregate over an anchor-clustered child.

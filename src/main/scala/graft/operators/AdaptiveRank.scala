@@ -59,8 +59,10 @@ object AdaptiveRank {
   def probe(df: DataFrame, keyCols: Seq[String], valueCol: String): Probe = {
     val pair = (keyCols :+ valueCol).map(col)
     // approx_count_distinct over the raw pair struct — one map-side
-    // scan, ~2% HLL error, far inside the 8× regime margin
-    val r = df.agg(count(lit(1)).as("n"),
+    // scan, ~2% HLL error, far inside the 8× regime margin; bounded
+    // by AdaptiveDistinct.probeInput past the sample cap (a sampled
+    // ratio errs toward WINDOW — the no-extra-join plan)
+    val r = AdaptiveDistinct.probeInput(df).agg(count(lit(1)).as("n"),
       approx_count_distinct(struct(pair: _*)).as("d")).head()
     Probe(r.getLong(0), r.getLong(1))
   }
@@ -71,16 +73,20 @@ object AdaptiveRank {
     * bench queries pin each path explicitly). Output columns `asAvg`
     * (rank by `method`) and, when non-empty, `asPct`.
     *
-    * EAGERNESS CONTRACT (round-10 ADVICE): the adaptive path runs the
-    * probe — one map-side `approx_count_distinct` job — at PLAN-BUILD
-    * time, because the plan choice needs the cardinality before a
-    * DataFrame exists. Callers that need a fully lazy rank (deeply
-    * lazy pipelines, non-deterministic upstream stages they must not
-    * re-execute) should pass `forcePath = "window"`, which builds the
-    * window plan with NO job. Streaming frames short-circuit to the
-    * window plan automatically — a probe job cannot run on an
-    * unstarted stream, and the histogram join-back would be a
-    * stream-stream join with no watermark anyway. */
+    * EAGERNESS CONTRACT (round-10 ADVICE, tightened round 12): the
+    * adaptive path runs the probe — one map-side
+    * `approx_count_distinct` job — at PLAN-BUILD time ONLY when the
+    * optimizer-estimated input size clears
+    * [[AdaptiveDistinct.probeGateBytesKey]]; below the gate the window
+    * plan is taken with NO job, so small-frame rank() is fully lazy
+    * (the regime where the probe was pure overhead). Above the gate
+    * the probe input is bounded by
+    * [[AdaptiveDistinct.probeSampleBytesKey]]. Callers that need
+    * laziness regardless of size pass `forcePath = "window"`.
+    * Streaming frames short-circuit to the window plan automatically —
+    * a probe job cannot run on an unstarted stream, and the histogram
+    * join-back would be a stream-stream join with no watermark
+    * anyway. */
   def rank(df: DataFrame, keyCols: Seq[String], valueCol: String,
            method: String = "average", asRank: String = "rank_avg",
            asPct: String = "", naOption: String = "keep",
@@ -91,10 +97,16 @@ object AdaptiveRank {
       s"na_option: $naOption")
     if (df.isStreaming)
       return windowPlan(df, keyCols, valueCol, method, asRank, asPct, naOption)
+    // SIZE GATE (round-11 verdict #1): below the gate the adaptive
+    // path takes the window plan with NO probe job — plan-build stays
+    // lazy, and at this scale the histogram's extra join never pays
+    val gated = forcePath.isEmpty &&
+      AdaptiveDistinct.estBytes(df) < BigInt(AdaptiveDistinct.confBytes(
+        df, AdaptiveDistinct.probeGateBytesKey, AdaptiveDistinct.probeGateBytesDefault))
     val p = forcePath match {
       case "window"    => None
       case "histogram" => Some(probe(df, keyCols, valueCol))
-      case ""          => Some(probe(df, keyCols, valueCol))
+      case ""          => if (gated) None else Some(probe(df, keyCols, valueCol))
       case other => throw new IllegalArgumentException(s"forcePath: $other")
     }
     val useHist = forcePath == "histogram" ||

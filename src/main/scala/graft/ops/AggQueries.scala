@@ -64,20 +64,22 @@ object AggQueries extends QueryModule {
     "agg_minmax_nunique" -> { (s, d) =>
       import s.implicits._
       val li = Tables(s, d, "lineitem")
-      val base = li.groupBy($"l_returnflag")
-        .agg(
-          min($"l_extendedprice").as("min_price"),
-          max($"l_extendedprice").as("max_price"),
-          min($"l_shipdate").as("min_ship"),
-          max($"l_shipdate").as("max_ship"),
-          count($"l_partkey").as("n"))
-      val nu = graft.operators.AdaptiveDistinct.nuniques(
+      // the plain aggregates ride nuniques' extraAggs: on the gated/
+      // expand path that is ONE aggregate over one scan (no base+nu
+      // join at all); the dedup paths aggregate them separately and
+      // join inside the operator
+      graft.operators.AdaptiveDistinct.nuniques(
         li, Seq("l_returnflag"),
         Seq("nunique_part" -> Seq("l_partkey"),
             "nunique_sp" -> Seq("l_suppkey", "l_partkey")),
         layout = graft.sources.BucketedLayout.existingLineitemByPart(s, d)
-          .map(f => (f, "l_partkey")))
-      base.join(nu, Seq("l_returnflag"))
+          .map(f => (f, "l_partkey")),
+        extraAggs = Seq(
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"),
+          min($"l_shipdate").as("min_ship"),
+          max($"l_shipdate").as("max_ship"),
+          count($"l_partkey").as("n")))
     },
 
     // the LAYOUT twin of agg_minmax_nunique: same AdaptiveDistinct
@@ -93,19 +95,17 @@ object AggQueries extends QueryModule {
     "agg_bkt_nunique" -> { (s, d) =>
       import s.implicits._
       val li = graft.sources.BucketedLayout.lineitemByPart(s, d)
-      val base = li.groupBy($"l_returnflag")
-        .agg(
+      graft.operators.AdaptiveDistinct.nuniques(
+        li, Seq("l_returnflag"),
+        Seq("nunique_part" -> Seq("l_partkey"),
+            "nunique_sp" -> Seq("l_suppkey", "l_partkey")),
+        layout = Some((li, "l_partkey")),
+        extraAggs = Seq(
           min($"l_extendedprice").as("min_price"),
           max($"l_extendedprice").as("max_price"),
           min($"l_shipdate").as("min_ship"),
           max($"l_shipdate").as("max_ship"),
-          count($"l_partkey").as("n"))
-      val nu = graft.operators.AdaptiveDistinct.nuniques(
-        li, Seq("l_returnflag"),
-        Seq("nunique_part" -> Seq("l_partkey"),
-            "nunique_sp" -> Seq("l_suppkey", "l_partkey")),
-        layout = Some((li, "l_partkey")))
-      base.join(nu, Seq("l_returnflag"))
+          count($"l_partkey").as("n")))
     },
 
     // groupby median/quantile, exact with linear interpolation

@@ -125,6 +125,61 @@ class AdaptiveDistinctSpec extends SparkSpec {
       "expand path must plan the multi-distinct Expand")
   }
 
+  test("extraAggs fold into the single-Aggregate paths and join on the dedup paths") {
+    import org.apache.spark.sql.functions.{min, max, count, lit}
+    val extras = Seq(min(org.apache.spark.sql.functions.col("b")).as("min_b"),
+      max(org.apache.spark.sql.functions.col("b")).as("max_b"),
+      count(lit(1)).as("n"))
+    def run(p: String) = AdaptiveDistinct.nuniques(
+        nearUnique, Seq("g"), sets, forcePath = p, extraAggs = extras)
+      .collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("nu_b"), r.getAs[Long]("nu_bc"),
+        r.getAs[Long]("min_b"), r.getAs[Long]("max_b"), r.getAs[Long]("n")))
+      .toSeq.sortBy(_._1)
+    val ex = run("expand")
+    assert(run("clustered") == ex, "clustered+extras disagrees with expand+extras")
+    assert(run("split") == ex, "split+extras disagrees with expand+extras")
+    // the expand form must be ONE aggregate over one scan — no join
+    val plan = AdaptiveDistinct.nuniques(nearUnique, Seq("g"), sets,
+      forcePath = "expand", extraAggs = extras).queryExecution.sparkPlan.toString
+    assert(!plan.contains("Join"), s"expand+extras must not plan a join:\n$plan")
+  }
+
+  test("size gate: below it adaptive takes SPLIT with no probe; above it probes") {
+    // round-11 verdict #1: lowCard is exactly the data the probe WOULD
+    // route to EXPAND, but under the default 256 MB gate the tiny
+    // frame takes the shape-robust SPLIT plan — no Expand in the plan
+    // proves the probe never ran, so small-frame nunique() is fully
+    // lazy
+    val gated = AdaptiveDistinct.nuniques(lowCard, Seq("g"), sets)
+    assert(!gated.queryExecution.sparkPlan.toString.contains("Expand"),
+      "gated adaptive must take SPLIT (no probe, no Expand)")
+    spark.conf.set(AdaptiveDistinct.probeGateBytesKey, "1")
+    try {
+      val probed = AdaptiveDistinct.nuniques(lowCard, Seq("g"), sets)
+      assert(probed.queryExecution.sparkPlan.toString.contains("Expand"),
+        "above the gate the probe must route low-combo data to Expand")
+      assert(collectSorted(gated) == collectSorted(probed),
+        "gate changes the plan, never the values")
+    } finally spark.conf.unset(AdaptiveDistinct.probeGateBytesKey)
+  }
+
+  test("probe input is bounded by the sample cap; values stay exact") {
+    spark.conf.set(AdaptiveDistinct.probeGateBytesKey, "1")
+    spark.conf.set(AdaptiveDistinct.probeSampleBytesKey, "1")
+    try {
+      // degenerate cap: the probe sees a near-empty sample — the plan
+      // choice may differ, but every exact path agrees by construction
+      val out = collectSorted(AdaptiveDistinct.nuniques(nearUnique, Seq("g"), sets))
+      val ref = collectSorted(
+        AdaptiveDistinct.nuniques(nearUnique, Seq("g"), sets, forcePath = "split"))
+      assert(out == ref)
+    } finally {
+      spark.conf.unset(AdaptiveDistinct.probeGateBytesKey)
+      spark.conf.unset(AdaptiveDistinct.probeSampleBytesKey)
+    }
+  }
+
   test("bucketed path requires a layout that anchors every set") {
     intercept[IllegalArgumentException] {
       AdaptiveDistinct.nuniques(lowCard, Seq("g"), sets, forcePath = "bucketed")

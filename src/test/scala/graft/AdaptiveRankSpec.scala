@@ -39,10 +39,24 @@ class AdaptiveRankSpec extends SparkSpec {
   test("adaptive path plans the join only in the histogram regime") {
     def hasJoin(df: DataFrame): Boolean =
       df.queryExecution.executedPlan.toString.contains("Join")
-    val hist = AdaptiveRank.rank(lowCard, Seq("k"), "v")
-    val win  = AdaptiveRank.rank(nearUnique, Seq("k"), "v")
-    assert(hasJoin(hist), "low-cardinality input should take the histogram plan")
-    assert(!hasJoin(win), "near-unique input should take the window plan")
+    // drop the size gate so the probe actually runs on these tiny inputs
+    spark.conf.set(graft.operators.AdaptiveDistinct.probeGateBytesKey, "1")
+    try {
+      val hist = AdaptiveRank.rank(lowCard, Seq("k"), "v")
+      val win  = AdaptiveRank.rank(nearUnique, Seq("k"), "v")
+      assert(hasJoin(hist), "low-cardinality input should take the histogram plan")
+      assert(!hasJoin(win), "near-unique input should take the window plan")
+    } finally spark.conf.unset(graft.operators.AdaptiveDistinct.probeGateBytesKey)
+  }
+
+  test("below the size gate the adaptive path takes the window plan — no probe job") {
+    // round-11 verdict #1: under the default 256 MB gate this tiny
+    // low-pair frame — which the probe WOULD route to the histogram —
+    // takes the window plan instead; the plan shape itself proves the
+    // probe never ran, so small-frame rank() is fully lazy
+    val out = AdaptiveRank.rank(lowCard, Seq("k"), "v")
+    assert(!out.queryExecution.executedPlan.toString.contains("Join"),
+      "gated adaptive rank must build the window plan with no probe")
   }
 
   test("histogram and window plans agree bit-for-bit, incl. nulls") {

@@ -202,7 +202,12 @@ class PlanHygieneSpec extends SparkSpec {
     // partials / the 3-row flag join), never between a scan and the
     // wide distinct. Structural check: no Exchange node may have a
     // FileScan in its subtree without an intervening Aggregate.
-    val plan = executedPlan("agg_bkt_nunique")
+    // The r12 size gate routes fixture-scale inputs to the single-
+    // Aggregate plan, so drop it here to pin the BUCKETED shape the
+    // query takes at data scale.
+    spark.conf.set(graft.operators.AdaptiveDistinct.probeGateBytesKey, "1")
+    val plan = try executedPlan("agg_bkt_nunique")
+      finally spark.conf.unset(graft.operators.AdaptiveDistinct.probeGateBytesKey)
     def offending(p: org.apache.spark.sql.execution.SparkPlan): Boolean = {
       def scanBelowNoAgg(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
         n match {
