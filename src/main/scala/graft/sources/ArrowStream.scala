@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.SerializableWritable
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+
+/** Feather / Arrow IPC (pandas `read_feather`/`to_feather`,
+  * io/feather_format.py:36/83) as a distributed source/sink over
+  * `.arrows` STREAM files — the same IPC format Feather V2 wraps, in
+  * its streaming flavor, and the wire format Spark itself uses for
+  * pandas interchange. Unlike the byte-level interchange codecs in
+  * this package ([[StataDta]]/[[SpssSav]]/...), the encode/decode here
+  * IS Spark's own Arrow conversion, bridged per task
+  * ([[GraftSqlBridge.writeArrowStream]]/`readArrowStream` over
+  * `ArrowConverters`) — so types round-trip exactly as Spark's pandas
+  * interchange maps them, binary-typed (no stringly cast-back).
+  *
+  * Distributed shape mirrors the rest of the package: one capped
+  * self-contained stream file per partition chunk on write (each
+  * carries its own schema message + record batches + end-of-stream),
+  * one file per task on read via `binaryFile`.
+  */
+object ArrowStream {
+
+  /** Max rows per emitted file; batches inside cap at
+    * [[rowsPerBatch]], which also bounds per-task conversion memory. */
+  val rowsPerFile = 65536
+  val rowsPerBatch = 8192L
+
+  /** Write df as `.arrows` IPC stream files under `path` (overwrite
+    * semantics), ≤ `cap` rows each, parallel across partitions. */
+  def write(df: DataFrame, path: String, cap: Int = rowsPerFile): Unit = {
+    val sc = df.sparkSession.sparkContext
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    fs.mkdirs(p)
+    val confB = sc.broadcast(new SerializableWritable(sc.hadoopConfiguration))
+    val schema = df.schema
+    val written = df.rdd.mapPartitionsWithIndex { (pid, it) =>
+      val conf = confB.value.value
+      it.grouped(cap).zipWithIndex.map { case (rows, ci) =>
+        val file = new org.apache.hadoop.fs.Path(path, f"part-$pid%05d-$ci.arrows")
+        val o = new java.io.BufferedOutputStream(
+          file.getFileSystem(conf).create(file, true), 1 << 16)
+        try GraftSqlBridge.writeArrowStream(rows.iterator, schema, rowsPerBatch, o)
+        finally o.close()
+        1
+      }
+    }.count()
+    // empty frame: one schema-only stream (zero batches + EOS is a
+    // valid IPC stream), so read restores the schema
+    if (written == 0L) {
+      val file = new org.apache.hadoop.fs.Path(path, "part-empty-0.arrows")
+      val o = new java.io.BufferedOutputStream(
+        file.getFileSystem(sc.hadoopConfiguration).create(file, true), 1 << 16)
+      try GraftSqlBridge.writeArrowStream(Iterator.empty, schema, rowsPerBatch, o)
+      finally o.close()
+    }
+  }
+
+  /** Parse every `.arrows` file under `path` (one per task); schema
+    * from the first file's stream header — all chunks share it by
+    * construction, as in [[StataDta.read]]. */
+  def read(s: SparkSession, path: String): DataFrame = {
+    val bin = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.arrows").load(path)
+      .select("content")
+    val schema = GraftSqlBridge.arrowStreamSchema(bin.head().getAs[Array[Byte]](0))
+    val rows = bin.rdd.flatMap(r =>
+      GraftSqlBridge.readArrowStream(r.getAs[Array[Byte]](0))._1)
+    s.createDataFrame(rows, schema)
+  }
+}

@@ -58,4 +58,48 @@ object ChunkedReader {
       schema.fold(rd)(rd.schema).load(group: _*)
     }
   }
+
+  /** read_sql(chunksize=) (pandas io/sql.py:543) — sequential
+    * DataFrame batches over a JDBC table. The honest distributed unit
+    * here is the KEY RANGE of the numeric partition column (the same
+    * unit Spark's own partitioned JDBC read strides by), mirroring
+    * [[byFiles]]' file-not-row rule: row-exact chunks would need a
+    * server-side ordinal per chunk, but a batch consumer needs
+    * bounded, non-overlapping, exactly-once batches — which key
+    * ranges give for free.
+    *
+    * Coverage contract: chunks tile `[lowerBound, upperBound)`
+    * exactly once (last chunk may be narrower); NULL keys ride the
+    * FIRST chunk (the same place Spark's clamped first partition puts
+    * them). Each chunk is itself a partitioned scan
+    * (`partitionsPerChunk` sub-ranges), so the driver-side sequential
+    * loop still reads each batch in parallel — the range predicate is
+    * part of the pushed-down dbtable subquery, so the database never
+    * ships out-of-chunk rows. */
+  def byJdbcRange(s: SparkSession, url: String, table: String,
+      props: java.util.Properties, partitionColumn: String,
+      lowerBound: Long, upperBound: Long, keysPerChunk: Long,
+      partitionsPerChunk: Int = 4): Iterator[DataFrame] = {
+    require(upperBound > lowerBound, "empty key range")
+    require(keysPerChunk > 0, "keysPerChunk must be positive")
+    require(partitionColumn.matches("[A-Za-z0-9_]+"),
+      s"partitionColumn '$partitionColumn' is not a plain identifier")
+    val bounds = Iterator.iterate(lowerBound)(_ + keysPerChunk)
+      .takeWhile(_ < upperBound)
+      .map(lo => (lo, math.min(lo + keysPerChunk, upperBound)))
+    // quoted: Spark's JDBC writer creates case-sensitive quoted
+    // identifiers, so the raw name would upper-case on ANSI databases
+    val qc = "\"" + partitionColumn + "\""
+    bounds.zipWithIndex.map { case ((lo, hi), i) =>
+      val nullPred = if (i == 0) s" OR $qc IS NULL" else ""
+      val sub = s"(SELECT * FROM $table WHERE ($qc >= $lo " +
+        s"AND $qc < $hi$nullPred)) AS graft_chunk_$i"
+      s.read
+        .option("partitionColumn", partitionColumn)
+        .option("lowerBound", lo.toString)
+        .option("upperBound", hi.toString)
+        .option("numPartitions", partitionsPerChunk.toString)
+        .jdbc(url, sub, props)
+    }
+  }
 }

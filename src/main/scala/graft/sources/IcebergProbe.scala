@@ -13,14 +13,18 @@ import org.apache.spark.sql.SparkSession
   * anyway and prints the exact failure, so the COVERAGE.md row is
   * backed by a reproducible error rather than an assumption.
   *
-  * The verified mapping, runnable wherever the runtime jar exists:
+  * The verified mapping, runnable wherever the runtime jar exists —
+  * the exact artifact a deployment adds (Spark 4.x / Scala 2.13 line):
   * {{{
+  *   --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0
+  *
   *   spark.sql.catalog.local           = org.apache.iceberg.spark.SparkCatalog
   *   spark.sql.catalog.local.type      = hadoop
   *   spark.sql.catalog.local.warehouse = /path/warehouse
   *   df.writeTo("local.db.t").create()           // pd.DataFrame.to_iceberg
   *   spark.read.format("iceberg").load("local.db.t")  // pd.read_iceberg
   * }}}
+  * See docs/DEPLOY.md §1c for the full deployment recipe.
   */
 object IcebergProbe {
   def main(args: Array[String]): Unit = {

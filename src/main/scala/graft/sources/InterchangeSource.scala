@@ -111,3 +111,13 @@ class HtmlSourceProvider extends InterchangeSource {
   override protected def writeImpl(df: DataFrame, path: String): Unit =
     HtmlTable.write(df, path)
 }
+
+/** `format("arrows")` — Arrow IPC stream files (pandas
+  * read_feather/to_feather's IPC format, stream flavor). */
+class ArrowSourceProvider extends InterchangeSource {
+  override def shortName(): String = "arrows"
+  override protected def readImpl(s: SparkSession, path: String): DataFrame =
+    ArrowStream.read(s, path)
+  override protected def writeImpl(df: DataFrame, path: String): Unit =
+    ArrowStream.write(df, path)
+}

@@ -91,6 +91,19 @@ object SourceQueries extends QueryModule {
         val raw = SasXport.read(s, path)
         raw.select(src.schema.fields.toSeq.map(f =>
           col(f.name).cast(f.dataType).as(f.name)): _*)
+      case "arrows" =>
+        // read_feather/to_feather (io/feather_format.py:36/83) —
+        // sources/ArrowStream: self-contained Arrow IPC stream files,
+        // encoded/decoded by Spark's own Arrow conversion per task
+        // (GraftSqlBridge.writeArrowStream/readArrowStream). Routed
+        // through the REGISTERED provider so the end-to-end
+        // format("arrows") surface is what the oracle checks. IPC is
+        // binary-typed like dta; the re-select is only for uniform
+        // column order
+        src.write.format("arrows").mode("overwrite").save(path)
+        val raw = s.read.format("arrows").load(path)
+        raw.select(src.schema.fields.toSeq.map(f =>
+          col(f.name).cast(f.dataType).as(f.name)): _*)
       case "xml" =>
         // read_xml (io/xml.py:861) / to_xml (io/formats/xml.py) — the
         // XML source is NATIVE in Spark 4 (the spark-xml package was
@@ -146,6 +159,10 @@ object SourceQueries extends QueryModule {
 
     // read_excel/to_excel (io/excel/_base.py:93,478) -> sources/Xlsx
     "src_excel_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "xlsx")) },
+
+    // read_feather/to_feather (io/feather_format.py:36,83) ->
+    // sources/ArrowStream via the registered format("arrows")
+    "src_arrow_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "arrows")) },
 
     // read_stata/to_stata (io/stata.py:2100) -> sources/StataDta
     "src_stata_roundtrip" -> { (s, d) => agg(roundTrip(s, d, "dta")) },
@@ -453,6 +470,7 @@ object SourceQueries extends QueryModule {
     "src_xml_roundtrip" -> oracleAgg,
     "src_html_roundtrip" -> oracleAgg,
     "src_excel_roundtrip" -> oracleAgg,
+    "src_arrow_roundtrip" -> oracleAgg,
     "src_stata_roundtrip" -> oracleAgg,
     "src_spss_roundtrip" -> oracleAgg,
     "src_sas_roundtrip" -> oracleAgg,

@@ -46,4 +46,56 @@ object GraftSqlBridge {
     org.apache.spark.sql.execution.arrow.ArrowConverters
       .toDataFrame(batches, schemaJson, classic)
   }
+
+  /** Serialize one partition chunk of Rows as a COMPLETE Arrow IPC
+    * stream — schema message, framed record batches, end-of-stream
+    * marker — onto `out`: the bytes of one self-contained `.arrows`
+    * file, readable by pyarrow/pandas `read_feather`-family readers
+    * (pandas io/feather_format.py:36/83; the stream flavor of the
+    * same IPC format). Batch conversion is Spark's own
+    * (`ArrowConverters.toBatchIterator`), so types map exactly as
+    * Spark's pandas interchange does. Runs per task; memory is
+    * bounded by `maxRecordsPerBatch` rows. */
+  def writeArrowStream(rows: Iterator[Row], schema: types.StructType,
+      maxRecordsPerBatch: Long, out: java.io.OutputStream): Unit = {
+    import org.apache.arrow.vector.ipc.message.MessageSerializer
+    val toInternal = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(schema)
+    val ch = new org.apache.arrow.vector.ipc.WriteChannel(
+      java.nio.channels.Channels.newChannel(out))
+    MessageSerializer.serialize(ch,
+      org.apache.spark.sql.util.ArrowUtils.toArrowSchema(
+        schema, "UTC", errorOnDuplicatedFieldNames = true, largeVarTypes = false))
+    if (rows.nonEmpty) {
+      val internal = rows.map(r =>
+        toInternal(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+      // each serialized batch is itself MessageSerializer-framed and
+      // 8-aligned, so appending raw keeps the stream well-formed
+      org.apache.spark.sql.execution.arrow.ArrowConverters
+        .toBatchIterator(internal, schema, maxRecordsPerBatch, "UTC",
+          errorOnDuplicatedFieldNames = true, largeVarTypes = false,
+          org.apache.spark.TaskContext.get())
+        .foreach(b => ch.write(b))
+    }
+    org.apache.arrow.vector.ipc.ArrowStreamWriter.writeEndOfStream(
+      ch, org.apache.arrow.vector.ipc.message.IpcOption.DEFAULT)
+  }
+
+  /** One `.arrows` stream file -> (Rows, schema); per-task inverse of
+    * [[writeArrowStream]] via Spark's `fromIPCStream`. */
+  def readArrowStream(bytes: Array[Byte]): (Iterator[Row], types.StructType) = {
+    val (internal, schema) = org.apache.spark.sql.execution.arrow.ArrowConverters
+      .fromIPCStream(bytes)
+    val toScala = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToScalaConverter(schema)
+    (internal.map(ir => toScala(ir).asInstanceOf[Row]), schema)
+  }
+
+  /** Schema of a `.arrows` stream file without decoding its batches. */
+  def arrowStreamSchema(bytes: Array[Byte]): types.StructType = {
+    val (it, schema) = org.apache.spark.sql.execution.arrow.ArrowConverters
+      .fromIPCStream(bytes)
+    it.close()
+    schema
+  }
 }

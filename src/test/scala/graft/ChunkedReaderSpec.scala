@@ -28,6 +28,35 @@ class ChunkedReaderSpec extends SparkSpec {
     assert(allFiles.distinct.length == allFiles.length)
   }
 
+  test("JDBC key-range chunks tile [lower, upper) exactly once, nulls in chunk 0") {
+    // read_sql(chunksize=) parity (pandas io/sql.py:543) over the same
+    // embedded Derby the src_jdbc_roundtrip oracle row uses
+    System.setProperty("derby.system.home", "/tmp/graft_test/derby_home")
+    val url = "jdbc:derby:/tmp/graft_test/derby_chunk/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val df = ((1 to 97).map(i => (Option(i.toLong), s"v$i")) :+
+      ((None: Option[Long], "null_key"))).toDF("k", "s")
+    df.write.mode("overwrite").jdbc(url, "chunk_t", props)
+    val chunks = ChunkedReader.byJdbcRange(spark, url, "chunk_t", props,
+      "k", lowerBound = 1L, upperBound = 98L, keysPerChunk = 25L,
+      partitionsPerChunk = 2).toSeq
+    assert(chunks.length == 4) // ceil(97/25)
+    // exactly-once: union equals the table, including the null key
+    val union = chunks.reduce(_.unionByName(_))
+    assert(union.count() == 98)
+    assert(union.select($"s").as[String].collect().toSet ==
+      df.select($"s").as[String].collect().toSet)
+    // no overlap: each key appears in exactly one chunk
+    val perChunk = chunks.map(_.select($"k").collect()
+      .map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet)
+    assert(perChunk.map(_.size).sum == 98)
+    // the null key rides the first chunk
+    assert(perChunk.head.contains(-1L) && perChunk.tail.forall(!_.contains(-1L)))
+    // bounded: chunk 1 holds exactly keys [1,26) plus the null
+    assert(perChunk.head - (-1L) == (1L until 26L).toSet)
+  }
+
   test("last chunk may be short; metadata files excluded") {
     val path = "/tmp/graft_test/chunked_short"
     (1 to 10).map(i => (i, i * 2)).toDF("a", "b")

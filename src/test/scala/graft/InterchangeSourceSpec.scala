@@ -11,7 +11,7 @@ class InterchangeSourceSpec extends SparkSpec {
   test("spark.read.format / df.write.format round-trips every short name") {
     val df = Seq((1L, Option("a"), Option(2.5)), (2L, None, None))
       .toDF("k", "s", "v")
-    for (fmt <- Seq("xlsx", "stata", "spss", "xport", "xhtml")) {
+    for (fmt <- Seq("xlsx", "stata", "spss", "xport", "xhtml", "arrows")) {
       val path = tmp(fmt)
       df.write.format(fmt).mode("overwrite").save(path)
       val back = spark.read.format(fmt).load(path)
