@@ -124,6 +124,49 @@ object Bench {
     // warmup: codegen + parquet footer caches + JIT
     exec("q1_groupby_agg")
 
+    // One-time layout materialization must not pollute the timed
+    // samples of the *_bkt_* rows: those rows measure STEADY-STATE
+    // reads of a write-once layout (the deployment model — DEPLOY.md
+    // §2: the write is paid once and amortized), but a fresh JVM's
+    // catalog starts empty, so rep 1 used to pay the whole
+    // bucketed-write inside its timed window — the r11 sf100 record's
+    // join_bkt_inner 7.6× spread was exactly that (reps 1-2 at
+    // 86-99 s with read_gb≈0 and gc≤2.5 s, reps 3-7 at 12.9-14.4 s;
+    // SCALE.md r11). Each *_bkt_* query now gets ONE untimed warmup
+    // exec that pays any pending build; min-of-reps values are
+    // unchanged (the min was already a steady-state rep), the spread
+    // now measures steady-state variance. SPARK_GRAFT_BKT_WARMUP=0
+    // restores the old in-band behavior for attribution runs.
+    // NOTE: the warmup runs the *_bkt_* query itself, not a layout
+    // list — so non-layout rows (e.g. agg_minmax_nunique, which must
+    // stay the CLUSTERED/adaptive contrast of agg_bkt_nunique when it
+    // runs first) see exactly the catalog state they did before.
+    val bktWarmup = sys.env.getOrElse("SPARK_GRAFT_BKT_WARMUP", "1") == "1"
+
+    // Stage-timeline attribution (round-11 verdict #2): with
+    // SPARK_GRAFT_STAGE_LOG=<path>, every completed stage appends one
+    // JSON line tagged with the query/rep (rep 0 = untimed warmup)
+    // that ran it — the per-rep stage breakdown that names WHERE a
+    // slow rep spent its time.
+    @volatile var curQuery = ""
+    @volatile var curRep = -1
+    sys.env.get("SPARK_GRAFT_STAGE_LOG").foreach { p =>
+      val w = new java.io.PrintWriter(new java.io.FileWriter(p, true))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = e.stageInfo
+          val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
+          w.synchronized {
+            w.println(s"""{"query":"$curQuery","rep":$curRep,"stage":${si.stageId},""" +
+              s""""name":"${si.name.takeWhile(_ != '\n').replace("\"", "'")}",""" +
+              s""""tasks":${si.numTasks},"ms":${dur.getOrElse(-1L)}}""")
+            w.flush()
+          }
+        }
+      })
+    }
+
     // A rep that throws must NOT contribute a timing sample: with
     // min-of-reps a fast crash would deflate the query's number and the
     // total, making a regression look like a speedup. Failed reps are
@@ -193,12 +236,21 @@ object Bench {
       if (ok.size < 2) None else Some(ok.max / ok.min)
     }
     val results = headline.filter(nameFilter).map { name =>
-      var samples = (1 to reps).map(_ => rep(name))
+      curQuery = name
+      if (bktWarmup && name.contains("_bkt_")) {
+        curRep = 0 // untimed: pays any pending layout build (see above)
+        try exec(name) catch { case _: Throwable => () }
+      }
+      var repNo = 0
+      def timedRep(): (Double, Boolean, Double, Double, Double) = {
+        repNo += 1; curRep = repNo; rep(name)
+      }
+      var samples = (1 to reps).map(_ => timedRep())
       // ambient-load guard: a noisy machine inflates some reps but not
       // others; keep adding reps while the ok-sample spread stays wide
       // so the min has a chance to be taken on a quiet window
       while (samples.size < maxReps && spreadOf(samples).exists(_ > spreadMax))
-        samples = samples :+ rep(name)
+        samples = samples :+ timedRep()
       name -> samples
     }
     def minOk(v: Seq[(Double, Boolean, Double, Double, Double)]): Option[Double] = {
