@@ -37,6 +37,12 @@ def main():
     con = duckdb.connect()
     con.execute("SET threads TO "
                 f"{os.environ.get('BIGCHECK_THREADS', os.cpu_count())}")
+    # bound memory and spill to disk instead of dying: an unbounded
+    # DuckDB on a 600M-row oracle reached 106 GB RSS and was OOM-killed
+    # mid-run (round 12) — with a limit it spills to temp_directory
+    con.execute(f"SET memory_limit='{os.environ.get('BIGCHECK_MEM', '40GB')}'")
+    os.makedirs("/tmp/duck_tmp", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duck_tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf, t)}'")
