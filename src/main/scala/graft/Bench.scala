@@ -147,25 +147,91 @@ object Bench {
     // SPARK_GRAFT_STAGE_LOG=<path>, every completed stage appends one
     // JSON line tagged with the query/rep (rep 0 = untimed warmup)
     // that ran it — the per-rep stage breakdown that names WHERE a
-    // slow rep spent its time.
-    @volatile var curQuery = ""
-    @volatile var curRep = -1
+    // slow rep spent its time. Attribution rides Spark LOCAL
+    // PROPERTIES (set per rep on the submitting thread, captured by
+    // the scheduler at job submission and delivered with
+    // onStageSubmitted) rather than volatiles read at completion time
+    // — listener events are asynchronous, so a stage completing after
+    // the driver advanced to the next rep would otherwise be
+    // attributed to the wrong query/rep (round-12 ADVICE).
+    def setStageTag(query: String, rp: Int): Unit = {
+      spark.sparkContext.setLocalProperty("graft.bench.query", query)
+      spark.sparkContext.setLocalProperty("graft.bench.rep", rp.toString)
+    }
+    // minimal JSON string escaper (shared shape with Verify's q()):
+    // backslash FIRST, then quote, then control chars — a backslash in
+    // a stage name must not emit an invalid line (round-12 ADVICE)
+    def jesc(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"'  => "\\\""
+      case c if c < ' ' => " "
+      case c    => c.toString
+    }
     sys.env.get("SPARK_GRAFT_STAGE_LOG").foreach { p =>
       val w = new java.io.PrintWriter(new java.io.FileWriter(p, true))
+      val tags = new java.util.concurrent.ConcurrentHashMap[Int, (String, Int)]()
       spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageSubmitted(
+            e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+          val q = Option(e.properties).map(_.getProperty("graft.bench.query", "")).getOrElse("")
+          val r = Option(e.properties).map(_.getProperty("graft.bench.rep", "-1")).getOrElse("-1")
+          tags.put(e.stageInfo.stageId, (q, try r.toInt catch { case _: Throwable => -1 }))
+        }
         override def onStageCompleted(
             e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val si = e.stageInfo
+          val (q, rp) = Option(tags.remove(si.stageId)).getOrElse(("", -1))
           val dur = for { s <- si.submissionTime; c <- si.completionTime } yield c - s
           w.synchronized {
-            w.println(s"""{"query":"$curQuery","rep":$curRep,"stage":${si.stageId},""" +
-              s""""name":"${si.name.takeWhile(_ != '\n').replace("\"", "'")}",""" +
+            w.println(s"""{"query":"${jesc(q)}","rep":$rp,"stage":${si.stageId},""" +
+              s""""name":"${jesc(si.name.takeWhile(_ != '\n'))}",""" +
               s""""tasks":${si.numTasks},"ms":${dur.getOrElse(-1L)}}""")
             w.flush()
           }
         }
       })
     }
+
+    // Fixed-work CANARY (round-12 verdict #2): cross-round bench
+    // ratios were confounded by a host-level slowdown that inflated
+    // identical plans up to 1.5× with ZERO disk reads and ZERO GC —
+    // the record could not distinguish a code regression from a slow
+    // host. Two constant-work, IO-free compute probes are now timed
+    // per bench session so any two rounds' numbers can be normalized
+    // by measured machine speed instead of argued:
+    //   canary_st_sec — single-thread sort of a constant-seed 30M-long
+    //     array (single-core speed; JVM+CPU only, no Spark),
+    //   canary_mt_sec — xxhash64-xor over an in-memory 8B range
+    //     through whole-stage codegen on all cores (parallel compute
+    //     throughput; exercises the same scheduler/codegen path the
+    //     queries do, still zero IO).
+    // min-of-3 each (1 untimed MT warmup), raw samples in the JSON.
+    // SPARK_GRAFT_CANARY=0 skips (attribution runs that must not
+    // perturb heap/page-cache state between targeted reps).
+    val canaryOn = sys.env.getOrElse("SPARK_GRAFT_CANARY", "1") == "1"
+    def canarySt(): Double = {
+      val rnd = new java.util.Random(42)
+      val a = Array.fill(30000000)(rnd.nextLong())
+      val t0 = System.nanoTime(); java.util.Arrays.sort(a)
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (a(0) > a(a.length - 1)) sys.error("unreachable") // keep `a` live
+      dt
+    }
+    def canaryMt(): Double = {
+      setStageTag("__canary_mt", -1)
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 400M ~uniform longs overflows int64
+      // under ANSI mode; xor keeps the same codegen'd hash+agg work
+      // 8B rows ≈ 1.7 s on this box — long enough that scheduler jitter
+      // doesn't dominate the probe, short enough to stay negligible
+      spark.range(0L, 8000000000L, 1L, cpus.toInt)
+        .selectExpr("bit_xor(xxhash64(id)) AS s")
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canSt = if (canaryOn) (1 to 3).map(_ => canarySt()) else Nil
+    val canMt = if (canaryOn) { canaryMt(); (1 to 3).map(_ => canaryMt()) } else Nil
+    if (canaryOn) System.gc() // canary heap must not bill the first query
 
     // A rep that throws must NOT contribute a timing sample: with
     // min-of-reps a fast crash would deflate the query's number and the
@@ -236,14 +302,13 @@ object Bench {
       if (ok.size < 2) None else Some(ok.max / ok.min)
     }
     val results = headline.filter(nameFilter).map { name =>
-      curQuery = name
       if (bktWarmup && name.contains("_bkt_")) {
-        curRep = 0 // untimed: pays any pending layout build (see above)
+        setStageTag(name, 0) // untimed: pays any pending layout build (see above)
         try exec(name) catch { case _: Throwable => () }
       }
       var repNo = 0
       def timedRep(): (Double, Boolean, Double, Double, Double) = {
-        repNo += 1; curRep = repNo; rep(name)
+        repNo += 1; setStageTag(name, repNo); rep(name)
       }
       var samples = (1 to reps).map(_ => timedRep())
       // ambient-load guard: a noisy machine inflates some reps but not
@@ -282,7 +347,11 @@ object Bench {
         "\"" + k + "\":" + v.count(!_._2)
     }.mkString("{", ",", "}")
     val total = results.flatMap { case (_, v) => minOk(v) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"gc_sec":$gcSecs,"spread":$spreads,"failed":$failed,"sf":"$sfDir"}""")
+    def arr(v: Seq[Double]) = v.map(x => f"$x%.3f").mkString("[", ",", "]")
+    def minOr(v: Seq[Double]) = if (v.isEmpty) "null" else f"${v.min}%.3f"
+    val canary = s""""canary_st_sec":${minOr(canSt)},"canary_mt_sec":${minOr(canMt)},""" +
+      s""""canary_st":${arr(canSt)},"canary_mt":${arr(canMt)}"""
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"gc_sec":$gcSecs,"spread":$spreads,"failed":$failed,$canary,"sf":"$sfDir"}""")
     if (results.exists { case (_, v) => minOk(v).isEmpty }) {
       spark.stop()
       sys.exit(1)

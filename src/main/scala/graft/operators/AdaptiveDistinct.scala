@@ -97,13 +97,24 @@ object AdaptiveDistinct {
 
   /** Bounded probe input: the frame itself below the sample cap, else
     * a uniform row-sample targeting ~cap bytes. */
-  private[operators] def probeInput(df: DataFrame): DataFrame = {
+  private[operators] def probeInput(df: DataFrame): DataFrame =
+    probeInputWithFraction(df)._1
+
+  /** probeInput plus the sampling fraction actually applied (1.0 = the
+    * whole frame). Callers that turn the probe's distinct estimate into
+    * an ABSOLUTE decision (e.g. a broadcast-size gate) must know the
+    * probe was sampled: a distinct count over a row-sample is only a
+    * LOWER bound of the true cardinality — it cannot be linearly
+    * rescaled, and comparing it to an absolute limit re-opens the
+    * driver-OOM the limit guards against (round-12 ADVICE). Ratio
+    * decisions (sample-distinct / sample-rows) remain valid. */
+  private[operators] def probeInputWithFraction(df: DataFrame): (DataFrame, Double) = {
     val cap = confBytes(df, probeSampleBytesKey, probeSampleBytesDefault)
     val est = estBytes(df)
-    if (est <= cap) df
+    if (est <= cap) (df, 1.0)
     else {
-      val f = (BigDecimal(cap) / BigDecimal(est)).toDouble
-      df.sample(withReplacement = false, math.max(1e-4, math.min(1.0, f)), seed = 42)
+      val f = math.max(1e-4, math.min(1.0, (BigDecimal(cap) / BigDecimal(est)).toDouble))
+      (df.sample(withReplacement = false, f, seed = 42), f)
     }
   }
 

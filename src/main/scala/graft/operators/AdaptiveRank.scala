@@ -50,10 +50,19 @@ object AdaptiveRank {
     * (~24 B of column data per pair ⇒ ≲100 MB with row overhead). */
   val broadcastPairLimit = 2000000L
 
-  /** Probe result; exposed so tests can pin the switch. */
-  final case class Probe(rows: Long, estPairs: Long) {
+  /** Probe result; exposed so tests can pin the switch. `sampled` =
+    * the probe ran over a bounded row-sample, not the whole frame. */
+  final case class Probe(rows: Long, estPairs: Long, sampled: Boolean = false) {
     def useHistogram: Boolean = estPairs <= (rows * histFraction).toLong
-    def broadcastable: Boolean = estPairs <= broadcastPairLimit
+    /** Broadcast gate. A SAMPLED probe's estPairs is only a lower
+      * bound of the true pair count (distinct counts don't rescale
+      * linearly), so it can never clear an ABSOLUTE size limit — a
+      * hot-pairs + long-rare-tail skew would pass useHistogram on the
+      * sample while the real histogram has tens of millions of pairs,
+      * and the broadcast hint would re-open the round-9 driver OOM
+      * (round-12 ADVICE). Sampled probes always take the shuffle
+      * join-back; the ratio decision (useHistogram) stays valid. */
+    def broadcastable: Boolean = !sampled && estPairs <= broadcastPairLimit
   }
 
   def probe(df: DataFrame, keyCols: Seq[String], valueCol: String): Probe = {
@@ -62,9 +71,10 @@ object AdaptiveRank {
     // scan, ~2% HLL error, far inside the 8× regime margin; bounded
     // by AdaptiveDistinct.probeInput past the sample cap (a sampled
     // ratio errs toward WINDOW — the no-extra-join plan)
-    val r = AdaptiveDistinct.probeInput(df).agg(count(lit(1)).as("n"),
+    val (in, frac) = AdaptiveDistinct.probeInputWithFraction(df)
+    val r = in.agg(count(lit(1)).as("n"),
       approx_count_distinct(struct(pair: _*)).as("d")).head()
-    Probe(r.getLong(0), r.getLong(1))
+    Probe(r.getLong(0), r.getLong(1), sampled = frac < 1.0)
   }
 
   /** Append rank columns for (keyCols, valueCol) to `df`, choosing the

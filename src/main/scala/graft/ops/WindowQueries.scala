@@ -337,6 +337,24 @@ object WindowQueries extends QueryModule {
         .withColumn("ewm_var", round(col("ewm_var"), 6))
     },
 
+    // the sf100-DIFFERENTIAL twin of win_ewm_mean (round-12 verdict
+    // #5): EWM state is per-key independent, so restricting to a FIXED
+    // deterministic key subset (user_id % 97 == 3, ~1% of keys)
+    // preserves bit-exactness on every surviving row while the
+    // recursive-CTE oracle's cost drops ∝ the sample — the full-corpus
+    // oracle costs ~1 h at 600M rows (protocol note), which is why the
+    // ewm family had bench rows but no scaled oracle row until now.
+    // The filter pushes into the parquet scan on the engine side; the
+    // full-width path stays benched by win_ewm_mean itself.
+    "win_ewm_keyed" -> { (s, d) =>
+      val ev = Tables(s, d, "events")
+        .filter(pmod(col("user_id"), lit(97)) === 3)
+      Ewm.ewmMean(s, ev, "user_id", "ts", "value", alpha = 0.1)
+        .withColumn("ewm_adj", round(col("ewm_adj"), 6))
+        .withColumn("ewm_noadj", round(col("ewm_noadj"), 6))
+        .withColumn("ewm_var", round(col("ewm_var"), 6))
+    },
+
     // ewm mean over a series WITH missing values, ignore_na=False
     // (default): a gap decays the accumulated weights one step
     // (absolute-position weighting, aggregations.pyx ewm kernel)
@@ -797,6 +815,34 @@ object WindowQueries extends QueryModule {
            SELECT user_id, ts, "value",
              ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
            FROM events),
+         e AS (
+           SELECT user_id, ts, "value", rn,
+             CAST("value" AS DOUBLE) AS num, CAST(1.0 AS DOUBLE) AS den,
+             CAST("value" AS DOUBLE) * CAST("value" AS DOUBLE) AS num2,
+             CAST(1.0 AS DOUBLE) AS sw2,
+             CAST("value" AS DOUBLE) AS ynoadj
+           FROM r WHERE rn = 1
+           UNION ALL
+           SELECT r.user_id, r.ts, r."value", r.rn,
+             0.9 * e.num + r."value", 0.9 * e.den + 1.0,
+             0.9 * e.num2 + r."value" * r."value",
+             (0.9 * 0.9) * e.sw2 + 1.0,
+             0.9 * e.ynoadj + 0.1 * r."value"
+           FROM e JOIN r ON r.user_id = e.user_id AND r.rn = e.rn + 1)
+         SELECT user_id, ts, "value",
+           ROUND(num / den, 6) AS ewm_adj, ROUND(ynoadj, 6) AS ewm_noadj,
+           CASE WHEN den * den - sw2 > 0 THEN
+             ROUND((num2 / den - (num / den) * (num / den))
+               * ((den * den) / (den * den - sw2)), 6) END AS ewm_var
+         FROM e""",
+
+    // key-sampled twin: same recursion, WHERE pushed into the seed CTE
+    // so the oracle's work is ∝ the 1/97 key sample (verdict r12 #5)
+    "win_ewm_keyed" ->
+      """WITH RECURSIVE r AS (
+           SELECT user_id, ts, "value",
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+           FROM events WHERE user_id % 97 = 3),
          e AS (
            SELECT user_id, ts, "value", rn,
              CAST("value" AS DOUBLE) AS num, CAST(1.0 AS DOUBLE) AS den,

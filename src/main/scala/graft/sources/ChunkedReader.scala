@@ -87,13 +87,15 @@ object ChunkedReader {
     val bounds = Iterator.iterate(lowerBound)(_ + keysPerChunk)
       .takeWhile(_ < upperBound)
       .map(lo => (lo, math.min(lo + keysPerChunk, upperBound)))
-    // quoted: Spark's JDBC writer creates case-sensitive quoted
-    // identifiers, so the raw name would upper-case on ANSI databases
-    val qc = "\"" + partitionColumn + "\""
+    // quoted VIA THE URL'S DIALECT: Spark's JDBC writer creates
+    // case-sensitive quoted identifiers, so the raw name would
+    // upper-case on ANSI databases — but the quote character is
+    // dialect-specific (MySQL backticks, SQL Server brackets); a
+    // hardcoded ANSI '"' would parse as a string literal there and the
+    // chunk predicate would silently compare against a constant
+    // (round-12 ADVICE)
     bounds.zipWithIndex.map { case ((lo, hi), i) =>
-      val nullPred = if (i == 0) s" OR $qc IS NULL" else ""
-      val sub = s"(SELECT * FROM $table WHERE ($qc >= $lo " +
-        s"AND $qc < $hi$nullPred)) AS graft_chunk_$i"
+      val sub = chunkSubquery(url, table, partitionColumn, lo, hi, i)
       s.read
         .option("partitionColumn", partitionColumn)
         .option("lowerBound", lo.toString)
@@ -101,5 +103,20 @@ object ChunkedReader {
         .option("numPartitions", partitionsPerChunk.toString)
         .jdbc(url, sub, props)
     }
+  }
+
+  /** The pushed-down chunk subquery. Identifier quoting comes from the
+    * URL'S JDBC DIALECT, not a hardcoded ANSI '"': on MySQL (backticks,
+    * ANSI_QUOTES off) a double-quoted name parses as a string LITERAL,
+    * so the chunk predicate would silently compare a constant to the
+    * bounds and every chunk would return the whole table or nothing
+    * (round-12 ADVICE). Exposed for spec coverage per dialect. */
+  private[graft] def chunkSubquery(url: String, table: String,
+      partitionColumn: String, lo: Long, hi: Long, i: Int): String = {
+    val qc = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+      .quoteIdentifier(partitionColumn)
+    // NULL keys ride the FIRST chunk (coverage contract above)
+    val nullPred = if (i == 0) s" OR $qc IS NULL" else ""
+    s"(SELECT * FROM $table WHERE ($qc >= $lo AND $qc < $hi$nullPred)) AS graft_chunk_$i"
   }
 }

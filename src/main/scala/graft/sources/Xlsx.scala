@@ -70,8 +70,17 @@ object Xlsx {
       else if (ch == '<') sb.append("&lt;")
       else if (ch == '>') sb.append("&gt;")
       // \r is XML-legal but parsers NORMALIZE it to \n (XML 1.0 §2.11),
-      // so it must be encoded to round-trip — Excel does the same
+      // so it must be encoded to round-trip — Excel does the same.
+      // Surrogate code UNITS and U+FFFE/U+FFFF are equally illegal in
+      // XML 1.0 (Char excludes them) — a lone surrogate or BOM-swap
+      // char written raw corrupts the workbook for the read-side SAX
+      // parser exactly like a control char (openpyxl rejects them
+      // too); encoding each UTF-16 unit separately also keeps PAIRED
+      // surrogates (legal astral chars) round-tripping, matching how
+      // Excel itself emits _xD83D__xDE00_ for emoji (round-12 ADVICE)
       else if (ch < 0x20 && ch != '\t' && ch != '\n')
+        sb.append(f"_x${ch.toInt}%04X_")
+      else if (Character.isSurrogate(ch) || ch == 0xFFFE.toChar || ch == 0xFFFF.toChar)
         sb.append(f"_x${ch.toInt}%04X_")
       else if (ch == '_' && looksEscaped(s, i)) sb.append("_x005F_")
       else sb.append(ch)

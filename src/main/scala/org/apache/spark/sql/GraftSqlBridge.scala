@@ -98,4 +98,17 @@ object GraftSqlBridge {
     it.close()
     schema
   }
+
+  /** Schema from the LEADING bytes of an Arrow IPC stream: the schema
+    * message is by spec the stream's FIRST message, so this reads only
+    * the header from `in` (a few hundred bytes) and never touches the
+    * record batches — the bounded alternative to fetching a whole file
+    * just to learn its schema (round-12 verdict). No allocator: the
+    * flatbuffer deserialize is static. Caller closes `in`. */
+  def arrowSchemaFromHeader(in: java.io.InputStream): types.StructType = {
+    val ch = new org.apache.arrow.vector.ipc.ReadChannel(
+      java.nio.channels.Channels.newChannel(in))
+    org.apache.spark.sql.util.ArrowUtils.fromArrowSchema(
+      org.apache.arrow.vector.ipc.message.MessageSerializer.deserializeSchema(ch))
+  }
 }

@@ -34,6 +34,13 @@ class AdaptiveRankSpec extends SparkSpec {
     assert(AdaptiveRank.Probe(100L, 10L).broadcastable)
     assert(!AdaptiveRank.Probe(10000000000L,
       AdaptiveRank.broadcastPairLimit + 1).broadcastable)
+    // ... UNLESS the probe was sampled: a sample's distinct count is
+    // only a lower bound of the true pair cardinality, so it can never
+    // clear the ABSOLUTE broadcast limit — a hot-pair + rare-tail skew
+    // would otherwise re-open the round-9 driver OOM (round-12 ADVICE)
+    assert(!AdaptiveRank.Probe(100L, 10L, sampled = true).broadcastable)
+    // the RATIO decision stays valid on a sample
+    assert(AdaptiveRank.Probe(1000L, 10L, sampled = true).useHistogram)
   }
 
   test("adaptive path plans the join only in the histogram regime") {

@@ -28,6 +28,24 @@ class ChunkedReaderSpec extends SparkSpec {
     assert(allFiles.distinct.length == allFiles.length)
   }
 
+  test("chunk subquery quotes the key per the URL's JDBC dialect") {
+    // round-12 ADVICE: a hardcoded ANSI '"' parses as a string LITERAL
+    // on MySQL (backticks, ANSI_QUOTES off) — the chunk predicate
+    // would silently compare a constant against the bounds. The
+    // subquery must take its identifier quote from the dialect.
+    val my = ChunkedReader.chunkSubquery(
+      "jdbc:mysql://h/db", "t", "k", 0L, 10L, 1)
+    assert(my.contains("`k` >= 0") && my.contains("`k` < 10"), my)
+    val ansi = ChunkedReader.chunkSubquery(
+      "jdbc:derby:/x/db", "t", "k", 0L, 10L, 1)
+    assert(ansi.contains("\"k\" >= 0") && ansi.contains("\"k\" < 10"), ansi)
+    // NULL keys ride chunk 0 only, quoted the same way
+    val first = ChunkedReader.chunkSubquery(
+      "jdbc:mysql://h/db", "t", "k", 0L, 10L, 0)
+    assert(first.contains("OR `k` IS NULL"), first)
+    assert(!my.contains("IS NULL"), my)
+  }
+
   test("JDBC key-range chunks tile [lower, upper) exactly once, nulls in chunk 0") {
     // read_sql(chunksize=) parity (pandas io/sql.py:543) over the same
     // embedded Derby the src_jdbc_roundtrip oracle row uses

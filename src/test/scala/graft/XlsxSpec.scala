@@ -42,6 +42,24 @@ class XlsxSpec extends SparkSpec {
     assert(back.collect().toSet == df.collect().toSet)
   }
 
+  test("XML-illegal non-control chars encode too: lone surrogates, U+FFFE/FFFF") {
+    // XML 1.0's Char production excludes surrogate code points and
+    // U+FFFE/U+FFFF just like control chars — written raw they corrupt
+    // the workbook for the read-side parser (openpyxl rejects them
+    // too). Lone surrogates arrive via broken UTF-16 slicing; PAIRED
+    // surrogates (legal astral chars) must keep round-tripping, each
+    // unit encoded separately as Excel itself does (round-12 ADVICE).
+    val df = Seq(
+      (1L, Option("lone high \ud800 surrogate")),
+      (2L, Option("lone low \udc00 surrogate")),
+      (3L, Option("bom-swap \ufffe and \uffff sentinels")),
+      (4L, Option("paired emoji 😀 stays one char"))
+    ).toDF("k", "s")
+    Xlsx.write(df, tmp("illegal"))
+    val back = Xlsx.read(spark, tmp("illegal")).select($"k".cast("long"), $"s")
+    assert(back.collect().toSet == df.collect().toSet)
+  }
+
   test("caps rows per workbook and reads all chunks back") {
     val df = (1 to 25).map(i => (i.toLong, s"row$i")).toDF("k", "s")
       .repartition(2)
