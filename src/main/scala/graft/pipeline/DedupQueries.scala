@@ -588,6 +588,29 @@ object DedupQueries extends QueryModule {
         .select($"da", $"db", $"sa", $"sb", $"hamming")
     },
 
+    // the sf100-DIFFERENTIAL twin of dedup_simhash_pairs (round-12
+    // verdict #1, resolved round 13): the full row's output at sf100 is
+    // 2,880,500,000 pairs (engine-counted — the complete banded join
+    // RUNS at that scale; only the dump+compare of a 2.9B-row result
+    // is beyond any single-host oracle). Pairs exist only WITHIN a
+    // bucket, so a deterministic bucket subset (bucket % 41 == 7, ~1/41
+    // of the 4096 buckets) is BUCKET-COMPLETE: every emitted pair is
+    // bit-exact and every pair of the kept buckets is emitted — the
+    // same per-key-exact sampling contract as win_ewm_keyed. ~70M
+    // pairs at sf100: dump- and DuckDB-feasible.
+    "dedup_simhash_pairs_sample" -> { (s, d) =>
+      import s.implicits._
+      val sig = simhashSig(Tables(s, d, "documents"))
+        .withColumn("bucket", ($"simhash" / lit(4096L)).cast("long"))
+        .filter(pmod($"bucket", lit(41L)) === 7)
+      val a = sig.select($"doc_id".as("da"), $"simhash".as("sa"), $"bucket")
+      val b = sig.select($"doc_id".as("db"), $"simhash".as("sb"), $"bucket")
+      a.join(b, Seq("bucket")).filter($"da" < $"db")
+        .withColumn("hamming", bit_count($"sa".bitwiseXOR($"sb")))
+        .filter($"hamming" <= 3)
+        .select($"da", $"db", $"sa", $"sb", $"hamming")
+    },
+
     // exact substring-SPAN dedup (the "Deduplicating Training Data
     // Makes Language Models Better" ExactSubstr operator, Lee et al.
     // 2021, arXiv:2107.06499 — their single-machine suffix array
@@ -815,6 +838,19 @@ object DedupQueries extends QueryModule {
            hsh AS (SELECT doc_id, $hashesSql AS hs FROM docs),
            sig AS (SELECT doc_id, $simhashBitsSql AS simhash FROM hsh),
            sb AS (SELECT doc_id, simhash, simhash // 4096 AS bucket FROM sig)
+           SELECT a.doc_id AS da, b.doc_id AS db,
+             a.simhash AS sa, b.simhash AS sb,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+           FROM sb a JOIN sb b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""",
+
+      // bucket-complete deterministic subset — see the query's scaladoc
+      "dedup_simhash_pairs_sample" ->
+        s"""WITH docs AS (SELECT doc_id, $shinglesSql AS sh FROM documents),
+           hsh AS (SELECT doc_id, $hashesSql AS hs FROM docs),
+           sig AS (SELECT doc_id, $simhashBitsSql AS simhash FROM hsh),
+           sb AS (SELECT doc_id, simhash, simhash // 4096 AS bucket FROM sig
+                  WHERE (simhash // 4096) % 41 = 7)
            SELECT a.doc_id AS da, b.doc_id AS db,
              a.simhash AS sa, b.simhash AS sb,
              bit_count(xor(a.simhash, b.simhash)) AS hamming
