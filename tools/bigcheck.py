@@ -16,7 +16,7 @@ engine dump with exact value equality:
     (bag equality — duplicates count, exact doubles, NULL-safe).
 Appends one JSON line per query to out.jsonl (default: stdout only).
 """
-import sys, json, os, glob, time
+import sys, json, os, glob, shutil, time
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -41,8 +41,14 @@ def main():
     # DuckDB on a 600M-row oracle reached 106 GB RSS and was OOM-killed
     # mid-run (round 12) — with a limit it spills to temp_directory
     con.execute(f"SET memory_limit='{os.environ.get('BIGCHECK_MEM', '40GB')}'")
-    os.makedirs("/tmp/duck_tmp", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duck_tmp'")
+    # per-PID spill dir: concurrent bigcheck instances sharing one
+    # temp_directory collide on DuckDB's fixed duckdb_temp_storage-N
+    # file names (round 13: one instance's cleanup aborted another
+    # mid-compare). The dir is removed on exit; a crash leaves it for
+    # tools/teardown.sh, which clears /tmp/duck_tmp* wholesale.
+    tmpdir = f"/tmp/duck_tmp_{os.getpid()}"
+    os.makedirs(tmpdir, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmpdir}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{table_path(sf, t)}'")
@@ -123,6 +129,8 @@ def main():
             sink.write(line + "\n")
             sink.flush()
     print(f"== {len(names)} compared, {fails} FAIL")
+    con.close()
+    shutil.rmtree(tmpdir, ignore_errors=True)
     sys.exit(1 if fails else 0)
 
 

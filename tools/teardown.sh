@@ -37,7 +37,7 @@ fi
 sleep 2
 
 # 2. scratch: DuckDB spill, verify dumps, stale bench scratch
-for d in /tmp/duck_tmp /tmp/vout_* /tmp/vout /tmp/arrow_hdr_probe; do
+for d in /tmp/duck_tmp /tmp/duck_tmp_* /tmp/vout_* /tmp/vout /tmp/arrow_hdr_probe; do
   if [ -e "$d" ]; then du -sh "$d" 2>/dev/null; rm -rf "$d"; echo "removed $d"; fi
 done
 # spark block-manager leftovers from killed JVMs (live JVMs keep theirs)
