@@ -41,6 +41,11 @@ def main():
     # DuckDB on a 600M-row oracle reached 106 GB RSS and was OOM-killed
     # mid-run (round 12) — with a limit it spills to temp_directory
     con.execute(f"SET memory_limit='{os.environ.get('BIGCHECK_MEM', '40GB')}'")
+    # bag-equality never needs row order, and insertion-order
+    # preservation is DuckDB's biggest memory amplifier on 600M-row
+    # DISTINCT/GROUP BY oracles (the agg_*_nunique compares) — without
+    # it the dsp distinct's working set exceeded mem+disk on this host
+    con.execute("SET preserve_insertion_order=false")
     # per-PID spill dir: concurrent bigcheck instances sharing one
     # temp_directory collide on DuckDB's fixed duckdb_temp_storage-N
     # file names (round 13: one instance's cleanup aborted another
