@@ -97,7 +97,17 @@ def main():
         try:
             con.execute(f"CREATE OR REPLACE VIEW __eng AS "
                         f"SELECT * FROM '{dump}'")
-            con.execute(f"CREATE OR REPLACE VIEW __ora AS ({oracle[name]})")
+            # materialize the oracle ONCE: as a view it was evaluated
+            # three times per row (count, then twice inside the
+            # EXCEPT ALL diff) — for the 600M-row oracles the doubled
+            # subplan in one statement ran every branch concurrently,
+            # blew past memory_limit, and flipped DuckDB into external
+            # aggregation (~50 GB spill on a query that runs in 91 s
+            # spill-free when evaluated singly). Temp tables are
+            # buffer-managed, so a large oracle result pages to
+            # temp_directory instead of doubling the plan.
+            con.execute(
+                f"CREATE OR REPLACE TEMP TABLE __ora AS ({oracle[name]})")
             ecols = [r[0] for r in con.execute(
                 "DESCRIBE __eng").fetchall()]
             ocols = [r[0] for r in con.execute(
@@ -127,6 +137,10 @@ def main():
             rec["status"] = "err"
             rec["err"] = str(e)[:400]
             fails += 1
+        try:
+            con.execute("DROP TABLE IF EXISTS __ora")
+        except Exception:
+            pass
         rec["compare_secs"] = round(time.time() - t0, 1)
         line = json.dumps(rec)
         print(line, flush=True)
