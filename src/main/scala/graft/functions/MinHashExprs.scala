@@ -45,6 +45,8 @@ object MinHashExprs {
       exprs => ShingleHash64s(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_minhash_bands",
       exprs => MinHashBandKeys(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_simhash24",
+      exprs => SimHash24(exprs.head), "scala_udf")
   }
 
   private[functions] def polyHash(s: UTF8String): Long = {
@@ -129,6 +131,55 @@ case class ShingleHash64s(child: Expression)
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit shingle-hash array -> 24-bit SimHash (graft_simhash24),
+  * round-14. Replaces the 24 per-bit interpreted `aggregate` HOF folds
+  * of the original formulation (measured ~6 s/run at sf0.1 for 5000
+  * docs) with one JVM pass. Bit semantics are EXACTLY the HOF chain's:
+  * h31 = h64 div 2^31 recovers the 30-bit polynomial word hash (< 2^30,
+  * so the old form's double division by 2^j was exact and equals the
+  * shift), each element contributes ((h31 >> j) & 1) * 2 - 1 to bit
+  * j's counter, bit j is set iff its counter >= 0. Edge semantics
+  * preserved: EMPTY shingle array -> all 24 counters are 0 >= 0 -> all
+  * bits set (16777215); NULL input behaves like empty (the old HOF
+  * chain's `when(size(..) >= 3, ..).otherwise(array())` turned a NULL
+  * text into the empty shingle array, never a NULL), hence eval
+  * overridden instead of nullSafeEval and nullable=false —
+  * SimHashKernelSpec pins both edges.
+  */
+case class SimHash24(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return 16777215L // ≡ empty shingle set: all bits set
+    val hs = v.asInstanceOf[ArrayData]
+    val n = hs.numElements()
+    val sums = new Array[Long](24)
+    var i = 0
+    while (i < n) {
+      val h31 = hs.getLong(i) / Shift
+      var j = 0
+      while (j < 24) {
+        sums(j) += ((h31 >> j) & 1L) * 2 - 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 24) {
+      if (sums(j) >= 0) out |= (1L << j)
+      j += 1
+    }
+    out
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

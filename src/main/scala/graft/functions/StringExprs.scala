@@ -24,6 +24,66 @@ object StringExprs {
       exprs => TokenCount(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_canon",
       exprs => CanonText(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_marker_scores",
+      exprs => MarkerScores(exprs.head), "scala_udf")
+  }
+}
+
+/** Single-pass word-count + language-marker-count kernel shared by
+  * interpreted eval and the generated code of [[MarkerScores]].
+  */
+object MarkerScan {
+  /** One byte scan over the raw UTF-8 text computing the struct
+    * (n_words, score_en, score_es, score_de, score_fr) where
+    * n_words == size(split(text, " ")) (split with limit -1: segments
+    * = spaces + 1, trailing empties kept) and each score ==
+    * aggregate(split(text, " "), 0L, (a, w) -> a + (w IN markers)) for
+    * the four marker lists of TextQueries/CurationQueries:
+    * en={the,a,of} es={el,la,de} de={der,die,und} fr={le,les,et}.
+    *
+    * The HOF form it replaces re-split the text per score and ran
+    * interpreted (HigherOrderFunction has no codegen), and a filter
+    * referencing the scores re-evaluated each aggregate per
+    * comparison — measured 8 split+fold passes per row in the
+    * pipe_curation quality gate. Marker words are ASCII, so multibyte
+    * segments simply never match; the space byte 0x20 cannot occur
+    * inside a multibyte code point.
+    */
+  def scores(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = s.numBytes
+    var en = 0L; var es = 0L; var de = 0L; var fr = 0L
+    var words = 1
+    var start = 0
+    var i = 0
+    while (i <= n) {
+      if (i == n || s.getByte(i) == ' ') {
+        val len = i - start
+        if (len == 1) {
+          if (s.getByte(start) == 'a') en += 1
+        } else if (len == 2) {
+          val b0 = s.getByte(start); val b1 = s.getByte(start + 1)
+          if (b0 == 'o' && b1 == 'f') en += 1
+          else if (b0 == 'e' && b1 == 'l') es += 1
+          else if (b0 == 'l' && b1 == 'a') es += 1
+          else if (b0 == 'd' && b1 == 'e') es += 1
+          else if (b0 == 'l' && b1 == 'e') fr += 1
+          else if (b0 == 'e' && b1 == 't') fr += 1
+        } else if (len == 3) {
+          val b0 = s.getByte(start); val b1 = s.getByte(start + 1)
+          val b2 = s.getByte(start + 2)
+          if (b0 == 't' && b1 == 'h' && b2 == 'e') en += 1
+          else if (b0 == 'd' && b1 == 'e' && b2 == 'r') de += 1
+          else if (b0 == 'd' && b1 == 'i' && b2 == 'e') de += 1
+          else if (b0 == 'u' && b1 == 'n' && b2 == 'd') de += 1
+          else if (b0 == 'l' && b1 == 'e' && b2 == 's') fr += 1
+        }
+        if (i < n) words += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](words, en, es, de, fr))
   }
 }
 
@@ -165,6 +225,32 @@ case class TokenCount(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.TokenScan.count($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word count + the four language-marker counts as ONE codegen'd
+  * single-pass struct expression (graft_marker_scores) — see
+  * [[MarkerScan.scores]] for the exact HOF chain it replaces and the
+  * equivalence argument. Consumers take struct fields; whole-stage
+  * codegen's subexpression elimination evaluates the scan once per
+  * row however many fields a predicate references.
+  */
+case class MarkerScores(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("score_en", LongType, nullable = false),
+    StructField("score_es", LongType, nullable = false),
+    StructField("score_de", LongType, nullable = false),
+    StructField("score_fr", LongType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    MarkerScan.scores(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MarkerScan.scores($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

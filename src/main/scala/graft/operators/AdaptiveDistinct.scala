@@ -89,10 +89,10 @@ object AdaptiveDistinct {
   /** Optimizer-estimated input size in bytes — plan stats only, no
     * Spark job (file sources: pruned file-size estimate; local
     * relations: exact). */
-  private[operators] def estBytes(df: DataFrame): BigInt =
+  private[graft] def estBytes(df: DataFrame): BigInt =
     df.queryExecution.optimizedPlan.stats.sizeInBytes
 
-  private[operators] def confBytes(df: DataFrame, key: String, dflt: Long): Long =
+  private[graft] def confBytes(df: DataFrame, key: String, dflt: Long): Long =
     df.sparkSession.conf.get(key, dflt.toString).toLong
 
   /** Bounded probe input: the frame itself below the sample cap, else
@@ -188,7 +188,10 @@ object AdaptiveDistinct {
         // EXPAND would shuffle k× near-unique data), and it is exactly
         // the pre-adaptive round-10 plan. Checked BEFORE the layout:
         // the dedup-then-count shapes only pay off on data-sized
-        // dedups.
+        // dedups. (Round-14 measured the EXPAND alternative below the
+        // gate and REJECTED it: Expand triples the rows through the
+        // partial aggregate — agg_minmax_nunique 0.83 s → 1.8 s at
+        // sf0.1 — so SPLIT stays.)
         else if (estBytes(df) < BigInt(confBytes(df, probeGateBytesKey,
           probeGateBytesDefault))) "split"
         else if (layoutServes) "bucketed"

@@ -115,7 +115,12 @@ object AdaptiveRank {
         df, AdaptiveDistinct.probeGateBytesKey, AdaptiveDistinct.probeGateBytesDefault))
     val p = forcePath match {
       case "window"    => None
-      case "histogram" => Some(probe(df, keyCols, valueCol))
+      // round-14: a FORCED histogram needs no probe — the probe's only
+      // remaining job there was gating the broadcast hint, and AQE
+      // already converts the join-back to a broadcast join at runtime
+      // from the histogram's ACTUAL size (strictly safer than any
+      // estimate, and one less plan-build job per call)
+      case "histogram" => None
       case ""          => if (gated) None else Some(probe(df, keyCols, valueCol))
       case other => throw new IllegalArgumentException(s"forcePath: $other")
     }

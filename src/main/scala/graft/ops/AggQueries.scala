@@ -41,10 +41,17 @@ object AggQueries extends QueryModule {
           // inputs keep every product at scale 4, so the scaled sum
           // stays below 2^53 and the final decimal->double cast is
           // exact on both engines (scale-8 sums are not: the cast can
-          // differ by 1 ulp between engines at ~1e9 magnitudes)
-          (sum($"l_extendedprice".cast("decimal(12,2)")).cast("decimal(38,4)") -
-            sum(($"l_extendedprice".cast("decimal(12,2)") * $"l_discount".cast("decimal(6,2)"))
-              .cast("decimal(38,4)")))
+          // differ by 1 ulp between engines at ~1e9 magnitudes).
+          // Round-14: scaled-long per-row arithmetic (same rationale
+          // and equivalence argument as OracleNum.dsum — the decimal
+          // casts were the stage's hot path); the per-GROUP decimal
+          // divisions and the subtract are exact, so the final double
+          // is unchanged.
+          ((sum(rint($"l_extendedprice" * 100).cast("long")
+              .cast("decimal(18,0)")) / lit(100).cast("decimal(3,0)")) -
+            (sum((rint($"l_extendedprice" * 100).cast("long") *
+                rint($"l_discount" * 100).cast("long")).cast("decimal(20,0)")) /
+              lit(10000).cast("decimal(5,0)")))
             .cast("double").as("sum_disc_price"),
           dmean($"l_quantity").as("avg_qty"),
           dmean($"l_discount").as("avg_disc"),

@@ -546,10 +546,11 @@ object WindowQueries extends QueryModule {
     // since round 10 the restructuring lives in operators/AdaptiveRank
     // (the promoted single entry point); this query pins the histogram
     // path for the bench. na_option='top' (nulls ranked first) mirrors
-    // the window twin's plain `orderBy(value)`; the probe gates the
-    // broadcast-back (events' ~49k pairs at sf100 broadcast; a
-    // near-unique domain would degrade to a shuffle join on the pair
-    // instead of a forced corpus-sized broadcast)
+    // the window twin's plain `orderBy(value)`; the join-back's
+    // broadcast is AQE's runtime-size decision since round 14 (events'
+    // ~49k-pair histogram converts to a broadcast join; a near-unique
+    // domain stays a shuffle join on the pair — no probe job, no
+    // forced corpus-sized broadcast)
     "win_rank_hist" -> { (s, d) =>
       import s.implicits._
       val ev = Tables(s, d, "events")

@@ -62,17 +62,23 @@ object CurationQueries extends QueryModule {
   def queries: Map[String, Q] = Map(
     "pipe_curation" -> { (s, d) =>
       import s.implicits._
-      // 1+2: quality gate + language-ID, all in the scan stage
-      val scored = Tables(s, d, "documents")
-        .withColumn("n_words", size(words))
-        .withColumn("score_en", markerCount(Markers(0)._2))
-        .withColumn("score_es", markerCount(Markers(1)._2))
-        .withColumn("score_de", markerCount(Markers(2)._2))
-        .withColumn("score_fr", markerCount(Markers(3)._2))
-      // 'en' wins marker-count ties (txt_langid's tiebreak order)
-      val filtered = scored.filter($"n_words" >= MinWords &&
-        $"score_en" >= $"score_es" && $"score_en" >= $"score_de" &&
-        $"score_en" >= $"score_fr" && $"score_en" > 0)
+      graft.functions.StringExprs.register(s)
+      // 1+2: quality gate + language-ID, all in the scan stage.
+      // Round-14: the gate's five marker/word-count values come from
+      // ONE codegen'd byte scan (functions/StringExprs.MarkerScores)
+      // instead of per-score interpreted split+fold HOFs — the old
+      // filter re-evaluated aggregate(split(text)) 8x per row
+      // (score_en appears in four comparisons), measured as the
+      // dominant scan cost of this query at sf0.1.
+      val ms = call_function("graft_marker_scores", $"text")
+      val filtered = Tables(s, d, "documents")
+        .withColumn("__ms", ms)
+        .filter($"__ms.n_words" >= MinWords &&
+          $"__ms.score_en" >= $"__ms.score_es" &&
+          $"__ms.score_en" >= $"__ms.score_de" &&
+          $"__ms.score_en" >= $"__ms.score_fr" && $"__ms.score_en" > 0)
+        .select($"doc_id", $"text", $"lang", $"source",
+          $"__ms.n_words".as("n_words"))
       // 3: exact content dedup — keep the smallest doc_id per digest.
       // min_by on a digest-keyed hash AGGREGATE, not a window over
       // md5(text): the aggregate partial-aggregates map-side (each
@@ -82,18 +88,30 @@ object CurationQueries extends QueryModule {
       // window form shuffled every full row unreduced — the same
       // lesson as the r6 agg_idxminmax 144→12 s fix (VERDICT r7 #3).
       // doc_id is unique, so min_by is deterministic.
+      // Round-14: cached — the frame is consumed by three independent
+      // subtrees (the LSH signature build, the anti-join's left side,
+      // and through it the per-source counts), each of which would
+      // otherwise replay the full scan+gate+dedup-shuffle; same
+      // materialize-the-reused-intermediate rationale as the sig0
+      // cache inside verifiedRepPairsOf (guide §5: reused AND
+      // expensive to recompute).
       val exact = filtered
         .groupBy(md5($"text").as("__dg"))
         .agg(min_by(
           struct($"doc_id", $"text", $"lang", $"source", $"n_words"),
           $"doc_id").as("__r"))
         .select($"__r.*")
+        .cache()
       // 4: near-dedup — drop docs whose verified near-dup has a
       // smaller id; pairs computed over the SURVIVORS only
       val drops = DedupQueries
         .verifiedPairsOf(s, exact.select($"doc_id", $"text"))
         .select($"db".as("doc_id")).distinct()
-      val near = exact.join(drops, Seq("doc_id"), "left_anti")
+      // text is projected away BEFORE the anti-join: the balancing
+      // stages only need the narrow metadata columns (guide §2.3,
+      // project before the exchange)
+      val near = exact.select($"doc_id", $"lang", $"source", $"n_words")
+        .join(drops, Seq("doc_id"), "left_anti")
       // 5: per-source balancing — broadcast rates + map-side hash keep
       val counts = near.groupBy($"source").agg(count(lit(1)).as("n_src"))
       near.join(broadcast(counts), Seq("source"))

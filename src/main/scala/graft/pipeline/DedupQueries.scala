@@ -119,15 +119,30 @@ object DedupQueries extends QueryModule {
     * performance only.
     */
   private def simhashSig(docs: DataFrame): DataFrame = {
-    val bits = (0 until 24).map { j =>
-      val p2 = 1L << j
-      when(aggregate(col("hs"), lit(0L),
-        (a, h) => a + ((h / lit(p2)).cast("long") % 2) * 2 - 1) >= 0, lit(p2))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    // round-14: the 24 per-bit interpreted aggregate() HOF folds (plus
+    // the interpreted shingle+wordHash chain feeding them) are ONE
+    // codegen-registered kernel pass now — graft_shingle_hash64 builds
+    // the shingle-hash array (code-point hashing, ≡ the UTF-16 HOF on
+    // the ASCII corpus and ≡ the oracle's string_split on all input),
+    // and graft_simhash24 folds all 24 bit counters in a single loop
+    // (SimHashKernelSpec pins bit-exactness against the HOF chain).
+    // Measured: dedup_simhash 6.0 s → sub-second at sf0.1.
+    graft.functions.MinHashExprs.register(docs.sparkSession)
     def sigOf(d: DataFrame, id: Column) = d
-      .select(id.as("__id"), shingleHashes.as("hs"))
-      .select(col("__id"), bits.as("simhash"))
+      .select(id.as("__id"), expr("graft_shingle_hash64(text)").as("hs"))
+      .select(col("__id"), expr("graft_simhash24(hs)").as("simhash"))
+    // Round-14 SIZE GATE (same contract as verifiedRepPairsOf): below
+    // the optimizer-estimated size gate no probe job runs — the direct
+    // signature path is taken with a fully lazy plan-build. Both
+    // regimes produce identical rows; the collapse only pays off on
+    // data-sized copy-heavy corpora.
+    val gatedSmall = graft.operators.AdaptiveDistinct.estBytes(docs) <
+      BigInt(graft.operators.AdaptiveDistinct.confBytes(docs,
+        graft.operators.AdaptiveDistinct.probeGateBytesKey,
+        graft.operators.AdaptiveDistinct.probeGateBytesDefault))
+    if (gatedSmall)
+      return sigOf(docs, col("doc_id"))
+        .select(col("__id").as("doc_id"), col("simhash"))
     // dual 96-bit digest (xxhash64 + murmur), same scheme as
     // verifiedRepPairsOf: a single 64-bit hash is not collision-safe
     // at 1e9+ docs — a collision would silently assign a wrong
@@ -142,8 +157,9 @@ object DedupQueries extends QueryModule {
         .agg(first(col("text")).as("text"))
       val repSig = reps
         .select(col("__dg1").as("__r1"), col("__dg2").as("__r2"),
-          shingleHashes.as("hs"))
-        .select(col("__r1"), col("__r2"), bits.as("simhash"))
+          expr("graft_shingle_hash64(text)").as("hs"))
+        .select(col("__r1"), col("__r2"),
+          expr("graft_simhash24(hs)").as("simhash"))
       withDg.select(col("doc_id"), col("__dg1"), col("__dg2"))
         .join(repSig,
           col("__dg1") === col("__r1") && col("__dg2") === col("__r2"))
@@ -236,6 +252,32 @@ object DedupQueries extends QueryModule {
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
     val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
 
+    // Round-14 SIZE GATE — same eagerness contract as AdaptiveDistinct/
+    // AdaptiveRank (round-11 verdict #1): below the gate (optimizer-
+    // estimated bytes, no job) the HLL collapse probe does NOT run —
+    // plan-build stays lazy, the bypass is taken directly from the
+    // docs frame (ONE cache, no digest columns at all), and the probe
+    // job + its blocking collect disappear from small-corpus runs
+    // (measured ~0.3-0.45 s of dedup_minhash_pairs / pipe_curation at
+    // sf0.1). Both regimes are CORRECT (exact copies band together and
+    // verify to jaccard 1.0 in the bypass); hotBandPolicy=drop still
+    // forces the collapse — its copy-immunity contract routes copies
+    // through the mapping expansion (LshHotBandSpec).
+    val gatedSmall = graft.operators.AdaptiveDistinct.estBytes(docs) <
+      BigInt(graft.operators.AdaptiveDistinct.confBytes(docs,
+        graft.operators.AdaptiveDistinct.probeGateBytesKey,
+        graft.operators.AdaptiveDistinct.probeGateBytesDefault))
+    if (gatedSmall && policy != "drop") {
+      val r = docs
+        .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+        .select($"doc_id", $"sh",
+          expr("graft_minhash_bands(sh)").as("bands"))
+        .cache()
+      val m = r.select($"doc_id", $"doc_id".as("rep"),
+        coalesce(size($"sh"), lit(0)).as("n_sh"))
+      return (repPairsFromBands(s, r, cap, policy), m, false)
+    }
+
     // exact-content collapse, digest-keyed. Earlier rounds used
     // min(doc_id) over Window.partitionBy(sh): correct, but at scale
     // it shuffles every doc's full shingle array with NO map-side
@@ -316,6 +358,15 @@ object DedupQueries extends QueryModule {
       (r, m)
     }
 
+    (repPairsFromBands(s, reps, cap, policy), mapping, collapsed)
+  }
+
+  /** Band-bucket candidate join + exact verify over a (doc_id, sh,
+    * bands) representative frame — the shared tail of both
+    * verifiedRepPairsOf regimes. Returns (ra, rb, jac) pairs. */
+  private def repPairsFromBands(s: org.apache.spark.sql.SparkSession,
+      reps: DataFrame, cap: Long, policy: String): DataFrame = {
+    import s.implicits._
     val keys0 = reps.select($"doc_id", posexplode($"bands"))
       .toDF("doc_id", "bidx", "bk")
     // band-key frequency via a count window over the exploded keys: the
@@ -345,7 +396,7 @@ object DedupQueries extends QueryModule {
       .filter($"da" < $"db")
       .select($"da", $"db").distinct()
     // verify touches representative pairs only
-    val vp = cands
+    cands
       .join(reps.select($"doc_id".as("da"), $"sh".as("sha")), Seq("da"))
       .join(reps.select($"doc_id".as("db"), $"sh".as("shb")), Seq("db"))
       .withColumn("shared", size(array_intersect($"sha", $"shb")))
@@ -353,7 +404,6 @@ object DedupQueries extends QueryModule {
         (size($"sha") + size($"shb") - $"shared"))
       .filter($"jac" >= 0.5)
       .select($"da".as("ra"), $"db".as("rb"), $"jac")
-    (vp, mapping, collapsed)
   }
 
   /** Near-dup cluster label per document: verified rep-level pairs →
@@ -578,8 +628,17 @@ object DedupQueries extends QueryModule {
 
     "dedup_simhash_pairs" -> { (s, d) =>
       import s.implicits._
+      // round-14: the signature frame is CACHED before the bucket
+      // self-join. Without the materialization, the join's pushed-down
+      // isnotnull(bucket) null filter INLINES the whole 24-fold simhash
+      // expression — including the interpreted shingle HOF chain —
+      // below the projection, re-evaluating 24 shingle passes per row
+      // per join side (measured 207 s/run at sf0.1; 1.7 s cached).
+      // Same materialize-before-self-join pattern as the minhash reps
+      // cache; the cached frame is 16 bytes/doc.
       val sig = simhashSig(Tables(s, d, "documents"))
         .withColumn("bucket", ($"simhash" / lit(4096L)).cast("long"))
+        .cache()
       val a = sig.select($"doc_id".as("da"), $"simhash".as("sa"), $"bucket")
       val b = sig.select($"doc_id".as("db"), $"simhash".as("sb"), $"bucket")
       a.join(b, Seq("bucket")).filter($"da" < $"db")
@@ -600,8 +659,14 @@ object DedupQueries extends QueryModule {
     // pairs at sf100: dump- and DuckDB-feasible.
     "dedup_simhash_pairs_sample" -> { (s, d) =>
       import s.implicits._
+      // cached BEFORE the bucket-subset filter for the same
+      // pushed-filter reason as dedup_simhash_pairs above: pushing
+      // pmod(bucket, 41) below the projection would inline the 24-fold
+      // simhash expression into the filter and re-evaluate the shingle
+      // chain per row; over the cache the filter costs one long op
       val sig = simhashSig(Tables(s, d, "documents"))
         .withColumn("bucket", ($"simhash" / lit(4096L)).cast("long"))
+        .cache()
         .filter(pmod($"bucket", lit(41L)) === 7)
       val a = sig.select($"doc_id".as("da"), $"simhash".as("sa"), $"bucket")
       val b = sig.select($"doc_id".as("db"), $"simhash".as("sb"), $"bucket")

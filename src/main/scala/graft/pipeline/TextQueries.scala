@@ -51,9 +51,14 @@ object TextQueries extends QueryModule {
     // order), compared against the labeled lang
     "txt_langid" -> { (s, d) =>
       import s.implicits._
+      graft.functions.StringExprs.register(s)
+      // round-14: the four marker counts come from ONE codegen'd byte
+      // scan (MarkerScores) instead of four interpreted split+fold
+      // HOF passes — same values (MarkerScanSpec pins equivalence)
+      val ms = call_function("graft_marker_scores", $"text")
       val scored = Tables(s, d, "documents")
         .select(($"doc_id" +: $"lang".as("label_lang") +:
-          Markers.map { case (l, ws) => markerCount(ws).as(s"score_$l") }): _*)
+          Markers.map { case (l, _) => ms.getField(s"score_$l").as(s"score_$l") }): _*)
       val best = Markers.map(m => col(s"score_${m._1}")).reduce(greatest(_, _))
       val guess = Markers.foldRight(lit("und")) { case ((l, _), acc) =>
         when(col(s"score_$l") === best && best > 0, l).otherwise(acc)
@@ -66,9 +71,16 @@ object TextQueries extends QueryModule {
     // composite score (deterministic double arithmetic)
     "txt_quality" -> { (s, d) =>
       import s.implicits._
-      val nWords = size(words).cast("double")
+      graft.functions.StringExprs.register(s)
+      // round-14: word count and the stopword count (the four DISJOINT
+      // marker lists, so the union count is the sum of the per-list
+      // counts) from one codegen'd byte scan instead of interpreted
+      // split+fold HOFs
+      val ms = call_function("graft_marker_scores", $"text")
+      val nWords = ms.getField("n_words").cast("double")
       val nChars = length($"text").cast("double")
-      val stop = markerCount(Markers.flatMap(_._2)).cast("double")
+      val stop = (ms.getField("score_en") + ms.getField("score_es") +
+        ms.getField("score_de") + ms.getField("score_fr")).cast("double")
       Tables(s, d, "documents")
         .select($"doc_id",
           nChars.as("n_chars_d"),
@@ -92,9 +104,12 @@ object TextQueries extends QueryModule {
     // without any decimal-sum machinery.
     "txt_quality_lr" -> { (s, d) =>
       import s.implicits._
-      val nWords = size(words).cast("double")
+      graft.functions.StringExprs.register(s)
+      // round-14: n_words + en-marker count via the MarkerScores kernel
+      val ms = call_function("graft_marker_scores", $"text")
+      val nWords = ms.getField("n_words").cast("double")
       val nChars = length($"text").cast("double")
-      val stopR = markerCount(Seq("the", "a", "of")).cast("double") / nWords
+      val stopR = ms.getField("score_en").cast("double") / nWords
       val awl = (nChars - nWords + 1) / nWords
       val lenF = least(nWords / 100.0, lit(1.0))
       val distR = size(array_distinct(words)).cast("double") / nWords
@@ -128,11 +143,13 @@ object TextQueries extends QueryModule {
     // bit-for-bit.
     "txt_lr_train" -> { (s, d) =>
       import s.implicits._
-      val nw = size(words).cast("double")
+      graft.functions.StringExprs.register(s)
+      val ms = call_function("graft_marker_scores", $"text")
+      val nw = ms.getField("n_words").cast("double")
       val nc = length($"text").cast("double")
       val feats = Tables(s, d, "documents").select(
         $"doc_id",
-        (markerCount(Seq("the", "a", "of")).cast("double") / nw).as("x1"),
+        (ms.getField("score_en").cast("double") / nw).as("x1"),
         ((nc - nw + 1) / nw).as("x2"),
         least(nw / 100.0, lit(1.0)).as("x3"),
         (size(array_distinct(words)).cast("double") / nw).as("x4"),

@@ -150,7 +150,8 @@ class AdaptiveDistinctSpec extends SparkSpec {
     // route to EXPAND, but under the default 256 MB gate the tiny
     // frame takes the shape-robust SPLIT plan — no Expand in the plan
     // proves the probe never ran, so small-frame nunique() is fully
-    // lazy
+    // lazy. (Round-14 measured EXPAND-below-gate and rejected it; see
+    // the gate comment in AdaptiveDistinct.)
     val gated = AdaptiveDistinct.nuniques(lowCard, Seq("g"), sets)
     assert(!gated.queryExecution.sparkPlan.toString.contains("Expand"),
       "gated adaptive must take SPLIT (no probe, no Expand)")

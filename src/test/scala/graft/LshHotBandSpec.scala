@@ -59,11 +59,20 @@ class LshHotBandSpec extends SparkSpec {
     val d = docs().cache()
     try {
       val plain = plainPairs(d)
-      val fast = collapsedPairs(d)
+      // force the probe path: the round-14 size gate would route this
+      // tiny fixture to the no-probe bypass, leaving the collapse
+      // machinery uncovered
+      spark.conf.set(graft.operators.AdaptiveDistinct.probeGateBytesKey, "1")
+      val fast = try collapsedPairs(d)
+        finally spark.conf.unset(graft.operators.AdaptiveDistinct.probeGateBytesKey)
       assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty,
         "collapsed pipeline diverged from the plain band join")
       // the injected copies must be live: at least the 40 copy pairs
       assert(fast.count() >= 40)
+      // the gated (no-probe) bypass must produce the same pairs too
+      val gated = collapsedPairs(d)
+      assert(gated.exceptAll(plain).isEmpty && plain.exceptAll(gated).isEmpty,
+        "gated bypass diverged from the plain band join")
     } finally d.unpersist()
   }
 

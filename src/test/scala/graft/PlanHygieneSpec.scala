@@ -269,21 +269,20 @@ class PlanHygieneSpec extends SparkSpec {
     // before anything shuffles), and per-source balancing joins a tiny
     // broadcast aggregate, never a per-group window
     val lp = optimized("pipe_curation")
-    val gates = lp.collect {
-      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
-          if f.condition.toString.contains("size(split(") => f
-    }
-    assert(gates.nonEmpty, "expected the n_words/marker quality filter")
-    val atScan = gates.exists { f =>
-      f.child.collect {
-        case j: org.apache.spark.sql.catalyst.plans.logical.Join      => j
-        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
-        case w: LWindow                                               => w
-      }.isEmpty
-    }
-    assert(atScan,
-      "quality/langid gate must filter the raw scan, not post-shuffle data")
     val p = executed("pipe_curation")
+    // round-14: the gate is the single-pass MarkerScores kernel
+    // (n_words/score_* struct), no longer a size(split(..)) HOF — and
+    // the deduped frame is cached, so the gate lives inside the
+    // InMemoryRelation's child plan. The executed string proves both
+    // properties at once: the kernel predicate appears in the
+    // FileScan's DataFilters, i.e. the gate filters the raw scan
+    // (below every join/aggregate/window), map-side.
+    assert(p.toLowerCase.contains("markerscores"),
+      "expected the MarkerScores quality gate in the plan")
+    assert(p.contains("DataFilters: [(markerscores("),
+      "quality/langid gate must filter the raw scan, not post-shuffle data")
+    assert(!p.contains("lambdafunction"),
+      "the gate must be the codegen kernel, not interpreted split+fold HOFs")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       "per-source rate table must broadcast back, not shuffle the corpus")
     assert(!p.contains("CartesianProduct"),
