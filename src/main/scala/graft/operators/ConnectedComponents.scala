@@ -45,12 +45,36 @@ object ConnectedComponents {
     *                 per pair is enough — both are generated here)
     * @return (id, label) with label = min vertex id of the component
     */
-  def labels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame = {
-    val und = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+  /** Materialize `df` and truncate BOTH lineage and plan statistics
+    * (round-14). `Dataset.localCheckpoint` alone carries the origin
+    * plan's Statistics into the LogicalRDD (Spark 3.4+ originStats),
+    * and this loop's per-round label self-join SQUARES the
+    * sizeInBytes estimate — after ~20 rounds the estimate is a
+    * multi-million-digit BigInteger and every round's PLANNING drowns
+    * in BigInteger.multiply on the driver (measured: round 22 of the
+    * sf0.1 semantic graph cost 95 s, all driver CPU, 2000 rows).
+    * Rebuilding the frame from the checkpointed RDD resets stats to
+    * the session default; the Row round-trip is O(rows) per round —
+    * the same order as the joins that consume it. */
+  private def materialized(df: DataFrame): DataFrame = {
+    val rdd = df.rdd
+    rdd.localCheckpoint()
+    rdd.count()
+    df.sparkSession.createDataFrame(rdd, df.schema)
+  }
 
-    var cur = vertices.select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+  def labels(vertices: DataFrame, edges: DataFrame, maxIter: Int = 40): DataFrame = {
+    // round-14: the edge list is MATERIALIZED once before the loop.
+    // Every round's neighbor join consumes `und`, and without the
+    // checkpoint each round re-evaluated the whole edge-producing
+    // pipeline (for the semantic dedup that is the LSH multitable
+    // candidate join + exact cosine verify — measured 395 s at sf0.1,
+    // ~23 s with the edges materialized). O(E) rows of two longs —
+    // the same storage the per-round label checkpoint already accepts.
+    val und = materialized(edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
+
+    var cur = materialized(vertices.select(col("id"), col("id").as("label")))
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIter) {
@@ -66,10 +90,10 @@ object ConnectedComponents {
       // decrease and every label is a vertex id, so the lookup always
       // resolves; left join keeps isolated vertices)
       val par = stepped.select(col("id").as("pid"), col("label").as("plabel"))
-      val next = stepped.join(par, stepped("label") === col("pid"), "left")
-        .select(stepped("id"), stepped("old"),
-          coalesce(col("plabel"), stepped("label")).as("label"))
-        .localCheckpoint(true)
+      val next = materialized(
+        stepped.join(par, stepped("label") === col("pid"), "left")
+          .select(stepped("id"), stepped("old"),
+            coalesce(col("plabel"), stepped("label")).as("label")))
       changed = next.filter(col("label") < col("old")).count()
       cur = next.select(col("id"), col("label"))
       it += 1

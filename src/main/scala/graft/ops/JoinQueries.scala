@@ -263,7 +263,14 @@ object JoinQueries extends QueryModule {
           .otherwise(pmod($"l_orderkey", lit(1000)) + 1).as("k"),
           pmod($"l_orderkey" + $"l_linenumber", lit(salts)).cast("int").as("salt"),
           $"l_quantity")
-      fact.join(dim.hint("merge"), Seq("k", "salt"))
+      // round-14: shuffle_hash instead of merge — the mitigated variant
+      // still shuffles the fact by (k, salt) (the skew demo the pair
+      // exists for), but builds a hash from the replicated dim (1001 ×
+      // salts rows, a few hundred per partition) instead of SORTING
+      // both sides: the fact-side sort was pure overhead at every
+      // scale (guide §3.1 — SHJ beats SMJ when one side is small per
+      // partition; no OOM risk at this build size).
+      fact.join(dim.hint("shuffle_hash"), Seq("k", "salt"))
         .groupBy($"grp")
         .agg(count(lit(1)).as("n_lines"), dsum($"l_quantity").as("sum_qty"))
     },

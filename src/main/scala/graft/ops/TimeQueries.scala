@@ -288,14 +288,24 @@ object TimeQueries extends QueryModule {
       def off(c: org.apache.spark.sql.Column) =
         dayofweek(c).isin(1, 7) ||
           to_date(c).cast("string").isin(holidays: _*)
-      val start = date_trunc("day", $"ts")
-      val cbday = (1 to 7).foldLeft(start)((acc, _) =>
-        when(off(acc), acc + expr("interval 1 day")).otherwise(acc))
-      Tables(s, d, "events")
+      // round-14: the roll-forward fold is built as SEVEN chained
+      // projections (each step referencing the previous step's
+      // COLUMN), not one nested column expression — the single-column
+      // fold referenced `acc` four times per step, so the expression
+      // tree grew ~4^7 nodes and the query spent 34 s at sf0.1 in
+      // planning + interpreted evaluation of the exploded when-chain.
+      // Identical per-row arithmetic; ~1 s after.
+      val base = Tables(s, d, "events")
         .filter($"event_id" < 2000)
-        .select($"event_id",
-          cbday.as("next_cbday"),
-          off(date_trunc("day", $"ts")).as("is_off_day"))
+        .withColumn("acc0", date_trunc("day", $"ts"))
+      val stepped = (1 to 7).foldLeft(base) { (df, i) =>
+        val prev = col(s"acc${i - 1}")
+        df.withColumn(s"acc$i",
+          when(off(prev), prev + expr("interval 1 day")).otherwise(prev))
+      }
+      stepped.select($"event_id",
+        $"acc7".as("next_cbday"),
+        off(date_trunc("day", $"ts")).as("is_off_day"))
     },
 
     // tz_localize/tz_convert (tslibs/tzconversion.pyx; Series.dt

@@ -165,9 +165,14 @@ object RetrievalQueries extends QueryModule {
   private def bigramLmScores(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
+    // round-14: cached — the exploded bigram frame feeds the bigram
+    // counts, the first-word counts, AND the scoring join; uncached,
+    // the interpreted bigram HOF + explode re-ran three times per
+    // execution (guide §5: reused and expensive to recompute)
     val inst = Tables(s, d, "documents")
       .select($"doc_id", explode(bigramsOf(words)).as("bigram"))
       .withColumn("w1", substring_index($"bigram", " ", 1))
+      .cache()
     val c12 = inst.groupBy($"bigram").agg(count(lit(1)).as("c12"))
     val c1 = inst.groupBy($"w1").agg(count(lit(1)).as("c1"))
     val vocab = Tables(s, d, "documents")

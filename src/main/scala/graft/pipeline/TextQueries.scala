@@ -365,15 +365,19 @@ object TextQueries extends QueryModule {
     // the only wide operation is the final per-doc count aggregation.
     "txt_contamination" -> { (s, d) =>
       import s.implicits._
-      val docs = Tables(s, d, "documents")
-        .select($"doc_id", explode(bigramsOf(words)).as("bigram"))
-      val bench = Tables(s, d, "documents")
+      // round-14: ONE cached exploded-bigram frame feeds both the
+      // benchmark-side counts and the corpus side — previously the
+      // interpreted bigram HOF + explode ran twice (once per side)
+      val inst = Tables(s, d, "documents")
+        .select($"doc_id", $"lang", explode(bigramsOf(words)).as("bigram"))
+        .cache()
+      val bench = inst
         .filter($"lang" === "en")
-        .select(explode(bigramsOf(words)).as("bigram"))
         .groupBy($"bigram").agg(count(lit(1)).as("bn"))
         .filter($"bn" >= 20)
         .select($"bigram")
-      docs.join(broadcast(bench), Seq("bigram"))
+      inst.select($"doc_id", $"bigram")
+        .join(broadcast(bench), Seq("bigram"))
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_hits"))
     },
