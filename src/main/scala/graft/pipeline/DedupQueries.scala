@@ -139,18 +139,11 @@ object DedupQueries extends QueryModule {
     def sigOf(d: DataFrame, id: Column) = d
       .select(id.as("__id"), expr("graft_shingle_hash64(text)").as("hs"))
       .select(col("__id"), expr("graft_simhash24(hs)").as("simhash"))
-    // Round-14 SIZE GATE (same contract as verifiedRepPairsOf): below
-    // the optimizer-estimated size gate no probe job runs — the direct
-    // signature path is taken with a fully lazy plan-build. Both
-    // regimes produce identical rows; the collapse only pays off on
-    // data-sized copy-heavy corpora.
-    val gatedSmall = graft.operators.AdaptiveDistinct.estBytes(docs) <
-      BigInt(graft.operators.AdaptiveDistinct.confBytes(docs,
-        graft.operators.AdaptiveDistinct.probeGateBytesKey,
-        graft.operators.AdaptiveDistinct.probeGateBytesDefault))
-    if (gatedSmall)
-      return sigOf(docs, col("doc_id"))
-        .select(col("__id").as("doc_id"), col("simhash"))
+    // NOTE (round-14): a byte-size gate on this probe was tried and
+    // REVERTED — the collapse guards a blowup that is unbounded in the
+    // input bytes (a 58 MB corpus of 100× copies quadruples every
+    // bucket join 10^4-fold), so the one cheap text-hash sketch below
+    // always runs. See the verifiedRepPairsOf probe comment.
     // dual 96-bit digest (xxhash64 + murmur), same scheme as
     // verifiedRepPairsOf: a single 64-bit hash is not collision-safe
     // at 1e9+ docs — a collision would silently assign a wrong
@@ -260,22 +253,34 @@ object DedupQueries extends QueryModule {
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
     val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
 
-    // Round-14 SIZE GATE — same eagerness contract as AdaptiveDistinct/
-    // AdaptiveRank (round-11 verdict #1): below the gate (optimizer-
-    // estimated bytes, no job) the HLL collapse probe does NOT run —
-    // plan-build stays lazy, the bypass is taken directly from the
-    // docs frame (ONE cache, no digest columns at all), and the probe
-    // job + its blocking collect disappear from small-corpus runs
-    // (measured ~0.3-0.45 s of dedup_minhash_pairs / pipe_curation at
-    // sf0.1). Both regimes are CORRECT (exact copies band together and
-    // verify to jaccard 1.0 in the bypass); hotBandPolicy=drop still
-    // forces the collapse — its copy-immunity contract routes copies
-    // through the mapping expansion (LshHotBandSpec).
-    val gatedSmall = graft.operators.AdaptiveDistinct.estBytes(docs) <
-      BigInt(graft.operators.AdaptiveDistinct.confBytes(docs,
-        graft.operators.AdaptiveDistinct.probeGateBytesKey,
-        graft.operators.AdaptiveDistinct.probeGateBytesDefault))
-    if (gatedSmall && policy != "drop") {
+    // ADAPTIVE COLLAPSE probe, round-14 form: the regime decision
+    // (copy-heavy corpus → collapse; distinct corpus → bypass) now
+    // sketches xxhash64(text) over the RAW docs frame instead of the
+    // shingle-array digests — one cheap column scan with no shingle
+    // work and no premature sig0 materialization. Identical text ⇔
+    // identical shingle array, so copy families are detected exactly
+    // as before; distinct texts with coinciding shingle SETS (the only
+    // divergence) read the ratio HIGH, i.e. err toward the bypass,
+    // which is correct-only-slower. A size gate was tried here first
+    // and REVERTED: it skipped the probe below 256 MB estimated, and
+    // the replicated sf10 corpus (100 exact copies per doc, 58 MB on
+    // disk) then took the bypass whose candidate join is quadratic in
+    // the copy count — dedup_minhash_pairs 3.7 s → 30 s at sf10. The
+    // collapse probe guards against a blowup that is UNBOUNDED in the
+    // input bytes, so no byte-sized gate is sound.
+    val Array(nDistinct, nTotal) = docs
+      .agg(approx_count_distinct(xxhash64($"text")), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    // hotBandPolicy=drop always collapses: that policy's contract is
+    // "exact copies are IMMUNE to dropped buckets" (they flow through
+    // the mapping expansion, not the band join) — in the bypass they
+    // would ride the band join and die with a dropped bucket
+    // (LshHotBandSpec pins this)
+    val collapsed = policy == "drop" ||
+      (nTotal > 0 && nDistinct.toDouble / nTotal < 0.9)
+    if (!collapsed) {
+      // no copy families: every doc is its own representative — ONE
+      // cached (doc_id, sh, bands) frame, no digest columns at all
       val r = docs
         .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
         .select($"doc_id", $"sh",
@@ -311,62 +316,23 @@ object DedupQueries extends QueryModule {
       .withColumn("dg2", hash($"sh"))
       .withColumn("n_sh", coalesce(size($"sh"), lit(0)))
       .cache()
-    // ADAPTIVE COLLAPSE (VERDICT r7 next-#3): the copy-collapse
-    // machinery earns its keep only when copies exist. A one-row
-    // HLL++ sketch over the cached signatures decides the regime:
-    // distinct/total ≈ 1 (no copy families) skips the digest groupBy
-    // and the re-expansion joins entirely — both paths are CORRECT
-    // (exact copies band identically and verify to jaccard 1.0 in the
-    // direct path), so a sketch misread costs performance, never
-    // answers. Threshold 0.9 sits far outside HLL's 5% rsd on the
-    // no-copy side and far above the adversarial regimes (100 copies
-    // → ratio 0.01). The sketch action also materializes sig0's
-    // cache, which the main job reuses — net extra cost is one cheap
-    // aggregate over cached 3-scalar rows.
-    val Array(nDistinct, nTotal) = sig0
-      .agg(approx_count_distinct($"dg1"), count(lit(1)))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    // hotBandPolicy=drop always collapses: that policy's contract is
-    // "exact copies are IMMUNE to dropped buckets" (they flow through
-    // the mapping expansion, not the band join) — in the bypass they
-    // would ride the band join and die with a dropped bucket
-    // (LshHotBandSpec pins this)
-    val collapsed = policy == "drop" ||
-      (nTotal > 0 && nDistinct.toDouble / nTotal < 0.9)
-
-    val (reps, mapping) = if (collapsed) {
-      val r = sig0.groupBy($"dg1", $"dg2")
-        .agg(min($"doc_id").as("doc_id"), first($"sh").as("sh"))
-        .select($"dg1", $"dg2", $"doc_id", $"sh",
-          expr("graft_minhash_bands(sh)").as("bands"))
-        .cache()
-      // rep per doc via a narrow equi-join on the digest against reps'
-      // (digest, min doc_id) — the sh arrays never move (3 scalar cols
-      // a side), AQE broadcasts the rep side whenever distinct content
-      // is modest, and the frame is cached because the pair expansion
-      // reads it three times (each read would otherwise replay the
-      // shuffle; measured ~2x on pipe_curation at sf0.1 vs the
-      // uncached window form this replaced).
-      val m = sig0.select($"doc_id", $"dg1", $"dg2", $"n_sh")
-        .join(r.select($"dg1", $"dg2", $"doc_id".as("rep")), Seq("dg1", "dg2"))
-        .select($"doc_id", $"rep", $"n_sh")
-        .cache()
-      (r, m)
-    } else {
-      // every doc is its own representative: mapping is a narrow
-      // projection of the cached signatures (no shuffle, no join, no
-      // extra cache); bands still materialize in a cache because the
-      // candidate self-join reads them from both sides. The hot-band
-      // frequency below then counts docs rather than distinct
-      // contents — inflated by at most the ~10% copy tail this branch
-      // admits, which cannot flip a cap sized in the thousands.
-      val r = sig0.select($"doc_id", $"sh",
-        expr("graft_minhash_bands(sh)").as("bands")).cache()
-      val m = sig0.select($"doc_id", $"doc_id".as("rep"), $"n_sh")
-      (r, m)
-    }
-
-    (repPairsFromBands(s, reps, cap, policy), mapping, collapsed)
+    val reps = sig0.groupBy($"dg1", $"dg2")
+      .agg(min($"doc_id").as("doc_id"), first($"sh").as("sh"))
+      .select($"dg1", $"dg2", $"doc_id", $"sh",
+        expr("graft_minhash_bands(sh)").as("bands"))
+      .cache()
+    // rep per doc via a narrow equi-join on the digest against reps'
+    // (digest, min doc_id) — the sh arrays never move (3 scalar cols
+    // a side), AQE broadcasts the rep side whenever distinct content
+    // is modest, and the frame is cached because the pair expansion
+    // reads it three times (each read would otherwise replay the
+    // shuffle; measured ~2x on pipe_curation at sf0.1 vs the
+    // uncached window form this replaced).
+    val mapping = sig0.select($"doc_id", $"dg1", $"dg2", $"n_sh")
+      .join(reps.select($"dg1", $"dg2", $"doc_id".as("rep")), Seq("dg1", "dg2"))
+      .select($"doc_id", $"rep", $"n_sh")
+      .cache()
+    (repPairsFromBands(s, reps, cap, policy), mapping, true)
   }
 
   /** Band-bucket candidate join + exact verify over a (doc_id, sh,

@@ -59,21 +59,26 @@ class LshHotBandSpec extends SparkSpec {
     val d = docs().cache()
     try {
       val plain = plainPairs(d)
-      // force the probe path: the round-14 size gate would route this
-      // tiny fixture to the no-probe bypass, leaving the collapse
-      // machinery uncovered
-      spark.conf.set(graft.operators.AdaptiveDistinct.probeGateBytesKey, "1")
-      val fast = try collapsedPairs(d)
-        finally spark.conf.unset(graft.operators.AdaptiveDistinct.probeGateBytesKey)
+      // the copy-injected fixture (50 distinct / 90 docs, ratio 0.56)
+      // routes the text-hash probe to the COLLAPSE path
+      val fast = collapsedPairs(d)
       assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty,
         "collapsed pipeline diverged from the plain band join")
       // the injected copies must be live: at least the 40 copy pairs
       assert(fast.count() >= 40)
-      // the gated (no-probe) bypass must produce the same pairs too
-      val gated = collapsedPairs(d)
-      assert(gated.exceptAll(plain).isEmpty && plain.exceptAll(gated).isEmpty,
-        "gated bypass diverged from the plain band join")
     } finally d.unpersist()
+  }
+
+  test("no-copy corpus takes the bypass and still matches the plain join") {
+    import org.apache.spark.sql.functions.col
+    val base = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).cache()
+    try {
+      val plain = plainPairs(base)
+      val fast = collapsedPairs(base) // distinct corpus → probe → bypass
+      assert(fast.exceptAll(plain).isEmpty && plain.exceptAll(fast).isEmpty,
+        "bypass diverged from the plain band join")
+    } finally base.unpersist()
   }
 
   test("hot band cap fails loudly by default") {
