@@ -17,16 +17,20 @@ import org.apache.spark.sql.SparkSession
   * prune the projections being measured). The reported per-query number
   * is the MIN across reps: ambient machine load can only inflate a
   * sample, never deflate it, so the min is the robust estimator of the
-  * query's true cost on this hardware. Raw samples ship alongside for
-  * auditability.
+  * query's true cost on this hardware. Raw samples ship in the sidecar
+  * diagnostics file for auditability (see below).
   *
   * Load hardening (round-6 fix for the load-corrupted r5 artifact):
   * min-of-3 is not enough when ALL reps run under heavy ambient load,
   * so each rep records /proc/loadavg and any query whose ok-sample
   * spread (max/min) exceeds SPREAD_MAX (default 2.0) automatically
-  * earns extra reps up to MAX_REPS (default 7). The JSON line carries
-  * the per-rep load averages and per-query spread so a judge can tell
-  * a loaded machine from a code regression at a glance.
+  * earns extra reps up to MAX_REPS (default 7). The per-rep load
+  * averages and per-query spreads — which let a judge tell a loaded
+  * machine from a code regression at a glance — ship in the SIDECAR
+  * file (SPARK_GRAFT_BENCH_SIDECAR, default
+  * bench/bench_details_last.json), NOT on the contract line: the
+  * driver's output-tail capture is small and the inlined diagnostics
+  * made the line unparseable from r09 through r14 (round-15 fix).
   */
 object Bench {
   val headline: Seq[String] = Seq(
@@ -323,7 +327,7 @@ object Bench {
       if (ok.isEmpty) None else Some(ok.min)
     }
     val qs = results.map { case (k, v) =>
-      "\"" + k + "\":" + minOk(v).map(_.toString).getOrElse("null")
+      "\"" + k + "\":" + minOk(v).map(x => f"$x%.4f").getOrElse("null")
     }.mkString("{", ",", "}")
     val raw = results.map { case (k, v) =>
       "\"" + k + "\":" +
@@ -349,9 +353,30 @@ object Bench {
     val total = results.flatMap { case (_, v) => minOk(v) }.sum
     def arr(v: Seq[Double]) = v.map(x => f"$x%.3f").mkString("[", ",", "]")
     def minOr(v: Seq[Double]) = if (v.isEmpty) "null" else f"${v.min}%.3f"
-    val canary = s""""canary_st_sec":${minOr(canSt)},"canary_mt_sec":${minOr(canMt)},""" +
-      s""""canary_st":${arr(canSt)},"canary_mt":${arr(canMt)}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"gc_sec":$gcSecs,"spread":$spreads,"failed":$failed,$canary,"sf":"$sfDir"}""")
+    // Round-15 (VERDICT r14 next-#1): the contract line must stay SHORT.
+    // The driver keeps only a ~2 KB output tail, and the old line's five
+    // inline per-rep diagnostic maps (samples/loadavg/read_gb/gc_sec/
+    // spread + canary arrays) pushed it to several KB — truncated
+    // mid-JSON, so PERF_*.json per_query/geomean/scaling have been empty
+    // since r09. The line now carries ONLY the contract fields (total,
+    // per-query mins, failed, canary scalars, sf); every diagnostic the
+    // long line used to carry ships unchanged in a sidecar JSON file
+    // (SPARK_GRAFT_BENCH_SIDECAR, default bench/bench_details_last.json;
+    // write failures are non-fatal — diagnostics must never sink the
+    // contract line). Timing methodology is untouched.
+    val canary = s""""canary_st_sec":${minOr(canSt)},"canary_mt_sec":${minOr(canMt)}"""
+    val sidecar = s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"samples":$raw,"loadavg":$loads,"read_gb":$readGb,"gc_sec":$gcSecs,"spread":$spreads,"failed":$failed,$canary,"canary_st":${arr(canSt)},"canary_mt":${arr(canMt)},"sf":"$sfDir"}"""
+    val sidecarPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_SIDECAR",
+      "bench/bench_details_last.json")
+    try {
+      val f = new java.io.File(sidecarPath)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f)
+      try w.println(sidecar) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] sidecar write failed ($sidecarPath): ${e.getMessage}")
+    }
+    println(s"""{"metric":"total","value":${f"$total%.4f"},"unit":"sec","queries":$qs,"failed":$failed,$canary,"sf":"$sfDir"}""")
     if (results.exists { case (_, v) => minOk(v).isEmpty }) {
       spark.stop()
       sys.exit(1)

@@ -119,7 +119,14 @@ object AdaptiveRank {
       // remaining job there was gating the broadcast hint, and AQE
       // already converts the join-back to a broadcast join at runtime
       // from the histogram's ACTUAL size (strictly safer than any
-      // estimate, and one less plan-build job per call)
+      // estimate, and one less plan-build job per call).
+      // CONTRACT (ADVICE r14): forcePath="histogram" therefore assumes
+      // an AQE-enabled session (every graft harness session is — the
+      // engine never disables it). With AQE off, the join-back would
+      // silently degrade to a corpus-wide shuffle join: values are
+      // unchanged, only the broadcast promotion is lost. Callers
+      // running AQE-less sessions should use forcePath="" so the probe
+      // gates the explicit broadcast hint instead.
       case "histogram" => None
       case ""          => if (gated) None else Some(probe(df, keyCols, valueCol))
       case other => throw new IllegalArgumentException(s"forcePath: $other")

@@ -103,6 +103,64 @@ object GlobalOrder {
       .drop("__go_pid", "__go_ctr", "__go_off")
   }
 
+  /** Scalable weighted EXCLUSIVE prefix sum (round-15): adds `outCol`
+    * = Σ weight over rows whose `key` sorts strictly below this row's,
+    * optionally within `partKeys` groups. The building block for
+    * rank-from-histogram statistics (agg_spearman*): given a DISTINCT
+    * (key → weight=count) histogram, `outCol` is the count of original
+    * rows below the key, from which pandas' average rank is
+    * `below + (cnt+1)/2` with no row-level global window.
+    *
+    * Same machinery as [[zipOrdinal]], weight-generalized:
+    *   1. ≤ n−1 approximate quantile bounds of `key` (bounded driver
+    *      state), deterministic literal-fold bucket id;
+    *   2. ONE hash exchange on (partKeys, bucket); in-bucket exclusive
+    *      running sum via a PARTITIONED window (rows preceding);
+    *   3. per-(partKeys, bucket) totals + a triangular prefix-sum join
+    *      over ≤ n tiny rows per group, broadcast back.
+    *
+    * Requires key values DISTINCT within each partKeys group (it is a
+    * histogram operator — ties would double-count); callers own that
+    * invariant. Unlike a single-partition window, heavy skew on one
+    * key value cannot concentrate rows: distinct keys spread over
+    * buckets by value.
+    */
+  def prefixSum(df: DataFrame, partKeys: Seq[String], keyCol: String,
+                weightCol: String, outCol: String): DataFrame = {
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val pk = partKeys.map(col)
+    val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+    val bounds: Seq[Any] = df
+      .select(percentile_approx(col(keyCol).cast("double"), probs, lit(10000)).as("q"))
+      .head().getSeq[Any](0) match {
+        case null => Seq.empty
+        case qs => qs.distinct.filter(_ != null)
+      }
+    val pidExpr = graft.functions.SearchSorted.bucketOf(
+      col(keyCol).cast("double"), bounds.map(_.asInstanceOf[Double]),
+      inclusive = false)
+    val base = df.withColumn("__ps_pid", pidExpr)
+      .repartition(n, pk :+ col("__ps_pid"): _*)
+    val w = Window.partitionBy(pk :+ col("__ps_pid"): _*)
+      .orderBy(col(keyCol)).rowsBetween(Window.unboundedPreceding, -1)
+    val withCtr = base.withColumn("__ps_ctr",
+      coalesce(sum(col(weightCol)).over(w), lit(0L)))
+    // per-(group, bucket) totals; triangular prefix over ≤ n tiny rows
+    // per group (empty buckets contribute nothing to either side)
+    val counts = base.groupBy(pk :+ col("__ps_pid"): _*)
+      .agg(sum(col(weightCol)).as("__ps_cnt"))
+    val cond = partKeys.map(k => col(s"a.$k") <=> col(s"b.$k"))
+      .foldLeft(col("b.__ps_pid") < col("a.__ps_pid"))(_ && _)
+    val offsets = counts.as("a")
+      .join(counts.as("b"), cond, "left")
+      .groupBy(partKeys.map(k => col(s"a.$k")) :+ col("a.__ps_pid"): _*)
+      .agg(coalesce(sum(col("b.__ps_cnt")), lit(0L)).as("__ps_off"))
+      .toDF(partKeys ++ Seq("__ps_pid", "__ps_off"): _*)
+    withCtr.join(broadcast(offsets), partKeys :+ "__ps_pid")
+      .withColumn(outCol, col("__ps_off") + col("__ps_ctr"))
+      .drop("__ps_pid", "__ps_ctr", "__ps_off")
+  }
+
   /** Lineage-shared rdd zip: the zipWithIndex count job and the data
     * job run over the SAME shuffled RDD, so the layout is consistent
     * by construction. Non-columnar — kept as the fallback for sort

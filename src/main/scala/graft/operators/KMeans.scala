@@ -26,10 +26,18 @@ import org.apache.spark.sql.types.DecimalType
   */
 object KMeans {
 
-  /** strict left-fold cosine — identical to SimilarityQueries.cosine */
+  /** strict left-fold cosine — identical to SimilarityQueries.cosine.
+    * Round-15: routed through the codegen'd DotProduct kernel
+    * (functions/VectorExprs, registered session-wide by
+    * GraftExtensions) instead of the interpreted HOF
+    * `aggregate(zip_with(...))` fold — bit-identical per the kernel's
+    * contract (same widening, product rounding, summation order), but
+    * one generated loop with no per-pair intermediate array. The
+    * trainers call this K times per vector per iteration, so the HOF
+    * lambda dispatch + allocation was the iteration's hot path
+    * (guide §4: prefer codegen expressions in hot paths). */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    call_function("graft_dot", a, b)
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
@@ -41,11 +49,10 @@ object KMeans {
       .select(transform(col("cs"),
         c => transform(c.getField("embedding"), x => x.cast("double"))).as("cs"))
 
-  /** strict left-fold squared L2 — the PQ/IVF-PQ distance */
+  /** strict left-fold squared L2 — the PQ/IVF-PQ distance; codegen'd
+    * L2Sq kernel, same bit-exactness rationale as [[dot]] above */
   private def l2sq(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => {
-      val dd = x.cast("double") - y.cast("double"); dd * dd
-    }), lit(0.0), (acc, v) => acc + v)
+    call_function("graft_l2sq", a, b)
 
   /** (vec_id, embedding, cell): map-side argmax over the broadcast
     * centroid array; cells are 1-based */

@@ -116,16 +116,29 @@ object AggQueries extends QueryModule {
     },
 
     // groupby median/quantile, exact with linear interpolation
-    // (group_median_float64 groupby.pyx:196, group_quantile :1424)
+    // (group_median_float64 groupby.pyx:196, group_quantile :1424).
+    // Round-15 (VERDICT r14 next-#2): routed through the distributed
+    // exact-percentile operator instead of Spark's `percentile`
+    // aggregate, whose final merge holds a per-group value→count map
+    // of EVERY distinct value on one reducer. Values are identical
+    // (exact selection + the same interpolation — oracle-pinned); the
+    // two source columns each get their own three-pass selection over
+    // a pruned two-column scan.
     "agg_median_quantile" -> { (s, d) =>
       import s.implicits._
-      Tables(s, d, "lineitem")
-        .groupBy($"l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 6).as("median_qty"),
-          round(expr("percentile(l_quantity, 0.25)"), 6).as("q25_qty"),
-          round(expr("percentile(l_quantity, 0.75)"), 6).as("q75_qty"),
-          round(expr("percentile(l_discount, 0.9)"), 6).as("q90_disc"))
+      import graft.operators.DistributedPercentile.exactGrouped
+      val li = Tables(s, d, "lineitem")
+      val qty = exactGrouped(li.select($"l_returnflag", $"l_quantity"),
+        Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.25, 0.75),
+        Seq("mq", "q25", "q75"))
+      val disc = exactGrouped(li.select($"l_returnflag", $"l_discount"),
+        Seq("l_returnflag"), "l_discount", Seq(0.9), Seq("q90"))
+      qty.join(disc, Seq("l_returnflag"))
+        .select($"l_returnflag",
+          round($"mq", 6).as("median_qty"),
+          round($"q25", 6).as("q25_qty"),
+          round($"q75", 6).as("q75_qty"),
+          round($"q90", 6).as("q90_disc"))
     },
 
     // var/std/sem from exact decimal moments (group_var groupby.pyx:964;
@@ -645,23 +658,33 @@ object AggQueries extends QueryModule {
         .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"n_orders")
     },
 
-    // describe: composed agg (core/methods/describe.py)
+    // describe: composed agg (core/methods/describe.py). Round-15
+    // (VERDICT r14 next-#2): the quartiles come from the distributed
+    // exact-percentile operator (o_totalprice is ~unique per row, so
+    // the old `percentile` aggregate merged a value→count map of the
+    // whole column on one reducer — the agg_quantile_global pathology,
+    // 517 s at sf100); the moment/min/max aggregate is untouched.
     "agg_describe" -> { (s, d) =>
       import s.implicits._
       val p = $"o_totalprice".cast("decimal(12,2)")
-      val m = Tables(s, d, "orders")
+      val orders = Tables(s, d, "orders")
+      val qs = graft.operators.DistributedPercentile.exact(
+        orders.select($"o_totalprice").toDF(), "o_totalprice",
+        Seq(0.25, 0.5, 0.75))
+      val m = orders
         .agg(
           count($"o_totalprice").cast("double").as("n"),
           dsum($"o_totalprice").as("s1"),
           dsum8(p * p).as("s2"),
           min($"o_totalprice").as("min_v"),
-          round(expr("percentile(o_totalprice, 0.25)"), 6).as("p25"),
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
-          round(expr("percentile(o_totalprice, 0.75)"), 6).as("p75"),
           max($"o_totalprice").as("max_v"))
       m.select($"n", round($"s1" / $"n", 6).as("mean_v"),
         round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 6).as("std_v"),
-        $"min_v", $"p25", $"p50", $"p75", $"max_v")
+        $"min_v",
+        round(lit(qs(0)), 6).as("p25"),
+        round(lit(qs(1)), 6).as("p50"),
+        round(lit(qs(2)), 6).as("p75"),
+        $"max_v")
     },
 
     // named multi-agg across columns (generic.py:324 named agg)
@@ -701,26 +724,47 @@ object AggQueries extends QueryModule {
     // half-integers, so the decimal moments are exact on both engines.
     "agg_spearman" -> { (s, d) =>
       import s.implicits._
-      // method='average' ranks WITHOUT a global window: GlobalOrder
-      // range-partitions + zips a 0-based ordinal (ties get arbitrary
-      // but contiguous ordinals), then a per-VALUE window average
-      // restores the average rank — avg of a contiguous integer run is
-      // order-independent. No single-partition WindowExec anywhere.
+      // Round-15 restructure: rank-from-histogram instead of two
+      // zipOrdinal passes. method='average' rank of a value v is
+      // exactly below(v) + (cnt(v)+1)/2 — the window-average of
+      // contiguous ordinals the old form computed — so the ranks come
+      // from the (xv, yv) JOINT histogram: one partial-aggregating
+      // shuffle of the base (collapsing ties BEFORE anything else),
+      // two tiny per-column rollups ranked by a scale-safe bucketed
+      // prefix sum (GlobalOrder.prefixSum — no row-level global
+      // window, no second scan of the base), and moment sums weighted
+      // by the joint counts. All rank/moment arithmetic is exact
+      // (half-integer ranks, decimal sums; c·Σ == Σ over copies in
+      // exact decimal), so the emitted double is bit-identical to the
+      // old form — oracle-pinned. The old plan re-executed the first
+      // zipOrdinal's whole pipeline inside the second one's probe and
+      // data branches; this one scans the base once.
       val base = Tables(s, d, "lineitem")
         .filter($"l_orderkey" < 5000)
         .select($"l_quantity".as("xv"), $"l_discount".as("yv"))
-      val zx = graft.operators.GlobalOrder.zipOrdinal(base, Seq($"xv"), "__ox")
-        .withColumn("rx", avg($"__ox").over(Window.partitionBy($"xv")) + 1.0)
-      val ranked = graft.operators.GlobalOrder.zipOrdinal(zx, Seq($"yv"), "__oy")
-        .withColumn("ry", avg($"__oy").over(Window.partitionBy($"yv")) + 1.0)
-        .select($"rx", $"ry")
-      val m = ranked.agg(
-        count(lit(1)).cast("double").as("n"),
-        sum($"rx".cast("decimal(18,1)")).cast("double").as("sx"),
-        sum($"ry".cast("decimal(18,1)")).cast("double").as("sy"),
-        sum(($"rx".cast("decimal(18,1)") * $"rx".cast("decimal(18,1)")).cast("decimal(38,2)")).cast("double").as("sxx"),
-        sum(($"ry".cast("decimal(18,1)") * $"ry".cast("decimal(18,1)")).cast("decimal(38,2)")).cast("double").as("syy"),
-        sum(($"rx".cast("decimal(18,1)") * $"ry".cast("decimal(18,1)")).cast("decimal(38,2)")).cast("double").as("sxy"))
+      val joint = base.groupBy($"xv", $"yv")
+        .agg(count(lit(1)).as("c")).cache()
+      def ranksOf(k: String, cName: String, rName: String) = {
+        val h = joint.groupBy(col(k)).agg(sum($"c").as(cName))
+        graft.operators.GlobalOrder.prefixSum(h, Nil, k, cName, "__below")
+          .withColumn(rName, $"__below" + (col(cName) + 1) / lit(2.0))
+          .select(col(k), col(rName))
+      }
+      val r = joint
+        .join(ranksOf("xv", "cx", "rx"), "xv")
+        .join(ranksOf("yv", "cy", "ry"), "yv")
+      // weighted moments: value-identical to the per-row decimal sums
+      // (exact decimal arithmetic; products bounded well inside the
+      // chosen precisions, so no truncation on either form)
+      def d1(c: Column) = c.cast("decimal(12,1)")
+      val cw = $"c".cast("decimal(12,0)")
+      val m = r.agg(
+        sum($"c").cast("double").as("n"),
+        sum(d1($"rx") * cw).cast("double").as("sx"),
+        sum(d1($"ry") * cw).cast("double").as("sy"),
+        sum(d1($"rx") * d1($"rx") * cw).cast("double").as("sxx"),
+        sum(d1($"ry") * d1($"ry") * cw).cast("double").as("syy"),
+        sum(d1($"rx") * d1($"ry") * cw).cast("double").as("sxy"))
       m.select(round(($"n" * $"sxy" - $"sx" * $"sy") /
         (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)
         .as("spearman_qd"))
@@ -732,11 +776,18 @@ object AggQueries extends QueryModule {
     // outlier count. Fences derive from the same exact interpolated
     // percentiles both engines compute, so boundary comparisons agree
     // bit-for-bit; two scans, the second joined to a tiny broadcast.
+    // Round-15 (VERDICT r14 next-#2): exact quartiles via the
+    // distributed three-pass operator — l_extendedprice is
+    // high-cardinality, so Spark's `percentile` aggregate merged a
+    // per-group map of ~every distinct price on one reducer (the
+    // clearest remaining single-task state at 100 TB). Values
+    // identical, oracle-pinned.
     "agg_outlier_iqr" -> { (s, d) =>
       import s.implicits._
-      val q = Tables(s, d, "lineitem").groupBy($"l_returnflag").agg(
-        expr("percentile(l_extendedprice, 0.25)").as("q1"),
-        expr("percentile(l_extendedprice, 0.75)").as("q3"))
+      val q = graft.operators.DistributedPercentile.exactGrouped(
+        Tables(s, d, "lineitem").select($"l_returnflag", $"l_extendedprice"),
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.75),
+        Seq("q1", "q3"))
         .withColumn("lo", $"q1" - lit(1.5) * ($"q3" - $"q1"))
         .withColumn("hi", $"q3" + lit(1.5) * ($"q3" - $"q1"))
       Tables(s, d, "lineitem")
@@ -809,28 +860,40 @@ object AggQueries extends QueryModule {
           count(lit(1)).as("n"))
     },
 
-    // per-group Spearman (method='average' ranks): within a group the
-    // ranks come from ordinary per-key windows — fully partitioned,
-    // the scale-parallel sibling of the GlobalOrder-based global form
+    // per-group Spearman (method='average' ranks). Round-15: the same
+    // rank-from-histogram restructure as agg_spearman (per-group rank
+    // of v = below + (cnt+1)/2, identical to the old rank() +
+    // (ties−1)/2 window form — both exact half-integer arithmetic),
+    // with the prefix sum partitioned by group. The old per-group
+    // row-level windows put every group's FULL rows through two sorts;
+    // here the base shuffles once into the joint histogram and
+    // everything after runs on distinct (g, value) rows.
     "agg_spearman_grouped" -> { (s, d) =>
       import s.implicits._
       val base = Tables(s, d, "lineitem")
         .filter($"l_orderkey" < 5000)
         .select($"l_returnflag".as("g"), $"l_quantity".as("xv"),
           $"l_discount".as("yv"))
-      def avgRank(v: Column) =
-        rank().over(Window.partitionBy($"g").orderBy(v)) +
-          (count(lit(1)).over(Window.partitionBy($"g", v)) - 1) / lit(2.0)
-      val ranked = base.select($"g",
-        avgRank($"xv").as("rx"), avgRank($"yv").as("ry"))
-      def d1(c: Column) = c.cast("decimal(18,1)")
-      val m = ranked.groupBy($"g").agg(
-        count(lit(1)).cast("double").as("n"),
-        sum(d1($"rx")).cast("double").as("sx"),
-        sum(d1($"ry")).cast("double").as("sy"),
-        sum((d1($"rx") * d1($"rx")).cast("decimal(38,2)")).cast("double").as("sxx"),
-        sum((d1($"ry") * d1($"ry")).cast("decimal(38,2)")).cast("double").as("syy"),
-        sum((d1($"rx") * d1($"ry")).cast("decimal(38,2)")).cast("double").as("sxy"))
+      val joint = base.groupBy($"g", $"xv", $"yv")
+        .agg(count(lit(1)).as("c")).cache()
+      def ranksOf(k: String, cName: String, rName: String) = {
+        val h = joint.groupBy($"g", col(k)).agg(sum($"c").as(cName))
+        graft.operators.GlobalOrder.prefixSum(h, Seq("g"), k, cName, "__below")
+          .withColumn(rName, $"__below" + (col(cName) + 1) / lit(2.0))
+          .select($"g", col(k), col(rName))
+      }
+      val r = joint
+        .join(ranksOf("xv", "cx", "rx"), Seq("g", "xv"))
+        .join(ranksOf("yv", "cy", "ry"), Seq("g", "yv"))
+      def d1(c: Column) = c.cast("decimal(12,1)")
+      val cw = $"c".cast("decimal(12,0)")
+      val m = r.groupBy($"g").agg(
+        sum($"c").cast("double").as("n"),
+        sum(d1($"rx") * cw).cast("double").as("sx"),
+        sum(d1($"ry") * cw).cast("double").as("sy"),
+        sum(d1($"rx") * d1($"rx") * cw).cast("double").as("sxx"),
+        sum(d1($"ry") * d1($"ry") * cw).cast("double").as("syy"),
+        sum(d1($"rx") * d1($"ry") * cw).cast("double").as("sxy"))
       m.select($"g".as("l_returnflag"),
         round(($"n" * $"sxy" - $"sx" * $"sy") /
           (sqrt($"n" * $"sxx" - $"sx" * $"sx") * sqrt($"n" * $"syy" - $"sy" * $"sy")), 6)

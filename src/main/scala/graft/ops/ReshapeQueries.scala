@@ -339,11 +339,16 @@ object ReshapeQueries extends QueryModule {
         $"l_quantity")
       // l_quantity is integral 1..50, so decile edges land on repeated
       // integers — exactly the degenerate case duplicates='drop' exists
-      // for
-      val edges = li.agg(
-        expr("percentile(l_quantity, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))")
-          .as("es"))
-        .select(array_distinct(transform($"es", e => round(e, 6))).as("es"))
+      // for. Round-15: edges via the distributed exact-percentile
+      // operator (no single-reducer value map; values identical,
+      // oracle-pinned) — the rounding/dedup stays in the same Spark
+      // expressions so both engines keep deduping the same doubles.
+      val es = graft.operators.DistributedPercentile.exact(
+        li.select($"l_quantity").toDF(), "l_quantity",
+        Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9))
+      val edges = s.range(1)
+        .select(array_distinct(transform(array(es.map(lit): _*),
+          e => round(e, 6))).as("es"))
       li.crossJoin(broadcast(edges))
         .withColumn("bin",
           aggregate($"es", lit(0L),

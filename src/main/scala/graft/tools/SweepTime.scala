@@ -43,6 +43,16 @@ object SweepTime {
       }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[sweep] $name%-32s ${dt}%8.2f s ${if (ok) "" else "FAILED"}")
+      // round-15 (ADVICE r14): several query builders cache
+      // query-local frames with no unpersist (lazy results make an
+      // in-builder unpersist impossible); over a 354-query sweep the
+      // pinned InMemoryRelations accumulate and can evict each other
+      // or spill, degrading LATER queries for reasons that have
+      // nothing to do with their own code. Clearing between queries
+      // keeps every row's number self-contained. (Bench deliberately
+      // does NOT clear: its reps measure the same query repeatedly
+      // and cross-round comparability pins its methodology.)
+      spark.sharedState.cacheManager.clearCache()
       (name, dt, ok)
     }
     println("==== slowest 40 ====")

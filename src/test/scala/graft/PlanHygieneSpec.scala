@@ -279,7 +279,10 @@ class PlanHygieneSpec extends SparkSpec {
     // (below every join/aggregate/window), map-side.
     assert(p.toLowerCase.contains("markerscores"),
       "expected the MarkerScores quality gate in the plan")
-    assert(p.contains("DataFilters: [(markerscores("),
+    // regex, not the exact leading-bracket string: the assertion must
+    // survive an inferred isnotnull filter ordering first or a Spark
+    // minor-version parenthesization change (ADVICE r14)
+    assert("DataFilters:.*markerscores\\(".r.findFirstIn(p).isDefined,
       "quality/langid gate must filter the raw scan, not post-shuffle data")
     assert(!p.contains("lambdafunction"),
       "the gate must be the codegen kernel, not interpreted split+fold HOFs")
