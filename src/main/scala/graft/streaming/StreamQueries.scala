@@ -37,17 +37,60 @@ object StreamQueries extends QueryModule {
       Integer.toHexString(s"$d/$table".hashCode))
     Files.createDirectories(dir)
     val src = Paths.get(d, s"$table.parquet")
+    var bytes = 0L
     if (Files.isDirectory(src)) {
       Files.list(src).filter(_.toString.endsWith(".parquet")).forEach { p =>
+        bytes += Files.size(p)
         val link = dir.resolve(p.getFileName)
         if (!Files.exists(link)) Files.createSymbolicLink(link, p)
       }
     } else {
+      bytes = Files.size(src)
       val link = dir.resolve(s"$table.parquet")
       if (!Files.exists(link)) Files.createSymbolicLink(link, src)
     }
+    lastInputBytes = math.max(lastInputBytes, bytes)
     dir.toString
   }
+
+  /** bytes of the most recently linked stream source — the input-size
+    * signal [[runToMemory]] sizes the stateful-operator partition
+    * count from (see there); `max` because a query may link several
+    * sources (the stream-stream join links events twice) and the
+    * builders run sequentially per query */
+  @volatile private var lastInputBytes: Long = 0L
+
+  /** State-store partition count for the next streaming drive.
+    *
+    * Every stateful operator opens + commits ONE state store per
+    * shuffle partition per micro-batch — a fixed cost independent of
+    * row count (measured on stream_stream_join at sf0.1: 8.0 s at 32
+    * partitions vs 2.9 s at 8, RocksDB no better; 4 stores/side × 32
+    * partitions of open/commit dwarfed the actual join). So the
+    * partition count follows STREAMED INPUT BYTES (guide §2.2 —
+    * partitions sized by data, never by the local core count):
+    * ceil(bytes / target), target 32 MB per partition
+    * (`SPARK_GRAFT_STREAM_STATE_TARGET_MB` overrides), floor 1, no
+    * upper clamp — at sf0.1 that is 1 store per operator per batch; a
+    * 100 TB/day stream gets ~3M-row-sized thousands, exactly the
+    * production sizing rule. `SPARK_GRAFT_STREAM_STATE_PARTITIONS`
+    * pins an explicit count (scaled StreamBench runs).
+    * Values are unaffected: state is hash-partitioned by key and the
+    * partition count only changes WHERE a key's store lives. */
+  @volatile var statePartitionsDefault: Option[Int] = None // in-JVM probe/bench hook; env wins
+  private def statePartitions: Option[Int] =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTITIONS").map(_.trim.toInt)
+      .orElse(statePartitionsDefault)
+      .orElse {
+        val bytes = lastInputBytes
+        if (bytes <= 0L) None
+        else {
+          val targetMb = sys.env.get("SPARK_GRAFT_STREAM_STATE_TARGET_MB")
+            .map(_.trim.toLong).getOrElse(32L)
+          val target = math.max(1L, targetMb) << 20
+          Some(math.min((bytes + target - 1) / target, Int.MaxValue.toLong).toInt)
+        }
+      }
 
   /** SPARK_GRAFT_STREAM_MAX_FILES splits the drive into real
     * micro-batches (N source files per trigger) instead of one
@@ -123,6 +166,18 @@ object StreamQueries extends QueryModule {
     val fileSinkBase = sys.env.get("SPARK_GRAFT_STREAM_FILE_SINK")
     val name = s"stream_out_${System.nanoTime()}"
     val complete = mode == OutputMode.Complete()
+    // state-store partition sizing (see statePartitions): the shuffle
+    // partition count at stream START pins the state partition count
+    // for the query's lifetime, so set it scoped around the drive and
+    // restore the session value afterwards (the drive is synchronous)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val sized = statePartitions
+    lastInputBytes = 0L // consume the signal; next query re-links
+    sized.foreach { n =>
+      System.err.println(s"[stream] state partitions := $n (was $prevShuffle)")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    }
+    try {
     val writer = df.writeStream.outputMode(mode)
     val q = fileSinkBase match {
       case Some(base) =>
@@ -160,6 +215,9 @@ object StreamQueries extends QueryModule {
         val out = s.table(name).cache()
         out.count()
         out
+    }
+    } finally {
+      if (sized.isDefined) s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
   }
 

@@ -55,7 +55,14 @@ object StreamProbe {
         }
       }
     }
-    run("base")
+    // auto (bytes-derived state partitions), then explicit counts to
+    // verify the sizing rule's choice sits on the measured optimum
+    run("auto")
+    Seq(1, 2, 4, 8, 32).foreach { n =>
+      graft.streaming.StreamQueries.statePartitionsDefault = Some(n)
+      run(s"p$n")
+    }
+    graft.streaming.StreamQueries.statePartitionsDefault = None
     spark.stop()
   }
 }
