@@ -104,8 +104,13 @@ object CurationQueries extends QueryModule {
         .cache()
       // 4: near-dedup — drop docs whose verified near-dup has a
       // smaller id; pairs computed over the SURVIVORS only
+      // knownDistinct: `exact` holds one row per md5(text) digest, so
+      // the adaptive-collapse probe's regime decision is known a
+      // priori — skipping it removes an aggregate job + driver
+      // collect() sync per execution (round-15; value-identical, see
+      // verifiedRepPairsOf)
       val drops = DedupQueries
-        .verifiedPairsOf(s, exact.select($"doc_id", $"text"))
+        .verifiedPairsOf(s, exact.select($"doc_id", $"text"), knownDistinct = true)
         .select($"db".as("doc_id")).distinct()
       // text is projected away BEFORE the anti-join: the balancing
       // stages only need the narrow metadata columns (guide §2.3,

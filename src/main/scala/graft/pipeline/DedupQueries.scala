@@ -208,9 +208,10 @@ object DedupQueries extends QueryModule {
     *    the exact/segment-dedup path; other bands still recover their
     *    genuine near-dup pairs).
     */
-  private[graft] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def verifiedPairsOf(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                                     knownDistinct: Boolean = false): DataFrame = {
     import s.implicits._
-    val (vp, mapping, collapsed) = verifiedRepPairsOf(s, docs)
+    val (vp, mapping, collapsed) = verifiedRepPairsOf(s, docs, knownDistinct)
     // adaptive bypass: with no collapse, representatives ARE the docs —
     // vp is already the doc-level pair list (exact copies, if the <10%
     // tail holds any, banded together and verified to jaccard 1.0
@@ -247,11 +248,34 @@ object DedupQueries extends QueryModule {
     * intermediate stage.
     */
   private[graft] def verifiedRepPairsOf(s: org.apache.spark.sql.SparkSession,
-                                        docs: DataFrame): (DataFrame, DataFrame, Boolean) = {
+                                        docs: DataFrame,
+                                        knownDistinct: Boolean = false): (DataFrame, DataFrame, Boolean) = {
     import s.implicits._
     graft.functions.MinHashExprs.register(s)
     val cap = s.conf.get("graft.lsh.hotBandCap", "5000").toLong
     val policy = s.conf.get("graft.lsh.hotBandPolicy", "error")
+
+    // knownDistinct (round-15): the CALLER asserts every text in
+    // `docs` is content-distinct (it just exact-deduped — e.g.
+    // pipe_curation's md5-keyed groupBy keeps exactly one row per
+    // digest), so the collapse probe's answer is known a priori:
+    // ratio ≈ 1 → bypass. Skipping it removes one aggregate job + a
+    // driver collect() sync from every execution of the consuming
+    // query (the probe is otherwise re-run per bench rep — the cache
+    // holds the FRAME, not the probe's scalar). Value-identical even
+    // if the assertion were wrong: both regimes produce the same pair
+    // list (the probe only picks the cheaper plan), and with no exact
+    // copies the drop-policy copy-immunity contract is vacuous.
+    if (knownDistinct) {
+      val r = docs
+        .select($"doc_id", expr("graft_shingle_hash64(text)").as("sh"))
+        .select($"doc_id", $"sh",
+          expr("graft_minhash_bands(sh)").as("bands"))
+        .cache()
+      val m = r.select($"doc_id", $"doc_id".as("rep"),
+        coalesce(size($"sh"), lit(0)).as("n_sh"))
+      return (repPairsFromBands(s, r, cap, policy), m, false)
+    }
 
     // ADAPTIVE COLLAPSE probe, round-14 form: the regime decision
     // (copy-heavy corpus → collapse; distinct corpus → bypass) now

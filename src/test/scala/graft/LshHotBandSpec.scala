@@ -81,6 +81,29 @@ class LshHotBandSpec extends SparkSpec {
     } finally base.unpersist()
   }
 
+  test("knownDistinct skips the probe and matches the probed pipeline") {
+    import org.apache.spark.sql.functions.col
+    // round-15: callers that just exact-deduped may assert content
+    // distinctness; the result must equal the probed pipeline on a
+    // distinct corpus — and even on a corpus where the assertion is
+    // WRONG (injected copies), because both regimes compute the same
+    // pair set (the probe only picks the plan)
+    import spark.implicits._
+    val base = Tables(spark, sf(), "documents")
+      .select(col("doc_id"), col("text")).cache()
+    val copied = docs().cache()
+    try {
+      for (d <- Seq(base, copied)) {
+        val probed = collapsedPairs(d)
+        val hinted = graft.pipeline.DedupQueries
+          .verifiedPairsOf(spark, d, knownDistinct = true)
+          .select($"da", $"db", round($"jac", 6).as("jac"))
+        assert(hinted.exceptAll(probed).isEmpty && probed.exceptAll(hinted).isEmpty,
+          "knownDistinct pipeline diverged from the probed pipeline")
+      }
+    } finally { base.unpersist(); copied.unpersist() }
+  }
+
   test("hot band cap fails loudly by default") {
     // cap=0 makes every band key "hot" — the fixture's distinct
     // contents rarely share a band, so a tiny positive cap may not fire
