@@ -26,6 +26,46 @@ object StringExprs {
       exprs => CanonText(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_marker_scores",
       exprs => MarkerScores(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_audio_energies",
+      exprs => AudioFrameEnergies(exprs.head), "scala_udf")
+  }
+}
+
+/** Single-pass audio-frame energy kernel shared by interpreted eval
+  * and the generated code of [[AudioFrameEnergies]] (round-15).
+  */
+object AudioFrameScan {
+  final val FrameLen = 32
+  final val Hop = 16
+
+  /** All frame energies of one document in one scan:
+    * energies[k] == Σ_{i=k·16+1}^{k·16+32} ascii(substr(text, i, 1))
+    * for k in 0 until floor((length(text) − 32) / 16) + 1, where
+    * substr indexes CHARACTERS (code points, like UTF8String.numChars)
+    * and ascii() yields the character's code point. The HOF form this
+    * replaces evaluated an interpreted sequence→transform→aggregate
+    * chain of 32 substr+ascii calls PER EXPLODED FRAME (~35 µs/frame
+    * measured at sf0.1); this is one code-point decode of the doc plus
+    * one add per (frame, position). Documents shorter than FrameLen
+    * characters yield an empty array (the query's length filter
+    * removes them before the explode either way). */
+  def energies(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n < FrameLen)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Long])
+    val nf = (n - FrameLen) / Hop + 1
+    val out = new Array[Long](nf)
+    var k = 0
+    while (k < nf) {
+      var acc = 0L
+      var i = k * Hop
+      val end = i + FrameLen
+      while (i < end) { acc += cps(i); i += 1 }
+      out(k) = acc
+      k += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
 
@@ -251,6 +291,26 @@ case class MarkerScores(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.MarkerScan.scores($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document audio-frame energy array (graft_audio_energies) — see
+  * [[AudioFrameScan.energies]] for the exact HOF chain it replaces and
+  * the equivalence argument. `posexplode` over the result reproduces
+  * the (frame_id, frame_energy) rows of the old per-frame explode.
+  */
+case class AudioFrameEnergies(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    AudioFrameScan.energies(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.AudioFrameScan.energies($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -84,24 +84,27 @@ object MultimodalQueries extends QueryModule {
     // audio framing: fixed-length overlapped windows over the sample
     // stream (frame_length=32, hop_length=16 — the spectrogram access
     // pattern; librosa/torchaudio framing semantics: full frames
-    // only). One explode per frame, per-frame energy as the decode
-    // stub — map-side fan-out, zero shuffles, the same shape a real
-    // STFT pre-pass needs at corpus scale.
+    // only). Map-side fan-out, zero shuffles, the same shape a real
+    // STFT pre-pass needs at corpus scale. Round-15 (guide §4): the
+    // per-frame energy was an interpreted sequence→transform→aggregate
+    // HOF — 32 substr+ascii lambda evaluations PER FRAME, ~35 µs/frame,
+    // the whole projection outside whole-stage codegen. The energies
+    // now come from one codegen'd per-document kernel
+    // ([[graft.functions.AudioFrameScan]], value-identical by
+    // construction: same code-point indexing, same long sums —
+    // AudioFrameKernelSpec pins kernel == HOF on edge shapes) and
+    // posexplode reproduces the per-frame rows in the same order.
     "mm_audio_frames" -> { (s, d) =>
       import s.implicits._
+      graft.functions.StringExprs.register(s)
       val frameLen = 32; val hop = 16
-      val len = length($"text")
-      val nf = (floor((len - frameLen) / hop) + 1).cast("long")
-      val offset = $"k" * hop + 1
-      val energy = aggregate(
-        transform(sequence(offset, offset + (frameLen - 1)),
-          i => ascii($"text".substr(i.cast("int"), lit(1))).cast("long")),
-        lit(0L), (acc, x) => acc + x)
       Tables(s, d, "documents")
-        .filter(len >= frameLen)
-        .withColumn("k", explode(sequence(lit(0L), nf - 1)))
-        .select($"doc_id", $"k".as("frame_id"),
-          offset.as("sample_start"), energy.as("frame_energy"))
+        .filter(length($"text") >= frameLen)
+        .select($"doc_id", posexplode(expr("graft_audio_energies(text)")))
+        .select($"doc_id",
+          $"pos".cast("long").as("frame_id"),
+          ($"pos".cast("long") * hop + 1).as("sample_start"),
+          $"col".as("frame_energy"))
     },
 
     // frame sampling: stride-16 byte subsampling (the video
