@@ -111,18 +111,28 @@ object BpeQueries extends QueryModule {
 
     // corpus encode with the learned merges: per-doc BPE token count
     // plus an md5 over the full encoded text — a hash-strength check
-    // that every merge applied at every position identically
+    // that every merge applied at every position identically.
+    // Round-15 (guide §4): the encoded-words array is projected ONCE
+    // and both outputs derive from it — the old single projection ran
+    // the interpreted spaced+K-replace chain TWICE per word (once
+    // under the count fold, once under the md5 join). The two-step
+    // projection survives CollapseProject because the shared alias is
+    // used twice and is non-cheap, so the chain evaluates once per
+    // word by plan construction.
     "txt_bpe_encode" -> { (s, d) =>
       import s.implicits._
       val merges = train(s, d)
       val enc = encodeWord(merges) _
-      Tables(s, d, "documents").select(
-        $"doc_id",
-        size(wordsOf).as("n_words"),
-        aggregate(
-          transform(wordsOf, w => size(split(enc(w), " ")).cast("long")),
-          lit(0L), (acc, v) => acc + v).as("n_bpe_tokens"),
-        md5(array_join(transform(wordsOf, w => enc(w)), " | ")).as("enc_md5"))
+      Tables(s, d, "documents")
+        .select($"doc_id", size(wordsOf).as("n_words"),
+          transform(wordsOf, w => enc(w)).as("__enc"))
+        .select(
+          $"doc_id",
+          $"n_words",
+          aggregate(
+            transform($"__enc", e => size(split(e, " ")).cast("long")),
+            lit(0L), (acc, v) => acc + v).as("n_bpe_tokens"),
+          md5(array_join($"__enc", " | ")).as("enc_md5"))
     }
   )
 
