@@ -40,6 +40,16 @@ object SimilarityQueries extends QueryModule {
   private def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** sqrt self-norm, for hoisting BELOW a join (round-15, guide
+    * §2.3/§4): `cosine(a, b)` recomputes dot(a,a) and dot(b,b) per
+    * JOINED PAIR — 3 kernel passes where 1 suffices. With norms
+    * projected on each side before the join/explode, the per-pair
+    * work is one dot + one divide. `dot(a,b) / (na * nb)` with
+    * na = sqrt(dot(a,a)) is the exact expression tree cosine() builds
+    * (same kernels, same operation order), so values are
+    * bit-identical — the oracle pins it on every consumer. */
+  private def norm(e: Column): Column = sqrt(dot(e, e))
+
   /** DuckDB mirror of dot(a, b) */
   private def dotSql(a: String, b: String): String =
     s"list_reduce(list_prepend(CAST(0 AS DOUBLE), " +
@@ -98,10 +108,12 @@ object SimilarityQueries extends QueryModule {
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
       graft.QuadraticGuard.assertSmallInput(s, e, "sim_cosine_pairs",
         "sim_lsh_multitable / sim_ivf_ann")
-      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"))
-      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"))
+      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"),
+        norm($"embedding").as("na"))
+      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"),
+        norm($"embedding").as("nb"))
       a.crossJoin(b).filter($"va" < $"vb")
-        .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+        .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
         .filter($"cos" >= 0.35)
         .select($"va", $"vb", $"cos")
     },
@@ -110,11 +122,13 @@ object SimilarityQueries extends QueryModule {
     "sim_cosine_topk" -> { (s, d) =>
       import s.implicits._
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
-      val q = e.filter($"vec_id" < 10).select($"vec_id".as("vq"), $"embedding".as("eq"))
-      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"))
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("vq"),
+        $"embedding".as("eq"), norm($"embedding").as("nq"))
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"),
+        norm($"embedding").as("nc"))
       val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
       q.crossJoin(c).filter($"vq" =!= $"vc")
-        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("cos", round(dot($"eq", $"ec") / ($"nq" * $"nc"), 6))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"vq", $"vc", $"cos", $"rn")
@@ -142,14 +156,17 @@ object SimilarityQueries extends QueryModule {
         struct(lit(t).as("tbl"),
           lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
       val e = Tables(s, d, "embeddings")
-        .select($"vec_id", $"embedding", tb.as("tb"))
-        .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+        .select($"vec_id", $"embedding", norm($"embedding").as("nr"), tb.as("tb"))
+        .select($"vec_id", $"embedding", $"nr",
+          $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
       val q = e.filter($"vec_id" < 50)
-        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"tbl", $"bucket")
-      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"tbl", $"bucket")
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"nr".as("nq"),
+          $"tbl", $"bucket")
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"),
+        $"nr".as("nc"), $"tbl", $"bucket")
       val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
       q.join(c, Seq("tbl", "bucket")).filter($"vq" =!= $"vc")
-        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("cos", round(dot($"eq", $"ec") / ($"nq" * $"nc"), 6))
         .groupBy($"vq", $"vc").agg(max($"cos").as("cos"))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -173,20 +190,26 @@ object SimilarityQueries extends QueryModule {
       val cents = e.filter($"vec_id" < K)
         .agg(sort_array(collect_list(struct($"vec_id", $"embedding"))).as("cs"))
         .select(transform($"cs", c => c.getField("embedding")).as("cs"))
+        // centroid self-norms once per BROADCAST ROW, not once per
+        // (vector, centroid) — round-15 norm hoist, values identical
+        .withColumn("csn", transform($"cs", ce => norm(ce)))
       val asg = e.crossJoin(broadcast(cents))
-        .withColumn("cl", transform($"cs", ce => cosine($"embedding", ce)))
+        .withColumn("__ne", norm($"embedding"))
+        .withColumn("cl", transform($"cs", (ce, i) =>
+          dot($"embedding", ce) / ($"__ne" * element_at($"csn", i + 1))))
         .withColumn("cell", array_position($"cl", array_max($"cl")))
-      val c = asg.select($"vec_id".as("vc"), $"embedding".as("ec"), $"cell")
+      val c = asg.select($"vec_id".as("vc"), $"embedding".as("ec"),
+        $"__ne".as("nc"), $"cell")
       val q = asg.filter($"vec_id" < 50)
         .withColumn("cl2", transform(sequence(lit(1), lit(K)),
           i => when(i.cast("long") === $"cell", lit(-9e9))
             .otherwise(element_at($"cl", i))))
         .withColumn("cell2", array_position($"cl2", array_max($"cl2")))
-        .select($"vec_id".as("vq"), $"embedding".as("eq"),
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"__ne".as("nq"),
           explode(array($"cell", $"cell2")).as("cell"))
       val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
       q.join(c, Seq("cell")).filter($"vq" =!= $"vc")
-        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("cos", round(dot($"eq", $"ec") / ($"nq" * $"nc"), 6))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vq", $"vc", $"cos")
@@ -222,20 +245,24 @@ object SimilarityQueries extends QueryModule {
       val K = 8
       val e = Tables(s, d, "embeddings").select($"vec_id", $"embedding")
       val cents = KMeans.fit(e, K, iters = 2)
+        .withColumn("csn", transform($"cs", ce => norm(ce)))
       val asg = e.crossJoin(broadcast(cents))
-        .withColumn("cl", transform($"cs", ce => cosine($"embedding", ce)))
+        .withColumn("__ne", norm($"embedding"))
+        .withColumn("cl", transform($"cs", (ce, i) =>
+          dot($"embedding", ce) / ($"__ne" * element_at($"csn", i + 1))))
         .withColumn("cell", array_position($"cl", array_max($"cl")))
-      val c = asg.select($"vec_id".as("vc"), $"embedding".as("ec"), $"cell")
+      val c = asg.select($"vec_id".as("vc"), $"embedding".as("ec"),
+        $"__ne".as("nc"), $"cell")
       val q = asg.filter($"vec_id" < 50)
         .withColumn("cl2", transform(sequence(lit(1), lit(K)),
           i => when(i.cast("long") === $"cell", lit(-9e9))
             .otherwise(element_at($"cl", i))))
         .withColumn("cell2", array_position($"cl2", array_max($"cl2")))
-        .select($"vec_id".as("vq"), $"embedding".as("eq"),
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"__ne".as("nq"),
           explode(array($"cell", $"cell2")).as("cell"))
       val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
       q.join(c, Seq("cell")).filter($"vq" =!= $"vc")
-        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("cos", round(dot($"eq", $"ec") / ($"nq" * $"nc"), 6))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vq", $"vc", $"cos")
@@ -481,12 +508,15 @@ object SimilarityQueries extends QueryModule {
         struct(lit(t).as("tbl"),
           lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
       val e = reps
-        .select($"vec_id", $"embedding", tb.as("tb"))
-        .select($"vec_id", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"), $"tbl", $"bucket")
-      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"), $"tbl", $"bucket")
+        .select($"vec_id", $"embedding", norm($"embedding").as("nr"), tb.as("tb"))
+        .select($"vec_id", $"embedding", $"nr",
+          $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+      val a = e.select($"vec_id".as("va"), $"embedding".as("ea"),
+        $"nr".as("na"), $"tbl", $"bucket")
+      val b = e.select($"vec_id".as("vb"), $"embedding".as("eb"),
+        $"nr".as("nb"), $"tbl", $"bucket")
       val edges = a.join(b, Seq("tbl", "bucket")).filter($"va" < $"vb")
-        .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+        .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
         .groupBy($"va", $"vb").agg(max($"cos").as("cos"))
         .filter($"cos" >= 0.35)
         .select($"va".as("src"), $"vb".as("dst"))
@@ -536,13 +566,14 @@ object SimilarityQueries extends QueryModule {
     "sim_lsh_ann" -> { (s, d) =>
       import s.implicits._
       val e = Tables(s, d, "embeddings")
-        .select($"vec_id", $"embedding", lshBucket($"embedding").as("bucket"))
+        .select($"vec_id", $"embedding", norm($"embedding").as("nr"),
+          lshBucket($"embedding").as("bucket"))
       val q = e.filter($"vec_id" < 50)
-        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"bucket")
-      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"bucket")
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"nr".as("nq"), $"bucket")
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"nr".as("nc"), $"bucket")
       val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
       q.join(c, Seq("bucket")).filter($"vq" =!= $"vc")
-        .withColumn("cos", round(cosine($"eq", $"ec"), 6))
+        .withColumn("cos", round(dot($"eq", $"ec") / ($"nq" * $"nc"), 6))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
         .select($"vq", $"vc", $"cos")
@@ -584,11 +615,12 @@ object SimilarityQueries extends QueryModule {
       val e = Tables(s, d, "embeddings")
         .select($"vec_id",
           call_function("graft_rand_project", $"embedding", lit(RpDim)).as("rp"))
-      val q = e.filter($"vec_id" < 10).select($"vec_id".as("vq"), $"rp".as("rq"))
-      val c = e.select($"vec_id".as("vc"), $"rp".as("rc"))
+      val q = e.filter($"vec_id" < 10).select($"vec_id".as("vq"),
+        $"rp".as("rq"), norm($"rp").as("nrq"))
+      val c = e.select($"vec_id".as("vc"), $"rp".as("rc"), norm($"rp").as("nrc"))
       val w = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
       q.crossJoin(c).filter($"vq" =!= $"vc")
-        .withColumn("cos", round(cosine($"rq", $"rc"), 6))
+        .withColumn("cos", round(dot($"rq", $"rc") / ($"nrq" * $"nrc"), 6))
         .withColumn("rn", row_number().over(w))
         .filter($"rn" <= 3)
         .select($"vq", $"vc", $"cos", $"rn")
@@ -610,11 +642,13 @@ object SimilarityQueries extends QueryModule {
         .select($"vec_id", $"embedding",
           call_function("graft_rand_project", $"embedding", lit(RpDim)).as("rp"))
       val q = e.filter($"vec_id" < 10)
-        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"rp".as("rq"))
-      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"rp".as("rc"))
+        .select($"vec_id".as("vq"), $"embedding".as("eq"), $"rp".as("rq"),
+          norm($"rp").as("nrq"))
+      val c = e.select($"vec_id".as("vc"), $"embedding".as("ec"), $"rp".as("rc"),
+        norm($"rp").as("nrc"))
       val wCand = Window.partitionBy($"vq").orderBy($"pcos".desc, $"vc".asc)
       val cand = q.crossJoin(c).filter($"vq" =!= $"vc")
-        .withColumn("pcos", cosine($"rq", $"rc"))
+        .withColumn("pcos", dot($"rq", $"rc") / ($"nrq" * $"nrc"))
         .withColumn("crn", row_number().over(wCand))
         .filter($"crn" <= 50)
       val wRank = Window.partitionBy($"vq").orderBy($"cos".desc, $"vc".asc)
@@ -681,12 +715,15 @@ object SimilarityQueries extends QueryModule {
       struct(lit(t).as("tbl"),
         lshBucket($"embedding", t * BitsPerTable, BitsPerTable).as("bucket"))): _*))
     val e = fam
-      .select($"rep", $"embedding", tb.as("tb"))
-      .select($"rep", $"embedding", $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
-    val a = e.select($"rep".as("ra"), $"embedding".as("ea"), $"tbl", $"bucket")
-    val b = e.select($"rep".as("rb"), $"embedding".as("eb"), $"tbl", $"bucket")
+      .select($"rep", $"embedding", norm($"embedding").as("nr"), tb.as("tb"))
+      .select($"rep", $"embedding", $"nr",
+        $"tb.tbl".as("tbl"), $"tb.bucket".as("bucket"))
+    val a = e.select($"rep".as("ra"), $"embedding".as("ea"),
+      $"nr".as("na"), $"tbl", $"bucket")
+    val b = e.select($"rep".as("rb"), $"embedding".as("eb"),
+      $"nr".as("nb"), $"tbl", $"bucket")
     val repEdges = a.join(b, Seq("tbl", "bucket")).filter($"ra" =!= $"rb")
-      .withColumn("cos", round(cosine($"ea", $"eb"), 6))
+      .withColumn("cos", round(dot($"ea", $"eb") / ($"na" * $"nb"), 6))
       .groupBy($"ra", $"rb").agg(max($"cos").as("cos"))
     val selfEdges = fam.filter($"fsize" > 1)
       .select($"rep".as("ra"), $"rep".as("rb"), lit(1.0).as("cos"))
