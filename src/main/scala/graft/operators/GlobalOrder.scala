@@ -59,6 +59,20 @@ object GlobalOrder {
     case _ => false
   }
 
+  /** Round-15 (guide §2, partitioning-follows-data): rows per bucket
+    * below which the whole input collapses to ONE bucket. The bounds
+    * probe now returns the row count in the same action, so a tiny
+    * input (e.g. a 150-row group histogram from
+    * DistributedPercentile.exactGrouped) no longer fans every stage
+    * of the ordinal machinery into `spark.sql.shuffle.partitions`
+    * near-empty tasks — at a cluster's thousands of partitions that
+    * is thousands of no-op tasks per query. Inputs above the target
+    * keep today's bucket count unchanged at every scale; bucket
+    * layout never affects the computed values (bounds only balance
+    * buckets — GlobalOrderSpec pins the ordinals). */
+  private val OneBucketRows: Long =
+    sys.env.getOrElse("SPARK_GRAFT_ORDINAL_ONE_BUCKET_ROWS", "16384").toLong
+
   /** df + `ordinalCol` (0-based long) following `sortCols` order. */
   def zipOrdinal(df: DataFrame, sortCols: Seq[Column], ordinalCol: String = "__ord"): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -67,11 +81,17 @@ object GlobalOrder {
     if (!quantileSupported(leadType)) return zipOrdinalRdd(df, sortCols, ordinalCol)
 
     // pass 1: ≤ n-1 bucket bounds (approximate is fine — bounds only
-    // balance buckets, never affect the ordinal values)
+    // balance buckets, never affect the ordinal values) + the row
+    // count in the SAME action for the one-bucket collapse
     val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    val bounds: Seq[Any] = df
-      .select(percentile_approx(lead.cast("double"), probs, lit(10000)).as("q"))
-      .head().getSeq[Any](0) match {
+    val row1 = df
+      .select(percentile_approx(lead.cast("double"), probs, lit(10000)).as("q"),
+        count(lit(1)).as("__go_n"))
+      .head()
+    val rows = row1.getLong(1)
+    val bounds: Seq[Any] =
+      if (rows <= OneBucketRows) Seq.empty
+      else row1.getSeq[Any](0) match {
         case null => Seq.empty
         case qs => qs.distinct.filter(_ != null)
       }
@@ -87,8 +107,12 @@ object GlobalOrder {
       lead.cast("double"), bounds.map(_.asInstanceOf[Double]),
       inclusive = false)
 
+    // empty bounds = constant pid: today that already lands every row
+    // in one partition OF n — shrink the exchange to 1 so the other
+    // n−1 tasks don't exist at all
+    val nPart = if (bounds.isEmpty) 1 else n
     val base = df.withColumn("__go_pid", pidExpr)
-      .repartition(n, col("__go_pid"))
+      .repartition(nPart, col("__go_pid"))
     val w = Window.partitionBy(col("__go_pid")).orderBy(sortCols: _*)
     val withCtr = base.withColumn("__go_ctr", row_number().over(w).cast("long") - 1L)
     val counts = base.groupBy(col("__go_pid")).agg(count(lit(1)).as("__go_cnt"))
@@ -130,17 +154,25 @@ object GlobalOrder {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val pk = partKeys.map(col)
     val probs = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    val bounds: Seq[Any] = df
-      .select(percentile_approx(col(keyCol).cast("double"), probs, lit(10000)).as("q"))
-      .head().getSeq[Any](0) match {
+    val row1 = df
+      .select(percentile_approx(col(keyCol).cast("double"), probs, lit(10000)).as("q"),
+        count(lit(1)).as("__ps_n"))
+      .head()
+    // histogram small enough for one bucket → skip the bucket split
+    // entirely (see OneBucketRows); the partition-by-group window
+    // still bounds per-task state by the largest GROUP's histogram
+    val bounds: Seq[Any] =
+      if (row1.getLong(1) <= OneBucketRows) Seq.empty
+      else row1.getSeq[Any](0) match {
         case null => Seq.empty
         case qs => qs.distinct.filter(_ != null)
       }
     val pidExpr = graft.functions.SearchSorted.bucketOf(
       col(keyCol).cast("double"), bounds.map(_.asInstanceOf[Double]),
       inclusive = false)
+    val nPart = if (bounds.isEmpty) 1 else n
     val base = df.withColumn("__ps_pid", pidExpr)
-      .repartition(n, pk :+ col("__ps_pid"): _*)
+      .repartition(nPart, pk :+ col("__ps_pid"): _*)
     val w = Window.partitionBy(pk :+ col("__ps_pid"): _*)
       .orderBy(col(keyCol)).rowsBetween(Window.unboundedPreceding, -1)
     val withCtr = base.withColumn("__ps_ctr",
