@@ -43,11 +43,24 @@ object BpeQueries extends QueryModule {
     * binary string order in both engines. */
   def train(s: SparkSession, d: String, k: Int = K): Seq[(Int, String, String, Long)] = {
     import s.implicits._
-    var vocab = Tables(s, d, "documents")
+    val vocab0 = Tables(s, d, "documents")
       .select(explode(wordsOf).as("w"))
       .groupBy($"w").agg(count(lit(1)).as("wc"))
       .select(spaced($"w").as("s"), $"wc")
       .localCheckpoint()
+    // Round-15 (guide §2, partitioning-follows-data): the vocabulary
+    // inherits the aggregate's shuffle partitioning, so all 2k+1
+    // trainer jobs ran shuffle.partitions-sized stages over a
+    // vocabulary-sized frame (31 rows at sf0.1). Size the partitions
+    // from the materialized row count instead — the count job is
+    // O(partitions) on the checkpointed blocks and amortizes over
+    // every following iteration; a corpus whose vocabulary is
+    // millions of words still gets a proportional partition count.
+    val vParts = math.max(1, math.min(vocab0.rdd.getNumPartitions,
+      math.ceil(vocab0.count() / 65536.0).toInt))
+    var vocab =
+      if (vParts < vocab0.rdd.getNumPartitions) vocab0.coalesce(vParts)
+      else vocab0
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     for (i <- 0 until k) {
       val syms = split(ltrim($"s"), " ")
