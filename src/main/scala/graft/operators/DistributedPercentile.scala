@@ -132,6 +132,73 @@ object DistributedPercentile {
     selected.select(kcols ++ outCols: _*)
   }
 
+  /** Multi-column sibling of [[exactGrouped]] (round-15, guide §1.2):
+    * callers that want exact percentiles of SEVERAL columns over the
+    * same input (agg_median_quantile: l_quantity AND l_discount) used
+    * to run one full pipeline per column — one corpus scan, one
+    * histogram shuffle, and one prefix-sum probe EACH. `stacked` is
+    * the unpivoted frame (keys, tagCol, valCol — built map-side with
+    * `stack`, no extra shuffle); the histogram, the bounds probe, and
+    * the prefix sum then run ONCE over the union, with `tagCol`
+    * appended to the group keys so every per-(group, column) rank is
+    * computed exactly as the single-column form computes it (bucket
+    * BOUNDS differ — they span both columns' values — but bounds only
+    * balance buckets and never affect values). Per-column selection
+    * aggregates read the shared cached histogram; results join back
+    * on `keys`, one row per group. Groups where a column is all
+    * null/NaN drop that column's row and, through the inner join, the
+    * group — identical to joining two exactGrouped outputs. */
+  def exactGroupedStacked(stacked: DataFrame, keys: Seq[String],
+                          tagCol: String, valCol: String,
+                          specs: Seq[(String, Seq[Double], Seq[String])]): DataFrame = {
+    require(specs.nonEmpty && specs.forall { case (_, ps, names) =>
+      ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0) && names.size == ps.size },
+      s"bad percentile specs: $specs")
+    val kcols = keys.map(col)
+    val gk = kcols :+ col(tagCol)
+    val v = stacked
+      .select(gk :+ col(valCol).cast("double").as("__v"): _*)
+      .filter(col("__v").isNotNull && !isnan(col("__v")))
+
+    // 1. ONE per-(group, column, value) histogram for every column
+    val hist = v.groupBy(gk :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .cache()
+    // 2. ONE prefix-sum pass, ranks partitioned per (group, column)
+    val ranked = GlobalOrder.prefixSum(hist, keys :+ tagCol, "__v", "__c", "__below")
+    val ns = hist.groupBy(gk: _*).agg(sum(col("__c")).as("__n"))
+    val withN = ranked.join(broadcast(ns), keys :+ tagCol)
+
+    // 3. per-column selection over the shared ranked frame — exactly
+    // [[exactGrouped]]'s conditional-max aggregate and interpolation
+    val perCol = specs.map { case (tag, ps, outNames) =>
+      def pos(i: Int): Column = lit(ps(i)) * (col("__n") - 1)
+      def kOf(i: Int): Column = floor(pos(i))
+      val selAggs = ps.indices.flatMap { i =>
+        val lo = col("__below")
+        val hi = col("__below") + col("__c")
+        Seq(
+          max(when(lo <= kOf(i) && kOf(i) < hi, col("__v"))).as(s"__lo$i"),
+          max(when(lo <= kOf(i) + 1 && kOf(i) + 1 < hi, col("__v"))).as(s"__hi$i"))
+      }
+      val selected = withN.filter(col(tagCol) === lit(tag))
+        .groupBy(kcols: _*)
+        .agg(selAggs.head, (selAggs.tail :+ max(col("__n")).as("__n")): _*)
+      val outCols = ps.indices.map { i =>
+        val frac = pos(i) - kOf(i)
+        val lo = col(s"__lo$i"); val hi = col(s"__hi$i")
+        when(lo.isNull || (frac > 0.0 && hi.isNull), raise_error(lit(
+          s"DistributedPercentile.exactGroupedStacked: rank not covered " +
+          s"for p=${ps(i)} ($tag) — histogram/prefix-sum invariant violated")))
+          .when(frac === 0.0 || hi <=> lo, lo)
+          .otherwise(lo * (lit(1.0) - frac) + hi * frac)
+          .as(outNames(i))
+      }
+      selected.select(kcols ++ outCols: _*)
+    }
+    perCol.reduce(_.join(_, keys))
+  }
+
   private def tryExact(v: DataFrame, ps: Seq[Double], accuracy: Int,
                        delta: Double): Option[Seq[Double]] = {
     // pass 1: count + bracket windows in ONE scan

@@ -126,14 +126,18 @@ object AggQueries extends QueryModule {
     // a pruned two-column scan.
     "agg_median_quantile" -> { (s, d) =>
       import s.implicits._
-      import graft.operators.DistributedPercentile.exactGrouped
-      val li = Tables(s, d, "lineitem")
-      val qty = exactGrouped(li.select($"l_returnflag", $"l_quantity"),
-        Seq("l_returnflag"), "l_quantity", Seq(0.5, 0.25, 0.75),
-        Seq("mq", "q25", "q75"))
-      val disc = exactGrouped(li.select($"l_returnflag", $"l_discount"),
-        Seq("l_returnflag"), "l_discount", Seq(0.9), Seq("q90"))
-      qty.join(disc, Seq("l_returnflag"))
+      import graft.operators.DistributedPercentile.exactGroupedStacked
+      // round-15 follow-up: both columns share ONE scan, ONE histogram
+      // shuffle and ONE prefix-sum pass via the stacked (unpivoted)
+      // variant — the earlier form ran a full exactGrouped pipeline
+      // per column. Values identical (ranks stay partitioned per
+      // (group, column); selection/interpolation unchanged).
+      val stacked = Tables(s, d, "lineitem").selectExpr("l_returnflag",
+        "stack(2, 'q', cast(l_quantity as double), " +
+          "'d', cast(l_discount as double)) as (cn, v)")
+      exactGroupedStacked(stacked, Seq("l_returnflag"), "cn", "v",
+        Seq(("q", Seq(0.5, 0.25, 0.75), Seq("mq", "q25", "q75")),
+            ("d", Seq(0.9), Seq("q90"))))
         .select($"l_returnflag",
           round($"mq", 6).as("median_qty"),
           round($"q25", 6).as("q25_qty"),
