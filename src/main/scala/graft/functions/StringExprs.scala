@@ -28,6 +28,39 @@ object StringExprs {
       exprs => MarkerScores(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("graft_audio_energies",
       exprs => AudioFrameEnergies(exprs.head), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_sampled_fp",
+      exprs => SampledFp(exprs.head), "scala_udf")
+  }
+}
+
+/** Single-pass stride-16 sample-fingerprint kernel shared by
+  * interpreted eval and the generated code of [[SampledFp]].
+  */
+object FrameSampleScan {
+  final val Stride = 16
+  final val P = 1000000007L // PortableHash.P, inlined for codegen
+
+  /** fp == aggregate(transform(sequence(1, length(text), 16),
+    * i -> ascii(substr(text, i, 1)).cast(long)), 0L,
+    * (acc, x) -> (acc * 31 + x) % P) — i.e. the polynomial rolling
+    * hash of every 16th CHARACTER (code point, like
+    * UTF8String.numChars; ascii() yields the code point — pinned
+    * against the HOF on multi-byte docs by FrameSampleKernelSpec).
+    * acc < P < 2^30 so acc*31 + cp stays far inside int64, exactly as
+    * in the HOF fold. Empty text folds over an empty sequence -> 0,
+    * same as here. The HOF form materialized a sampled-char array per
+    * row and ran the fold interpreted (HigherOrderFunction has no
+    * codegen); this is one code-point decode of the document inside
+    * whole-stage codegen. */
+  def sampledFp(s: UTF8String): Long = {
+    val cps = s.toString.codePoints().toArray
+    var acc = 0L
+    var i = 0
+    while (i < cps.length) {
+      acc = (acc * 31 + cps(i)) % P
+      i += Stride
+    }
+    acc
   }
 }
 
@@ -311,6 +344,23 @@ case class AudioFrameEnergies(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.functions.AudioFrameScan.energies($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Per-document stride-16 sample fingerprint (graft_sampled_fp) — see
+  * [[FrameSampleScan.sampledFp]] for the exact HOF chain it replaces
+  * and the equivalence argument.
+  */
+case class SampledFp(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override def nullSafeEval(input: Any): Any =
+    FrameSampleScan.sampledFp(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.FrameSampleScan.sampledFp($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

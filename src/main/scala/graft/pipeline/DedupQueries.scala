@@ -686,14 +686,22 @@ object DedupQueries extends QueryModule {
     // coverage — the quantity the removal step cuts.
     //
     // At 100 TB: the exploded frame is corpus_chars/stride rows of
-    // (16-byte key, doc_id, offset) — the span-key groupBy partial-
-    // aggregates map-side and the duplicated-key set (vastly smaller
-    // than the corpus; dup spans are the exception, not the rule)
-    // comes back via one equi-join that AQE broadcasts when it fits.
-    // The interval-merge window partitions by doc_id — per-doc state,
-    // no skew. md5 is used (not xxhash64) for oracle parity; the
-    // 128-bit width also makes cross-doc hash collisions a non-issue
-    // at corpus scale.
+    // (16-byte key, doc_id, offset). Round-15 (guide §2.4/§4.4): the
+    // r14 shape tested "held by >= 2 distinct docs" with a
+    // countDistinct aggregate + join-back, which evaluated the whole
+    // scan+explode+md5 subtree TWICE (once per join side) — and each
+    // copy paid md5 twice more via the inferred isnotnull(md5(..))
+    // join-key filter below the projection (the §4.4 optimizer-
+    // duplication pathology; 4 md5 passes total, see
+    // plans/r15/dedup_substring_spans_before.txt). countDistinct >= 2
+    // over non-null doc_id is exactly min(doc_id) != max(doc_id), so
+    // the dup test is now a min/max window over sk on the ONE span
+    // frame: md5 per span exactly once, one exchange of the span
+    // frame by sk (its rows are key+3 longs — the heavy `text` never
+    // crosses), no join. The interval-merge window partitions by
+    // doc_id — per-doc state, no skew. md5 is used (not xxhash64) for
+    // oracle parity; the 128-bit width also makes cross-doc hash
+    // collisions a non-issue at corpus scale.
     "dedup_substring_spans" -> { (s, d) =>
       import s.implicits._
       val k = 40
@@ -704,15 +712,16 @@ object DedupQueries extends QueryModule {
           explode(sequence(lit(0), length($"text") - k, lit(stride))).as("off"))
         .select($"doc_id", $"n_chars", $"off",
           md5($"text".substr($"off" + lit(1), lit(k))).as("sk"))
-      val dupKeys = spans.groupBy($"sk")
-        .agg(countDistinct($"doc_id").as("nd"))
-        .filter($"nd" >= 2)
-        .select($"sk")
+      val wSk = org.apache.spark.sql.expressions.Window.partitionBy($"sk")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"doc_id").orderBy($"off")
       val prevEnd = max($"off" + k)
         .over(w.rowsBetween(Window.unboundedPreceding, -1))
-      val islands = spans.join(dupKeys, Seq("sk"))
+      val islands = spans
+        .withColumn("dup",
+          min($"doc_id").over(wSk) =!= max($"doc_id").over(wSk))
+        .filter($"dup")
+        .drop("dup")
         .withColumn("new_isl",
           when(prevEnd.isNull || prevEnd < $"off", 1).otherwise(0))
         .withColumn("isl", sum($"new_isl").over(w))

@@ -108,16 +108,21 @@ object MultimodalQueries extends QueryModule {
     },
 
     // frame sampling: stride-16 byte subsampling (the video
-    // frame-sample access pattern) + fingerprint of the sampled frames
+    // frame-sample access pattern) + fingerprint of the sampled
+    // frames. Round-15 (guide §4): the fingerprint was an interpreted
+    // sequence→transform→aggregate HOF — a sampled-char array
+    // materialized per document plus an interpreted fold per sampled
+    // char, outside whole-stage codegen. It now comes from the
+    // single-pass codegen kernel [[graft.functions.FrameSampleScan]]
+    // (value-identical by construction: same code-point indexing, same
+    // (acc·31+cp) mod P fold — FrameSampleKernelSpec pins kernel ==
+    // HOF on the corpus and multi-byte edge docs).
     "mm_frame_sample" -> { (s, d) =>
       import s.implicits._
+      graft.functions.StringExprs.register(s)
       Tables(s, d, "documents")
         .select($"doc_id",
-          aggregate(
-            transform(sequence(lit(1), length($"text"), lit(16)),
-              i => ascii($"text".substr(i, lit(1))).cast("long")),
-            lit(0L),
-            (acc, x) => (acc * 31 + x) % P).as("sampled_fp"),
+          expr("graft_sampled_fp(text)").as("sampled_fp"),
           (floor((length($"text") - 1) / 16) + 1).cast("long").as("n_frames"))
     },
 
